@@ -1,0 +1,706 @@
+"""Beam semi-Markov Viterbi decoder — the engine's flagship kernel.
+
+Re-expresses, in vectorized NumPy, the reference decode stack
+(tberg12/ocular):
+  * emission cache    — model/emission/CachingEmissionModel.java:169-334
+                        + model/em/DefaultInnerLoop.java:35-58 (the
+                        sliding-window dot products become one sgemm per
+                        template width over an im2col of the line),
+  * coarse backward   — model/em/BeamingSemiMarkovDP.java:305-331 +
+                        DenseBigramTransitionModel.java (max-product
+                        bigram backward used as the beam heuristic),
+  * beam forward      — BeamingSemiMarkovDP.java:69-218 (semi-Markov,
+                        line-to-line continuity via nextLineStartStates),
+  * transition model  — transition/CharacterNgramTransitionModel.java
+                        (monolingual; LINE_MRGN_PROB=0.5,
+                        LINE_END_HYPHEN_PROB=1e-8), compiled to dense
+                        per-context tables,
+  * decode recovery   — CachingEmissionModel.getExposure/getOffset/
+                        getPadWidth:102-163, recovered from cache-build
+                        argmaxes instead of recomputation (same argmax).
+
+Beam semantics deviation (documented): the reference's addToBeam
+(BeamingSemiMarkovDP.java:220-238) admits a candidate only when it
+beats the current worst queue entry, making beam contents depend on
+candidate insertion order.  We keep a true top-`beam_size` by
+(score + coarse-backward heuristic), with deterministic ties broken by
+state id — order-independent, never worse, and identical to exact
+Viterbi whenever beam_size >= reachable-state count (which is how the
+micro-lattice tests pin correctness).
+
+This module is pure NumPy and is used identically by the in-process
+oracle (tests) and inside Spark's ``applyInPandas`` kernels
+(pipeline.py) — shared code path is what makes span parity checkable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ocular_spark import charset as cs
+from ocular_spark.font import (
+    EXP_GAINS,
+    LINE_HEIGHT,
+    MAX_OFFSET,
+    N_EXPOSURES,
+    BLACK,
+    WHITE,
+    Font,
+)
+
+# TransitionStateType (model/TransitionStateType.java)
+TMPL, LMRGN, LMRGN_HPHN, RMRGN, RMRGN_HPHN_INIT, RMRGN_HPHN = range(6)
+N_TYPES = 6
+
+LINE_MRGN_PROB = 0.5  # CharacterNgramTransitionModel.java:364
+LINE_END_HYPHEN_PROB = 1e-8  # :365
+LOG_MRGN = math.log(LINE_MRGN_PROB)
+LOG_NOT_MRGN = math.log(1.0 - LINE_MRGN_PROB)
+
+NEG_INF = float("-inf")
+
+
+class CompiledTransitionModel:
+    """Dense tables for the monolingual char-n-gram transition model.
+
+    Contexts are interned to ids once per model broadcast (the
+    reference shrinks contexts per transition via dict lookups —
+    NgramLanguageModel.shrinkContext:94-103; we precompute
+    ``next_ctx[ctx, c]`` for every reachable context).
+    """
+
+    def __init__(self, lm) -> None:
+        self.lm = lm
+        indexer = lm.get_character_indexer()
+        self.char_indexer = indexer
+        C = indexer.size()
+        self.n_chars = C
+        self.space = indexer.get_index(cs.SPACE)
+        self.hyphen = indexer.get_index(cs.HYPHEN)
+        self.is_punc = np.zeros(C, dtype=bool)
+        for c_str in indexer.get_objects():
+            if cs.is_punctuation_char(c_str):
+                self.is_punc[indexer.get_index(c_str)] = True
+
+        # ---- context registry ----
+        self._ctx_ids: Dict[Tuple[int, ...], int] = {}
+        self._ctxs: List[Tuple[int, ...]] = []
+        self.empty_ctx = self._intern(())
+        # all single-char contexts (startStates uses unshrunk (c,), :384-391)
+        self.single_ctx = np.array([self._intern((c,)) for c in range(C)], dtype=np.int32)
+        for ctx in sorted(lm.all_contexts):
+            self._intern(tuple(ctx))
+        n_ctx = len(self._ctxs)
+
+        # ---- per-context char probs (already ^lmPower) and next ids ----
+        log_probs = np.full((n_ctx, C), NEG_INF, dtype=np.float64)
+        next_ctx = np.zeros((n_ctx, C), dtype=np.int32)
+        ctx_last = np.full(n_ctx, self.space, dtype=np.int32)
+        for i, ctx in enumerate(list(self._ctxs)):
+            if len(ctx) > 0:
+                ctx_last[i] = ctx[-1]
+            for c in range(C):
+                p = lm.get_char_ngram_prob(ctx, c)
+                log_probs[i, c] = math.log(p) if p > 0 else NEG_INF
+                nxt = lm.shrink_context(ctx + (c,))
+                next_ctx[i, c] = self._intern(nxt)
+        if len(self._ctxs) != n_ctx:
+            raise AssertionError("shrink_context escaped the registry")
+        self.log_probs = log_probs
+        self.next_ctx = next_ctx
+        self.ctx_last = ctx_last
+        self.n_ctx = n_ctx
+
+        self._fwd_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._nls_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _intern(self, ctx: Tuple[int, ...]) -> int:
+        idx = self._ctx_ids.get(ctx)
+        if idx is None:
+            idx = len(self._ctxs)
+            self._ctx_ids[ctx] = idx
+            self._ctxs.append(ctx)
+        return idx
+
+    # state id packing
+    def state(self, ctx_id: int, stype: int) -> int:
+        return ctx_id * N_TYPES + stype
+
+    def state_type(self, s: int) -> int:
+        return s % N_TYPES
+
+    def state_ctx(self, s: int) -> int:
+        return s // N_TYPES
+
+    def glyph_char_of_states(self, states: np.ndarray) -> np.ndarray:
+        """Rendered (template) char per state: TMPL -> last context char
+        (or space for empty context); margins -> space;
+        RMRGN_HPHN_INIT -> hyphen (CharacterNgramTransitionState:159-170,
+        338-341)."""
+        stype = states % N_TYPES
+        ctx = states // N_TYPES
+        out = np.full(len(states), self.space, dtype=np.int32)
+        tmpl = stype == TMPL
+        out[tmpl] = self.ctx_last[ctx[tmpl]]
+        out[stype == RMRGN_HPHN_INIT] = self.hyphen
+        return out
+
+    def lm_char_of_states(self, states: np.ndarray) -> np.ndarray:
+        # identical to glyph char in the monolingual model
+        return self.glyph_char_of_states(states)
+
+    def start_states(self) -> Tuple[np.ndarray, np.ndarray]:
+        """startStates (CharacterNgramTransitionModel.java:384-391)."""
+        C = self.n_chars
+        states = np.empty(C + 1, dtype=np.int64)
+        logps = np.empty(C + 1, dtype=np.float64)
+        states[0] = self.state(self.empty_ctx, LMRGN)
+        logps[0] = LOG_MRGN
+        states[1:] = self.single_ctx.astype(np.int64) * N_TYPES + TMPL
+        logps[1:] = LOG_NOT_MRGN + self.log_probs[self.empty_ctx]
+        keep = logps > NEG_INF
+        return states[keep], logps[keep]
+
+    def forward_transitions(self, s: int) -> Tuple[np.ndarray, np.ndarray]:
+        """forwardTransitions (:262-332), cached per state."""
+        cached = self._fwd_cache.get(s)
+        if cached is not None:
+            return cached
+        i = s // N_TYPES
+        stype = s % N_TYPES
+        lp = self.log_probs[i]
+        nc = self.next_ctx[i].astype(np.int64)
+        if stype == TMPL:
+            sp = lp[self.space]
+            head_states = [self.state(int(nc[self.space]), RMRGN)] if sp > NEG_INF else []
+            head_logps = (
+                [LOG_MRGN + math.log(1.0 - LINE_END_HYPHEN_PROB) + sp] if sp > NEG_INF else []
+            )
+            head_states.append(self.state(i, RMRGN_HPHN_INIT))
+            head_logps.append(LOG_MRGN + math.log(LINE_END_HYPHEN_PROB))
+            keep = lp > NEG_INF
+            states = np.concatenate(
+                [np.array(head_states, dtype=np.int64), nc[keep] * N_TYPES + TMPL]
+            )
+            logps = np.concatenate(
+                [np.array(head_logps, dtype=np.float64), LOG_NOT_MRGN + lp[keep]]
+            )
+        elif stype == LMRGN:
+            keep = lp > NEG_INF
+            states = np.concatenate(
+                [[self.state(i, LMRGN)], nc[keep] * N_TYPES + TMPL]
+            ).astype(np.int64)
+            logps = np.concatenate([[LOG_MRGN], LOG_NOT_MRGN + lp[keep]])
+        elif stype == LMRGN_HPHN:
+            keep = (~self.is_punc) & (np.arange(self.n_chars) != self.space)
+            states = np.concatenate(
+                [[self.state(i, LMRGN_HPHN)], nc[keep] * N_TYPES + TMPL]
+            ).astype(np.int64)
+            logps = np.concatenate([[LOG_MRGN], LOG_NOT_MRGN + lp[keep]])
+        elif stype == RMRGN:
+            states = np.array([self.state(i, RMRGN)], dtype=np.int64)
+            logps = np.array([LOG_MRGN])
+        elif stype == RMRGN_HPHN_INIT:
+            states = np.array([self.state(i, RMRGN_HPHN)], dtype=np.int64)
+            logps = np.array([LOG_MRGN])
+        else:  # RMRGN_HPHN
+            states = np.array([self.state(i, RMRGN_HPHN)], dtype=np.int64)
+            logps = np.array([LOG_MRGN])
+        keep2 = logps > NEG_INF
+        result = (states[keep2], logps[keep2])
+        self._fwd_cache[s] = result
+        return result
+
+    def next_line_start_states(self, s: int) -> Tuple[np.ndarray, np.ndarray]:
+        """nextLineStartStates (:191-256), cached per state."""
+        cached = self._nls_cache.get(s)
+        if cached is not None:
+            return cached
+        i = s // N_TYPES
+        stype = s % N_TYPES
+        C = self.n_chars
+        states_list: List[np.ndarray] = []
+        logps_list: List[np.ndarray] = []
+        if stype == TMPL:
+            sws = self.log_probs[i, self.space]
+            if sws > NEG_INF:
+                j = int(self.next_ctx[i, self.space])
+                lpj = self.log_probs[j]
+                ncj = self.next_ctx[j].astype(np.int64)
+                states_list.append(np.array([self.state(j, LMRGN)], dtype=np.int64))
+                logps_list.append(np.array([LOG_MRGN + sws]))
+                keep = lpj > NEG_INF
+                states_list.append(ncj[keep] * N_TYPES + TMPL)
+                logps_list.append(LOG_NOT_MRGN + sws + lpj[keep])
+        elif stype == RMRGN:
+            lp = self.log_probs[i]
+            nc = self.next_ctx[i].astype(np.int64)
+            states_list.append(np.array([self.state(i, LMRGN)], dtype=np.int64))
+            logps_list.append(np.array([LOG_MRGN]))
+            keep = lp > NEG_INF
+            states_list.append(nc[keep] * N_TYPES + TMPL)
+            logps_list.append(LOG_NOT_MRGN + lp[keep])
+        elif stype in (RMRGN_HPHN, RMRGN_HPHN_INIT):
+            lp = self.log_probs[i]
+            nc = self.next_ctx[i].astype(np.int64)
+            states_list.append(np.array([self.state(i, LMRGN_HPHN)], dtype=np.int64))
+            logps_list.append(np.array([LOG_MRGN]))
+            keep = (~self.is_punc) & (np.arange(C) != self.space) & (lp > NEG_INF)
+            states_list.append(nc[keep] * N_TYPES + TMPL)
+            logps_list.append(LOG_NOT_MRGN + lp[keep])
+        elif stype in (LMRGN, LMRGN_HPHN):
+            lp = self.log_probs[i]
+            states_list.append(np.array([self.state(self.empty_ctx, LMRGN)], dtype=np.int64))
+            logps_list.append(np.array([LOG_MRGN]))
+            keep = lp > NEG_INF
+            states_list.append(self.single_ctx[keep].astype(np.int64) * N_TYPES + TMPL)
+            logps_list.append(LOG_NOT_MRGN + lp[keep])
+        if states_list:
+            result = (np.concatenate(states_list), np.concatenate(logps_list))
+        else:
+            result = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        self._nls_cache[s] = result
+        return result
+
+
+class DenseBigramModel:
+    """model/em/DenseBigramTransitionModel.java — including its
+    log-domain space-smoothing quirk (:365-366 scales *log* probs)."""
+
+    def __init__(self, lm, n_chars: int, space_idx: int) -> None:
+        SPC_TO_SPC_SMOOTH = 1e-2
+        C = n_chars
+        starts = np.empty(C)
+        fwd = np.empty((C, C))
+        for c in range(C):
+            p = lm.get_char_ngram_prob((), c)
+            starts[c] = math.log(p) if p > 0 else NEG_INF
+        for prev in range(C):
+            for c in range(C):
+                p = lm.get_char_ngram_prob((prev,), c)
+                fwd[prev, c] = math.log(p) if p > 0 else NEG_INF
+        fwd[space_idx, :] *= 1.0 - SPC_TO_SPC_SMOOTH
+        fwd[space_idx, space_idx] += SPC_TO_SPC_SMOOTH
+        self.starts = starts
+        self.forward_trans = fwd  # [prev, c]
+
+
+class TemplateStack:
+    """Font-dependent, observation-independent arrays for the emission
+    cache: per template width tw, stacked (flattened) log-prob tensors
+    over (char, exposure, offset) — CachingEmissionModel.java:239-275.
+    Built once per broadcast font."""
+
+    def __init__(self, font: Font, char_strs: Sequence[str], pad_min: int, pad_max: int):
+        self.pad_min = pad_min
+        self.pad_max = pad_max
+        C = len(char_strs)
+        self.n_chars = C
+        templates = [font.get(s) for s in char_strs]
+        self.templates = templates
+        self.space_idx = char_strs.index(cs.SPACE)
+
+        self.tmpl_allowed_widths = [t.allowed_widths() for t in templates]
+        self.tmpl_min_w = np.array([t.min_width for t in templates], dtype=np.int32)
+        self.tmpl_max_w = np.array([t.max_width for t in templates], dtype=np.int32)
+        self.width_log_probs = [
+            {w: t.width_log_prob(w) for w in self.tmpl_allowed_widths[c]}
+            for c, t in enumerate(templates)
+        ]
+
+        # combined (template + pad) allowed widths per char
+        self.max_w = int((self.tmpl_max_w + pad_max).max())
+        allowed = np.zeros((C, self.max_w + 1), dtype=bool)
+        for c in range(C):
+            for tw in self.tmpl_allowed_widths[c]:
+                allowed[c, tw + pad_min : tw + pad_max + 1] = True
+        self.allowed_w_mask = allowed
+        self.allowed_w_list = [np.flatnonzero(allowed[c]).astype(np.int32) for c in range(C)]
+
+        self.n_offsets = 2 * MAX_OFFSET + 1
+        self.pad_log_prob = math.log(1.0 / (pad_max - pad_min + 1))
+
+        # per distinct template width: white/black stacks + row index map
+        self.widths = sorted({tw for c in range(C) for tw in self.tmpl_allowed_widths[c]})
+        self.stacks: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
+        for tw in self.widths:
+            whites: List[np.ndarray] = []
+            blacks: List[np.ndarray] = []
+            row_of_char: Dict[int, int] = {}  # char -> first row (e=0, off=0)
+            for c in range(C):
+                if tw not in self.width_log_probs[c]:
+                    continue
+                row_of_char[c] = len(whites)
+                t = templates[c]
+                for e in range(N_EXPOSURES):
+                    for off in range(-MAX_OFFSET, MAX_OFFSET + 1):
+                        whites.append(t.log_white_probs(e, off, tw).ravel())
+                        blacks.append(t.log_black_probs(e, off, tw).ravel())
+            self.stacks[tw] = (
+                np.ascontiguousarray(np.stack(whites).T, dtype=np.float32),  # (tw*H, N)
+                np.ascontiguousarray(np.stack(blacks).T, dtype=np.float32),
+                row_of_char,
+            )
+
+        # whitespace column log-probs per exposure: space template col 0
+        sp = templates[self.space_idx]
+        self.ws_white = np.stack(
+            [sp.log_white_probs(e, 0, 1)[0] for e in range(N_EXPOSURES)]
+        )  # (E, H)
+        self.ws_black = np.stack(
+            [sp.log_black_probs(e, 0, 1)[0] for e in range(N_EXPOSURES)]
+        )
+
+
+class EmissionCache(NamedTuple):
+    log_probs: np.ndarray  # (T, C, max_w+1) float32, -inf where not allowed
+    # argmax recovery, parallel to log_probs:
+    best_exposure: np.ndarray  # int8
+    best_offset: np.ndarray  # int8 (actual offset, -MAX..MAX)
+    best_pad: np.ndarray  # int8
+    T: int
+
+
+def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache:
+    """CachingEmissionModel.rebuildCache + populate (:169-334) for one line.
+
+    obs: (T, LINE_HEIGHT) uint8 in {WHITE, BLACK, OBSCURED}.
+    The sliding-window dot products run as one float32 GEMM per
+    template width (exactly DefaultInnerLoop's math, batched)."""
+    T = obs.shape[0]
+    C = stack.n_chars
+    H = LINE_HEIGHT
+    white_obs = (obs == WHITE).astype(np.float32)  # (T, H)
+    black_obs = (obs == BLACK).astype(np.float32)
+
+    max_w = stack.max_w
+    cache = np.full((T, C, max_w + 1), NEG_INF, dtype=np.float32)
+    best_e = np.zeros((T, C, max_w + 1), dtype=np.int8)
+    best_off = np.zeros((T, C, max_w + 1), dtype=np.int8)
+    best_pad = np.zeros((T, C, max_w + 1), dtype=np.int8)
+
+    # whitespace column log-probs per (t, e), then prefix sums
+    ws_col = white_obs @ stack.ws_white.T + black_obs @ stack.ws_black.T  # (T, E)
+    ws_cum = np.vstack([np.zeros((1, N_EXPOSURES), np.float32), np.cumsum(ws_col, axis=0)])
+
+    n_off = stack.n_offsets
+    pad_min, pad_max = stack.pad_min, stack.pad_max
+
+    for tw in stack.widths:
+        if tw > T:
+            continue
+        whiteT, blackT, row_of_char = stack.stacks[tw]  # (tw*H, N)
+        nT = T - tw + 1
+        # im2col: windows (nT, tw*H)
+        w_win = np.lib.stride_tricks.sliding_window_view(white_obs, (tw, H))[:, 0].reshape(
+            nT, tw * H
+        )
+        b_win = np.lib.stride_tricks.sliding_window_view(black_obs, (tw, H))[:, 0].reshape(
+            nT, tw * H
+        )
+        scores = w_win @ whiteT + b_win @ blackT  # (nT, N) float32
+
+        for c, row0 in row_of_char.items():
+            # (nT, E, n_off)
+            sc = scores[:, row0 : row0 + N_EXPOSURES * n_off].reshape(nT, N_EXPOSURES, n_off)
+            off_arg = sc.argmax(axis=2)  # (nT, E)
+            tmpl_lp = np.take_along_axis(sc, off_arg[:, :, None], axis=2)[:, :, 0]
+            tmpl_lp = tmpl_lp + np.float32(stack.width_log_probs[c][tw])  # (nT, E)
+            for pw in range(pad_min, pad_max + 1):
+                w = tw + pw
+                lim = T - w + 1  # t + w <= T
+                if lim <= 0:
+                    continue
+                # t + tw + pad_min <= T also required (populate :303)
+                lim = min(lim, T - tw - pad_min + 1, nT)
+                if lim <= 0:
+                    continue
+                t_idx = np.arange(lim)
+                # pad cols [t+tw, t+tw+pw) whitespace log prob per exposure
+                pad_lp = (
+                    ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]
+                ) + np.float32(stack.pad_log_prob)  # (lim, E)
+                total = tmpl_lp[:lim] + pad_lp  # (lim, E)
+                e_arg = total.argmax(axis=1)
+                val = np.take_along_axis(total, e_arg[:, None], axis=1)[:, 0]
+                cur = cache[:lim, c, w]
+                better = val > cur
+                if better.any():
+                    bi = np.flatnonzero(better)
+                    cache[bi, c, w] = val[bi]
+                    best_e[bi, c, w] = e_arg[bi].astype(np.int8)
+                    best_off[bi, c, w] = (
+                        off_arg[bi, e_arg[bi]].astype(np.int8) - MAX_OFFSET
+                    )
+                    best_pad[bi, c, w] = pw
+    return EmissionCache(cache, best_e, best_off, best_pad, T)
+
+
+def coarse_backward(cache: EmissionCache, stack: TemplateStack, bigram: DenseBigramModel):
+    """doDenseCoarseBackwardPassLogSpace (BeamingSemiMarkovDP.java:305-331)."""
+    T = cache.T
+    C = stack.n_chars
+    betas = np.full((T + 1, C), NEG_INF, dtype=np.float64)
+    betas[T] = 0.0  # endLogProb == 0
+    fwd = bigram.forward_trans  # [prev, c]
+    lp = cache.log_probs
+    for t in range(T - 1, -1, -1):
+        # beta_without_trans[c] = max over allowed w of emit(t,c,w) + betas[t+w, c]
+        wmax = min(stack.max_w, T - t)
+        if wmax < 1:
+            continue
+        emit = lp[t, :, 1 : wmax + 1].astype(np.float64)  # (C, wmax)
+        future = betas[t + 1 : t + wmax + 1, :].T  # (C, wmax)
+        bwt = (emit + future).max(axis=1)  # (C,)
+        # betas[t][c] = max over nextC of fwd[c, nextC] + bwt[nextC]
+        betas[t] = (fwd + bwt[None, :]).max(axis=1)
+    return betas
+
+
+class LineDecode(NamedTuple):
+    states: np.ndarray  # int64 state ids, in order
+    widths: np.ndarray  # int32 total (char+pad) widths
+    start_cols: np.ndarray  # int32
+    glyph_chars: np.ndarray  # int32
+    lm_chars: np.ndarray  # int32
+    types: np.ndarray  # int8
+    exposures: np.ndarray  # int8
+    offsets: np.ndarray  # int8
+    pad_widths: np.ndarray  # int8
+
+
+def _expand_by_widths(
+    glyphs: np.ndarray, allowed_w_list: List[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """For candidate glyph chars, produce (candidate_index, width) pairs."""
+    counts = np.array([len(allowed_w_list[g]) for g in glyphs])
+    idx = np.repeat(np.arange(len(glyphs)), counts)
+    w = (
+        np.concatenate([allowed_w_list[g] for g in glyphs])
+        if len(glyphs)
+        else np.empty(0, dtype=np.int32)
+    )
+    return idx, w
+
+
+class Decoder:
+    """Glue: per-document decode with line continuity.
+
+    The unit of work is a document (sequential loop over its lines —
+    numDecodeThreads=1 semantics, FonttrainTranscribeShared.java:122-123);
+    Spark parallelism is across documents."""
+
+    def __init__(
+        self,
+        font: Font,
+        lm,
+        pad_min: int = 1,
+        pad_max: int = 5,
+        beam_size: int = 10,
+    ) -> None:
+        self.tm = CompiledTransitionModel(lm)
+        char_strs = self.tm.char_indexer.get_objects()
+        self.stack = TemplateStack(font, char_strs, pad_min, pad_max)
+        self.bigram = DenseBigramModel(lm, self.tm.n_chars, self.tm.space)
+        self.beam_size = beam_size
+
+    def decode_document(self, lines: Sequence[np.ndarray]) -> Tuple[List[LineDecode], float]:
+        """lines: list of (T, LINE_HEIGHT) uint8 arrays. Returns per-line
+        decodes and the document joint log-prob (final-line cumulative
+        best score, matching decodeSingleThread :76-95)."""
+        tm = self.tm
+        beam_size = self.beam_size
+        start_states: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        all_columns: List[List[dict]] = []
+        caches: List[EmissionCache] = []
+        final_log_prob = NEG_INF
+
+        for line_obs in lines:
+            cache = build_emission_cache(line_obs, self.stack)
+            caches.append(cache)
+            betas = coarse_backward(cache, self.stack, self.bigram)
+            T = cache.T
+
+            # per-column candidate buffers
+            buffers: List[List[Tuple[np.ndarray, ...]]] = [[] for _ in range(T + 1)]
+            columns: List[dict] = [dict() for _ in range(T + 1)]
+
+            if start_states is None or len(start_states[0]) == 0:
+                s0, lp0 = tm.start_states()
+                prev0 = np.full(len(s0), -1, dtype=np.int64)
+                start_states = (s0, lp0, prev0)
+            s0, sc0, prev0 = start_states
+            self._expand(
+                0, s0, sc0, prev_t=0, prev_states=prev0, buffers=buffers, cache=cache, T=T
+            )
+
+            for t in range(1, T + 1):
+                if not buffers[t]:
+                    continue
+                states = np.concatenate([b[0] for b in buffers[t]])
+                scores = np.concatenate([b[1] for b in buffers[t]])
+                prev_ts = np.concatenate([b[2] for b in buffers[t]])
+                prev_states = np.concatenate([b[3] for b in buffers[t]])
+                buffers[t] = []
+
+                # dedup by state, keep max score (stable: lowest state id first)
+                order = np.lexsort((-scores, states))
+                states_o = states[order]
+                first = np.ones(len(states_o), dtype=bool)
+                first[1:] = states_o[1:] != states_o[:-1]
+                sel = order[first]
+                states_u, scores_u = states[sel], scores[sel]
+                prev_t_u, prev_s_u = prev_ts[sel], prev_states[sel]
+
+                # beam prune by score + coarse-backward heuristic
+                if len(states_u) > beam_size:
+                    glyphs_u = tm.glyph_char_of_states(states_u)
+                    prio = scores_u + betas[t, glyphs_u]
+                    keep = np.lexsort((states_u, -prio))[:beam_size]
+                    keep = keep[np.argsort(states_u[keep])]  # keep sorted for searchsorted
+                    states_u, scores_u = states_u[keep], scores_u[keep]
+                    prev_t_u, prev_s_u = prev_t_u[keep], prev_s_u[keep]
+
+                columns[t] = {
+                    "states": states_u,
+                    "scores": scores_u,
+                    "prev_t": prev_t_u,
+                    "prev_s": prev_s_u,
+                }
+                if t < T:
+                    # forward expansion from this beam
+                    exp_states: List[np.ndarray] = []
+                    exp_logps: List[np.ndarray] = []
+                    exp_srcidx: List[np.ndarray] = []
+                    for k, s in enumerate(states_u):
+                        ns, lps = tm.forward_transitions(int(s))
+                        exp_states.append(ns)
+                        exp_logps.append(lps)
+                        exp_srcidx.append(np.full(len(ns), k, dtype=np.int64))
+                    cand_states = np.concatenate(exp_states)
+                    cand_logps = np.concatenate(exp_logps)
+                    cand_src = np.concatenate(exp_srcidx)
+                    cand_scores = scores_u[cand_src] + cand_logps
+                    self._expand(
+                        t,
+                        cand_states,
+                        cand_scores,
+                        prev_t=t,
+                        prev_states=states_u[cand_src],
+                        buffers=buffers,
+                        cache=cache,
+                        T=T,
+                    )
+
+            all_columns.append(columns)
+            final_col = columns[T]
+            if not final_col:
+                raise EmptyBeamError(
+                    "No possible final states found for this line. "
+                    "Consider increasing beam_size."
+                )
+            end_scores = final_col["scores"]  # endLogProb == 0
+            final_log_prob = float(end_scores.max())
+
+            # nextLineStartStates with accumulated scores
+            next_start: Dict[int, Tuple[float, int]] = {}
+            for k, s in enumerate(final_col["states"]):
+                ns, lps = tm.next_line_start_states(int(s))
+                sc = end_scores[k] + lps
+                for j in range(len(ns)):
+                    if sc[j] == NEG_INF:
+                        continue
+                    key = int(ns[j])
+                    old = next_start.get(key)
+                    if old is None or sc[j] > old[0]:
+                        next_start[key] = (float(sc[j]), int(s))
+            keys = np.array(sorted(next_start), dtype=np.int64)
+            start_states = (
+                keys,
+                np.array([next_start[int(k)][0] for k in keys]),
+                np.array([next_start[int(k)][1] for k in keys], dtype=np.int64),
+            )
+
+        # ---- backpointer trace, last line to first (:251-303) ----
+        decodes: List[LineDecode] = []
+        final_state: Optional[int] = None
+        for d in range(len(lines) - 1, -1, -1):
+            columns = all_columns[d]
+            cache = caches[d]
+            T = cache.T
+            col = columns[T]
+            if final_state is None:
+                k = int(np.argmax(col["scores"]))
+                cur_s = int(col["states"][k])
+            else:
+                cur_s = final_state
+            cur_t = T
+            rev_states: List[int] = []
+            rev_widths: List[int] = []
+            while True:
+                c_idx = int(np.searchsorted(columns[cur_t]["states"], cur_s))
+                rev_states.append(cur_s)
+                prev_t = int(columns[cur_t]["prev_t"][c_idx])
+                prev_s = int(columns[cur_t]["prev_s"][c_idx])
+                rev_widths.append(cur_t - prev_t)
+                cur_t, cur_s = prev_t, prev_s
+                if cur_t == 0:
+                    final_state = cur_s if cur_s >= 0 else None
+                    break
+            states = np.array(rev_states[::-1], dtype=np.int64)
+            widths = np.array(rev_widths[::-1], dtype=np.int32)
+            start_cols = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+            glyphs = tm.glyph_char_of_states(states)
+            lm_chars = tm.lm_char_of_states(states)
+            types = (states % N_TYPES).astype(np.int8)
+            exposures = cache.best_exposure[start_cols, glyphs, widths]
+            offsets = cache.best_offset[start_cols, glyphs, widths]
+            pads = cache.best_pad[start_cols, glyphs, widths]
+            decodes.append(
+                LineDecode(
+                    states, widths, start_cols, glyphs, lm_chars, types, exposures, offsets, pads
+                )
+            )
+        decodes.reverse()
+        return decodes, final_log_prob
+
+    def _expand(
+        self,
+        t: int,
+        states: np.ndarray,
+        scores: np.ndarray,
+        prev_t: int,
+        prev_states: np.ndarray,
+        buffers: List[List[Tuple[np.ndarray, ...]]],
+        cache: EmissionCache,
+        T: int,
+    ) -> None:
+        """Expand candidate states at column t over allowed widths,
+        appending (state, score, prev) tuples to target-column buffers."""
+        live = scores > NEG_INF
+        if not live.any():
+            return
+        states, scores, prev_states = states[live], scores[live], prev_states[live]
+        glyphs = self.tm.glyph_char_of_states(states)
+        idx, widths = _expand_by_widths(glyphs, self.stack.allowed_w_list)
+        next_t = t + widths
+        ok = next_t <= T
+        idx, widths, next_t = idx[ok], widths[ok], next_t[ok]
+        emit = cache.log_probs[t, glyphs[idx], widths].astype(np.float64)
+        total = scores[idx] + emit
+        ok2 = total > NEG_INF
+        idx, widths, next_t, total = idx[ok2], widths[ok2], next_t[ok2], total[ok2]
+        # group by target column (few distinct widths)
+        for w in np.unique(widths):
+            m = widths == w
+            tgt = t + int(w)
+            buffers[tgt].append(
+                (states[idx[m]], total[m], np.full(m.sum(), prev_t, dtype=np.int32), prev_states[idx[m]])
+            )
+
+
+class EmptyBeamError(RuntimeError):
+    """model/em/EmptyBeamException.java"""
