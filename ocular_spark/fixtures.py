@@ -1,0 +1,242 @@
+"""Deterministic fixture synthesis for the interleaved-spans pipeline.
+
+Implements FIXTURES.md: the `docs` / `media` tables are derived
+deterministically from the driver-provided ``documents.parquet``
+(TESTDATA.md) — every draw is a function of ``hash(doc_id)``, no RNG
+state (FIXTURES.md §8).  Page images are rendered from the fixture
+font itself (glyphs.py), so expected decodes are known by
+construction; media-span gold text is produced by the in-process
+oracle decoder (the same NumPy code path the Spark kernel runs).
+
+No external data: everything derives from /root/testdata parquet +
+procedural glyphs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ocular_spark.charset import SPACE, CharIndexer
+from ocular_spark.font import LINE_HEIGHT, WHITE, BLACK, Font
+from ocular_spark.glyphs import build_init_font, render_glyph
+from ocular_spark.lm import KNESER_NEY, NgramLanguageModel, build_ngram_lm_from_chars
+from ocular_spark.pipeline import ModelBundle, pack_line
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+
+
+def _h(s: str, salt: str = "") -> int:
+    return int.from_bytes(hashlib.sha256((salt + "|" + s).encode()).digest()[:8], "big")
+
+
+def render_text_line(
+    text: str, margin: int = 4, char_width: int = 10, space_width: int = 6, pad: int = 2
+) -> np.ndarray:
+    """Compose one page line from fixture glyphs (cols = first axis)."""
+    cols = [np.full((margin, LINE_HEIGHT), WHITE, dtype=np.uint8)]
+    for ch in text:
+        if ch == " ":
+            cols.append(np.full((space_width, LINE_HEIGHT), WHITE, dtype=np.uint8))
+        else:
+            cols.append(render_glyph(ch, target_width=char_width))
+            cols.append(np.full((pad, LINE_HEIGHT), WHITE, dtype=np.uint8))
+    cols.append(np.full((margin, LINE_HEIGHT), WHITE, dtype=np.uint8))
+    return np.concatenate(cols, axis=0)
+
+
+def add_noise(img: np.ndarray, p: float, key: int) -> np.ndarray:
+    """Deterministic salt-and-pepper noise: flip pixel (i,j) iff a hash
+    of (key, i, j) falls below p (no RNG stream — corpus-resize stable)."""
+    if p <= 0:
+        return img
+    rng = np.random.RandomState(key % (2**32))
+    flip = rng.rand(*img.shape) < p
+    out = img.copy()
+    out[flip] = np.where(out[flip] == WHITE, BLACK, WHITE).astype(np.uint8)
+    return out
+
+
+def _wrap_words(words: List[str], max_chars: int = 18) -> List[str]:
+    lines: List[str] = []
+    cur = ""
+    for w in words:
+        if not cur:
+            cur = w
+        elif len(cur) + 1 + len(w) <= max_chars:
+            cur += " " + w
+        else:
+            lines.append(cur)
+            cur = w
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def page_counts_for_doc(doc_id: str) -> int:
+    """Heavy-tail page-count distribution (FIXTURES.md §1): 90% of docs
+    have 1 media span, 9% have 8, 1% have 40."""
+    r = _h(doc_id, "pages") % 100
+    if r < 90:
+        return 1
+    if r < 99:
+        return 8
+    return 40
+
+
+def derive_docs_and_media(
+    documents: pd.DataFrame,
+    n_docs: Optional[int] = None,
+    media_frac_words: int = 6,
+    noise_levels: Tuple[float, ...] = (0.0, 0.02, 0.05),
+    heavy_tail: bool = False,
+    max_pages_per_doc: int = 3,
+    lines_per_page: int = 2,
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Derive interleaved docs + media tables from the documents table.
+
+    Each doc's word stream is chunked into alternating text spans and
+    rendered media spans (page images).  Returns
+      docs:  (doc_id, spans[(kind, text, media_ref, offset)])
+             -- media spans carry text=None (to be decoded)
+      media: (media_ref, n_lines, lines[binary], src_text, noise)
+             -- src_text retained for test goldens only.
+    """
+    docs_rows = []
+    media_rows = []
+    it = documents.itertuples()
+    count = 0
+    for row in it:
+        if n_docs is not None and count >= n_docs:
+            break
+        count += 1
+        doc_id = "doc-%06d" % int(row.doc_id)
+        words = str(row.text).split()
+        n_pages = page_counts_for_doc(doc_id) if heavy_tail else (
+            1 + _h(doc_id, "np") % max_pages_per_doc
+        )
+        spans = []
+        offset = 0
+        wi = 0
+        page_idx = 0
+        while page_idx < n_pages:
+            # a text span (possibly empty -> skipped)
+            n_text_words = 2 + _h(doc_id, "tw%d" % offset) % 5
+            if wi < len(words) and (_h(doc_id, "t%d" % offset) % 4) != 0:
+                chunk = words[wi : wi + n_text_words]
+                wi += len(chunk)
+                if chunk:
+                    spans.append(("text", " ".join(chunk), None, offset))
+                    offset += 1
+            # a media span
+            chunk = words[wi : wi + media_frac_words]
+            if not chunk:
+                wi = 0
+                chunk = words[:media_frac_words]
+            wi += len(chunk)
+            media_ref = "m-%s-%02d" % (doc_id, page_idx)
+            noise = noise_levels[_h(media_ref, "n") % len(noise_levels)]
+            src_lines = _wrap_words(chunk)[:lines_per_page]
+            imgs = [
+                add_noise(render_text_line(l), noise, _h(media_ref, "px%d" % k))
+                for k, l in enumerate(src_lines)
+            ]
+            media_rows.append(
+                {
+                    "media_ref": media_ref,
+                    "n_lines": len(imgs),
+                    "lines": [pack_line(im) for im in imgs],
+                    "src_text": "\n".join(src_lines),
+                    "noise": noise,
+                }
+            )
+            spans.append(("media", None, media_ref, offset))
+            offset += 1
+            page_idx += 1
+        docs_rows.append(
+            {
+                "doc_id": doc_id,
+                "spans": [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in spans
+                ],
+            }
+        )
+    return pd.DataFrame(docs_rows), pd.DataFrame(media_rows)
+
+
+def build_models(
+    documents: pd.DataFrame,
+    order: int = 3,
+    max_docs_for_lm: int = 100,
+    beam_size: int = 10,
+    cache_key: Optional[str] = None,
+) -> Tuple[ModelBundle, List[str]]:
+    """Build (or load cached) fixture models: char LM from the
+    documents text + font initialized from procedural glyphs
+    (InitializeLanguageModel / InitializeFont equivalents)."""
+    texts = [str(t) for t in documents["text"].head(max_docs_for_lm)]
+    if cache_key is None:
+        m = hashlib.sha256()
+        for t in texts:
+            m.update(t.encode())
+        m.update(b"|order=%d" % order)
+        cache_key = m.hexdigest()[:16]
+    cache_path = os.path.join(CACHE_DIR, "models_%s.pkl" % cache_key)
+    if os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            font_bytes, lm = pickle.load(f)
+    else:
+        ci = CharIndexer()
+        corpus = [list(t) for t in texts]
+        # force hyphen (universal punctuation) into the charset,
+        # InitializeLanguageModel.java:272-274
+        corpus.append(list("-"))
+        lm = build_ngram_lm_from_chars(corpus, order, KNESER_NEY, 1.0, ci)
+        font = build_init_font(ci.get_objects())
+        font_bytes = font.to_bytes()
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump((font_bytes, lm), f)
+        os.replace(tmp, cache_path)
+    char_strs = lm.get_character_indexer().get_objects()
+    bundle = ModelBundle(font_bytes, lm, beam_size=beam_size)
+    return bundle, char_strs
+
+
+def oracle_transcribe_pandas(
+    docs: pd.DataFrame, media: pd.DataFrame, bundle: ModelBundle, char_strs: List[str]
+) -> pd.DataFrame:
+    """Single-process oracle: same kernels, no Spark.  Returns the
+    docs-shaped output the pipeline must match span-for-span."""
+    from ocular_spark.pipeline import get_decoder, unpack_line
+    from ocular_spark.transcriptions import diplomatic_text
+
+    decoder = get_decoder(bundle)
+    media_by_ref: Dict[str, List[bytes]] = {
+        r.media_ref: list(r.lines) for r in media.itertuples()
+    }
+    out_rows = []
+    for r in docs.itertuples():
+        spans = []
+        for s in r.spans:
+            if s["kind"] == "media":
+                imgs = [unpack_line(raw) for raw in media_by_ref[s["media_ref"]]]
+                decodes, _ = decoder.decode_document(imgs)
+                text = diplomatic_text(decodes, char_strs)
+                spans.append(
+                    {"kind": "media", "text": text, "media_ref": s["media_ref"],
+                     "offset": s["offset"]}
+                )
+            else:
+                spans.append(dict(s))
+        spans.sort(key=lambda s: s["offset"])
+        out_rows.append({"doc_id": r.doc_id, "spans": spans})
+    out = pd.DataFrame(out_rows)
+    return out.sort_values("doc_id").reset_index(drop=True)

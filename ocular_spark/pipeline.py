@@ -1,0 +1,253 @@
+"""Spark pipeline: interleaved-span transcription.
+
+The serving path of the engine (reference lifecycle: main/Transcribe.java,
+traced in SURVEY.md §3.1), re-expressed Spark-first over the
+BASELINE.json `input_hint` schema:
+
+    docs(doc_id: string,
+         spans: array<struct<kind:string, text:string,
+                             media_ref:string, offset:int>>)
+    media(media_ref: string, n_lines: int, lines: array<binary>)
+        -- each binary is a raw (width:int32-le header, then
+           width*LINE_HEIGHT uint8 pixels) line image, the
+           pre-extracted-lines variant of FIXTURES.md §2.
+
+Plan shape (designed for 10^12 docs / 1000 executors):
+  1. explode spans; media spans join `media` on media_ref (broadcast for
+     small stores, shuffle hash join otherwise — Spark/AQE picks);
+  2. **repartition by xxhash64(doc_id, media_ref)**: the decode unit is
+     the *page* (line continuity is within a page: the reference's
+     Document is one page, data/LazyRawPdfImageDocument expands pdfs
+     per page), so page-level salting defeats the heavy-tail page-count
+     skew that doc-level grouping would suffer (north_rule requirement;
+     a doc with 40 pages costs 40x a 1-page doc but its pages spread
+     over 40 partitions);
+  3. mapInPandas decode kernel — batched NumPy (decoder.py), models
+     from a SparkContext.broadcast, built once per executor process;
+  4. union with pass-through text spans and reassemble per doc with
+     array_sort over (offset) — span-sequence (kind, text, media_ref,
+     order) is preserved exactly.
+
+All Python execution is Arrow-batched; there is no per-row Python and
+no driver-side collect in the pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:  # allow importing kernel helpers without a Spark distribution
+    from pyspark.sql import DataFrame, SparkSession, functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    HAVE_SPARK = True
+except ImportError:  # pragma: no cover
+    HAVE_SPARK = False
+
+from ocular_spark.font import LINE_HEIGHT
+
+SPAN_STRUCT_DDL = "kind string, text string, media_ref string, offset int"
+DOCS_DDL = f"doc_id string, spans array<struct<{SPAN_STRUCT_DDL}>>"
+
+
+# ---- line-image (de)serialization for the media table ----
+
+def pack_line(img: np.ndarray) -> bytes:
+    """(width, LINE_HEIGHT) uint8 -> bytes with int32-le width header."""
+    if img.ndim != 2 or img.shape[1] != LINE_HEIGHT:
+        raise ValueError("expected (width, %d) line image" % LINE_HEIGHT)
+    return struct.pack("<i", img.shape[0]) + img.astype(np.uint8).tobytes()
+
+
+def unpack_line(raw: bytes) -> np.ndarray:
+    (width,) = struct.unpack_from("<i", raw, 0)
+    return np.frombuffer(raw, dtype=np.uint8, offset=4).reshape(width, LINE_HEIGHT)
+
+
+# ---- model bundle: broadcast once, decoder built once per executor ----
+
+class ModelBundle:
+    """Picklable (font, lm, decode params); the heavy compiled decoder
+    (context tables, template stacks) is derived lazily exactly once
+    per executor process and memoized by identity (J3 broadcast-join
+    pattern, SURVEY.md §2.3)."""
+
+    def __init__(self, font_bytes: bytes, lm, beam_size: int = 10,
+                 pad_min: int = 1, pad_max: int = 5) -> None:
+        self.font_bytes = font_bytes
+        self.lm = lm
+        self.beam_size = beam_size
+        self.pad_min = pad_min
+        self.pad_max = pad_max
+
+
+_DECODER_CACHE: dict = {}
+
+
+def get_decoder(bundle: ModelBundle):
+    key = id(bundle)
+    dec = _DECODER_CACHE.get(key)
+    if dec is None:
+        from ocular_spark.font import Font
+        from ocular_spark.decoder import Decoder
+
+        # single-threaded BLAS inside tasks: Spark owns the parallelism
+        try:
+            import os
+
+            os.environ.setdefault("OMP_NUM_THREADS", "1")
+            os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        except Exception:
+            pass
+        font = Font.from_bytes(bundle.font_bytes)
+        dec = Decoder(font, bundle.lm, bundle.pad_min, bundle.pad_max, bundle.beam_size)
+        _DECODER_CACHE.clear()  # one model generation at a time per worker
+        _DECODER_CACHE[key] = dec
+    return dec
+
+
+def decode_pages_kernel(bundle_bc, char_strs: List[str]):
+    """mapInPandas kernel: rows (doc_id, media_ref, offset, lines) ->
+    rows (doc_id, kind='media', text, media_ref, offset, n_lines,
+    log_prob).  One decode_document call per page (sequential line
+    continuity inside, SURVEY.md §2.7 O9)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ocular_spark.transcriptions import diplomatic_text
+
+        bundle = bundle_bc.value if hasattr(bundle_bc, "value") else bundle_bc
+        decoder = get_decoder(bundle)
+        for pdf in batches:
+            out_rows = []
+            for doc_id, media_ref, offset, lines in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["offset"], pdf["lines"]
+            ):
+                imgs = [unpack_line(raw) for raw in lines]
+                decodes, log_prob = decoder.decode_document(imgs)
+                text = diplomatic_text(decodes, char_strs)
+                out_rows.append(
+                    (doc_id, "media", text, media_ref, int(offset), len(imgs), float(log_prob))
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "doc_id", "kind", "text", "media_ref", "offset", "n_lines", "log_prob",
+                ],
+            )
+
+    return fn
+
+
+DECODED_SCHEMA = (
+    "doc_id string, kind string, text string, media_ref string, "
+    "offset int, n_lines int, log_prob double"
+)
+
+
+def transcribe(
+    docs: "DataFrame",
+    media: "DataFrame",
+    bundle_bc,
+    char_strs: List[str],
+    num_partitions: Optional[int] = None,
+    skip_already_transcribed: Optional["DataFrame"] = None,
+) -> "DataFrame":
+    """The full serving pipeline; returns docs-shaped output
+    (doc_id, spans) with media spans replaced by decoded text.
+
+    skip_already_transcribed: an existing output table; docs present
+    there are dropped via LEFT ANTI join (resumability filter F2,
+    main/Transcribe.java:83-100)."""
+    spark = docs.sparkSession
+    if skip_already_transcribed is not None:
+        docs = docs.join(
+            skip_already_transcribed.select("doc_id"), "doc_id", "left_anti"
+        )
+
+    exploded = docs.select(
+        "doc_id", F.posexplode_outer("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+    text_spans = exploded.filter(F.col("kind") == "text")
+    media_spans = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "media_ref", "offset"
+    )
+
+    joined = media_spans.join(media, "media_ref", "inner").select(
+        "doc_id", "media_ref", "offset", "lines"
+    )
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # page-level salt: uniform page distribution regardless of per-doc
+    # page-count skew (explicit, not left to AQE — cost is per page)
+    salted = joined.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
+
+    decoded = salted.mapInPandas(
+        decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
+    )
+
+    decoded_spans = decoded.select("doc_id", "kind", "text", "media_ref", "offset")
+    all_spans = text_spans.unionByName(decoded_spans)
+
+    return all_spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ).alias("ordered"),
+    ).select(
+        "doc_id",
+        F.transform(
+            "ordered",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def decode_metrics(
+    docs: "DataFrame", media: "DataFrame", bundle_bc, char_strs: List[str],
+    num_partitions: Optional[int] = None,
+) -> "DataFrame":
+    """Per-page decode metrics (doc_id, media_ref, n_lines, log_prob) —
+    the per-partition lineage/metrics table required by the north_rule
+    (reference analog: per-batch wall-clock prints, DecoderEM.java:128-129)."""
+    exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    media_spans = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "media_ref", "offset"
+    )
+    joined = media_spans.join(media, "media_ref", "inner").select(
+        "doc_id", "media_ref", "offset", "lines"
+    )
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    salted = joined.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
+    decoded = salted.mapInPandas(
+        decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
+    )
+    return decoded.select("doc_id", "media_ref", "offset", "n_lines", "log_prob")

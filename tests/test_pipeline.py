@@ -1,0 +1,102 @@
+"""Spark pipeline parity: the distributed transcription must equal the
+single-process oracle span-for-span — the BASELINE.json correctness
+gate: span-sequence equality (kind, text, media_ref, order) per doc.
+
+local[2] with pinned shuffle partitions (FIXTURES.md §8)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocular_spark.fixtures import (
+    build_models,
+    derive_docs_and_media,
+    oracle_transcribe_pandas,
+)
+from ocular_spark.pipeline import DOCS_DDL, transcribe, decode_metrics
+
+
+@pytest.fixture(scope="module")
+def small_fixture(sf_dir):
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media(documents, n_docs=6, max_pages_per_doc=2)
+    bundle, char_strs = build_models(documents)
+    return docs, media, bundle, char_strs
+
+
+def _spans_tuples(spans):
+    # the invariant: ordered list of (kind, text, media_ref)
+    return [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+
+
+def test_spark_matches_oracle_span_sequence(spark, small_fixture):
+    docs, media, bundle, char_strs = small_fixture
+    oracle = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+
+    out = transcribe(docs_df, media_df, bundle_bc, char_strs)
+    result = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert list(result["doc_id"]) == list(oracle["doc_id"])
+    for got, want, doc_id in zip(result["spans"], oracle["spans"], result["doc_id"]):
+        got_t = [(s["kind"], s["text"], s["media_ref"]) for s in got]
+        want_t = _spans_tuples(want)
+        assert got_t == want_t, doc_id
+
+
+def test_media_text_decodes_correctly(spark, small_fixture):
+    """At low noise the self-rendered pages decode to their source text."""
+    docs, media, bundle, char_strs = small_fixture
+    oracle = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+    src = {r.media_ref: (r.src_text, r.noise) for r in media.itertuples()}
+    n_checked = 0
+    for spans in oracle["spans"]:
+        for s in spans:
+            if s["kind"] == "media" and src[s["media_ref"]][1] <= 0.02:
+                want = src[s["media_ref"]][0]
+                got = "\n".join(l.strip() for l in s["text"].split("\n"))
+                assert got == want, s["media_ref"]
+                n_checked += 1
+    assert n_checked > 0
+
+
+def test_anti_join_resume(spark, small_fixture):
+    docs, media, bundle, char_strs = small_fixture
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    done = docs_df.select("doc_id").limit(3)
+    out = transcribe(docs_df, media_df, bundle_bc, char_strs, skip_already_transcribed=done)
+    remaining = out.select("doc_id").toPandas()
+    done_ids = set(r.doc_id for r in done.collect())
+    assert set(remaining["doc_id"]).isdisjoint(done_ids)
+    assert len(remaining) == len(docs) - len(done_ids)
+
+
+def test_decode_metrics_lineage(spark, small_fixture):
+    docs, media, bundle, char_strs = small_fixture
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    m = decode_metrics(docs_df, media_df, bundle_bc, char_strs).toPandas()
+    n_media = sum(
+        1 for spans in docs["spans"] for s in spans if s["kind"] == "media"
+    )
+    assert len(m) == n_media
+    assert (m["n_lines"] >= 1).all()
+    assert m["log_prob"].notna().all()
+
+
+def test_pipeline_plan_has_no_cartesian_and_prunes(spark, small_fixture):
+    docs, media, bundle, char_strs = small_fixture
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    out = transcribe(docs_df, media_df, bundle_bc, char_strs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
