@@ -323,27 +323,49 @@ class TemplateStack:
         self.n_offsets = 2 * MAX_OFFSET + 1
         self.pad_log_prob = math.log(1.0 / (pad_max - pad_min + 1))
 
-        # per distinct template width: white/black stacks + row index map
-        self.widths = sorted({tw for c in range(C) for tw in self.tmpl_allowed_widths[c]})
-        self.stacks: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
+        # per distinct NON-SPACE template width: white/black stacks +
+        # ordered char list.  The space template's columns are constant
+        # (EXP_SPC_BLACK_PROBS, CharacterTemplate.java:175-181) so its
+        # scores are prefix-sum differences — handled analytically in
+        # build_emission_cache, no GEMM rows needed.
+        self.widths = sorted(
+            {
+                tw
+                for c in range(C)
+                if c != self.space_idx
+                for tw in self.tmpl_allowed_widths[c]
+            }
+        )
+        self.stacks: Dict[int, Tuple[np.ndarray, np.ndarray, List[int], np.ndarray]] = {}
         for tw in self.widths:
             whites: List[np.ndarray] = []
             blacks: List[np.ndarray] = []
-            row_of_char: Dict[int, int] = {}  # char -> first row (e=0, off=0)
+            chars_tw: List[int] = []
             for c in range(C):
-                if tw not in self.width_log_probs[c]:
+                if c == self.space_idx or tw not in self.width_log_probs[c]:
                     continue
-                row_of_char[c] = len(whites)
+                chars_tw.append(c)
                 t = templates[c]
                 for e in range(N_EXPOSURES):
                     for off in range(-MAX_OFFSET, MAX_OFFSET + 1):
                         whites.append(t.log_white_probs(e, off, tw).ravel())
                         blacks.append(t.log_black_probs(e, off, tw).ravel())
+            wlp = np.array(
+                [self.width_log_probs[c][tw] for c in chars_tw], dtype=np.float32
+            )
             self.stacks[tw] = (
                 np.ascontiguousarray(np.stack(whites).T, dtype=np.float32),  # (tw*H, N)
                 np.ascontiguousarray(np.stack(blacks).T, dtype=np.float32),
-                row_of_char,
+                chars_tw,
+                wlp,
             )
+
+        # space char: combined width w = tw + pw decomposes arbitrarily;
+        # every split has the same whitespace-column sum, so the max over
+        # (tw, pw) is width_log_prob(tw*) + pad_log_prob with tw* = the
+        # populate loop's first winner (smallest allowed tw for that w)
+        sp_t = templates[self.space_idx]
+        self.space_allowed_tw = set(sp_t.allowed_widths())
 
         # whitespace column log-probs per exposure: space template col 0
         sp = templates[self.space_idx]
@@ -389,53 +411,82 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
     n_off = stack.n_offsets
     pad_min, pad_max = stack.pad_min, stack.pad_max
 
-    for tw in stack.widths:
-        if tw > T:
+    # ---- space char: analytic (no GEMM; columns are constant) ----
+    sp = stack.space_idx
+    sp_wlp = stack.width_log_probs[sp]
+    for w in range(1 + pad_min, stack.max_w + 1):
+        # first (tw, pw) winner in populate order: smallest allowed tw
+        best_tw = None
+        for tw in range(max(1, w - pad_max), w - pad_min + 1):
+            if tw in stack.space_allowed_tw:
+                best_tw = tw
+                break
+        if best_tw is None:
             continue
-        whiteT, blackT, row_of_char = stack.stacks[tw]  # (tw*H, N)
-        nT = T - tw + 1
-        # im2col: windows (nT, tw*H)
-        w_win = np.lib.stride_tricks.sliding_window_view(white_obs, (tw, H))[:, 0].reshape(
-            nT, tw * H
-        )
-        b_win = np.lib.stride_tricks.sliding_window_view(black_obs, (tw, H))[:, 0].reshape(
-            nT, tw * H
-        )
-        scores = w_win @ whiteT + b_win @ blackT  # (nT, N) float32
+        lim = min(T - w + 1, T - best_tw - pad_min + 1)
+        if lim <= 0:
+            continue
+        t_idx = np.arange(lim)
+        # whole-span whitespace sum is split-independent
+        total = (ws_cum[t_idx + w] - ws_cum[t_idx]) + np.float32(
+            sp_wlp[best_tw] + stack.pad_log_prob
+        )  # (lim, E)
+        e_arg = total.argmax(axis=1)
+        val = np.take_along_axis(total, e_arg[:, None], axis=1)[:, 0]
+        cache[:lim, sp, w] = val
+        best_e[:lim, sp, w] = e_arg.astype(np.int8)
+        best_off[:lim, sp, w] = -MAX_OFFSET  # ties: first offset wins
+        best_pad[:lim, sp, w] = w - best_tw
 
-        for c, row0 in row_of_char.items():
-            # (nT, E, n_off)
-            sc = scores[:, row0 : row0 + N_EXPOSURES * n_off].reshape(nT, N_EXPOSURES, n_off)
-            off_arg = sc.argmax(axis=2)  # (nT, E)
-            tmpl_lp = np.take_along_axis(sc, off_arg[:, :, None], axis=2)[:, :, 0]
-            tmpl_lp = tmpl_lp + np.float32(stack.width_log_probs[c][tw])  # (nT, E)
-            for pw in range(pad_min, pad_max + 1):
-                w = tw + pw
-                lim = T - w + 1  # t + w <= T
-                if lim <= 0:
-                    continue
-                # t + tw + pad_min <= T also required (populate :303)
-                lim = min(lim, T - tw - pad_min + 1, nT)
-                if lim <= 0:
-                    continue
-                t_idx = np.arange(lim)
-                # pad cols [t+tw, t+tw+pw) whitespace log prob per exposure
-                pad_lp = (
-                    ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]
-                ) + np.float32(stack.pad_log_prob)  # (lim, E)
-                total = tmpl_lp[:lim] + pad_lp  # (lim, E)
-                e_arg = total.argmax(axis=1)
-                val = np.take_along_axis(total, e_arg[:, None], axis=1)[:, 0]
-                cur = cache[:lim, c, w]
-                better = val > cur
-                if better.any():
-                    bi = np.flatnonzero(better)
-                    cache[bi, c, w] = val[bi]
-                    best_e[bi, c, w] = e_arg[bi].astype(np.int8)
-                    best_off[bi, c, w] = (
-                        off_arg[bi, e_arg[bi]].astype(np.int8) - MAX_OFFSET
-                    )
-                    best_pad[bi, c, w] = pw
+    # ---- all other chars: GEMM per template width, vectorized populate ----
+    for tw in stack.widths:
+        if tw + pad_min > T:
+            continue
+        whiteT, blackT, chars_tw, wlp = stack.stacks[tw]  # (tw*H, N)
+        nT = T - tw + 1
+        # NOTE: the reshape of the sliding window is a *view* with
+        # overlapping rows — BLAS needs contiguous input or it falls
+        # back to a ~100x slower non-GEMM path
+        w_win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(white_obs, (tw, H))[:, 0].reshape(
+                nT, tw * H
+            )
+        )
+        b_win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(black_obs, (tw, H))[:, 0].reshape(
+                nT, tw * H
+            )
+        )
+        scores = w_win @ whiteT + b_win @ blackT  # (nT, N)
+        nc = len(chars_tw)
+        sc = scores.reshape(nT, nc, N_EXPOSURES, n_off)
+        off_arg = sc.argmax(axis=3)  # (nT, nc, E)
+        tmpl_lp = np.take_along_axis(sc, off_arg[..., None], axis=3)[..., 0]
+        tmpl_lp = tmpl_lp + wlp[None, :, None]  # (nT, nc, E)
+        chars_arr = np.asarray(chars_tw)
+        for pw in range(pad_min, pad_max + 1):
+            w = tw + pw
+            lim = min(T - w + 1, T - tw - pad_min + 1, nT)
+            if lim <= 0:
+                continue
+            t_idx = np.arange(lim)
+            pad_lp = (ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]) + np.float32(
+                stack.pad_log_prob
+            )  # (lim, E)
+            total = tmpl_lp[:lim] + pad_lp[:, None, :]  # (lim, nc, E)
+            e_arg = total.argmax(axis=2)
+            val = np.take_along_axis(total, e_arg[..., None], axis=2)[..., 0]  # (lim, nc)
+            cur = cache[:lim, chars_arr, w]
+            better = val > cur
+            if better.any():
+                ti, ci = np.nonzero(better)
+                cc = chars_arr[ci]
+                cache[ti, cc, w] = val[ti, ci]
+                best_e[ti, cc, w] = e_arg[ti, ci].astype(np.int8)
+                best_off[ti, cc, w] = (
+                    off_arg[ti, ci, e_arg[ti, ci]].astype(np.int8) - MAX_OFFSET
+                )
+                best_pad[ti, cc, w] = pw
     return EmissionCache(cache, best_e, best_off, best_pad, T)
 
 
@@ -506,6 +557,32 @@ class Decoder:
         self.stack = TemplateStack(font, char_strs, pad_min, pad_max)
         self.bigram = DenseBigramModel(lm, self.tm.n_chars, self.tm.space)
         self.beam_size = beam_size
+        # per-state caches: transition lists fully crossed with the
+        # target glyph's allowed widths (built lazily, reused across
+        # every column/line/document this decoder ever sees)
+        self._full_exp: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._self_exp: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _full_expansion(self, s: int):
+        """(next_states, glyphs, widths, trans_logps) for all forward
+        transitions of state s, pre-expanded over allowed widths."""
+        cached = self._full_exp.get(s)
+        if cached is None:
+            ns, lps = self.tm.forward_transitions(s)
+            glyphs = self.tm.glyph_char_of_states(ns)
+            idx, widths = _expand_by_widths(glyphs, self.stack.allowed_w_list)
+            cached = (ns[idx], glyphs[idx], widths, lps[idx])
+            self._full_exp[s] = cached
+        return cached
+
+    def _self_expansion(self, s: int):
+        """(glyph, widths) for emitting state s itself (line starts)."""
+        cached = self._self_exp.get(s)
+        if cached is None:
+            g = int(self.tm.glyph_char_of_states(np.array([s], dtype=np.int64))[0])
+            cached = (g, self.stack.allowed_w_list[g])
+            self._self_exp[s] = cached
+        return cached
 
     def decode_document(self, lines: Sequence[np.ndarray]) -> Tuple[List[LineDecode], float]:
         """lines: list of (T, LINE_HEIGHT) uint8 arrays. Returns per-line
@@ -533,9 +610,7 @@ class Decoder:
                 prev0 = np.full(len(s0), -1, dtype=np.int64)
                 start_states = (s0, lp0, prev0)
             s0, sc0, prev0 = start_states
-            self._expand(
-                0, s0, sc0, prev_t=0, prev_states=prev0, buffers=buffers, cache=cache, T=T
-            )
+            self._expand_start(s0, sc0, prev0, buffers, cache, T)
 
             for t in range(1, T + 1):
                 if not buffers[t]:
@@ -571,29 +646,7 @@ class Decoder:
                     "prev_s": prev_s_u,
                 }
                 if t < T:
-                    # forward expansion from this beam
-                    exp_states: List[np.ndarray] = []
-                    exp_logps: List[np.ndarray] = []
-                    exp_srcidx: List[np.ndarray] = []
-                    for k, s in enumerate(states_u):
-                        ns, lps = tm.forward_transitions(int(s))
-                        exp_states.append(ns)
-                        exp_logps.append(lps)
-                        exp_srcidx.append(np.full(len(ns), k, dtype=np.int64))
-                    cand_states = np.concatenate(exp_states)
-                    cand_logps = np.concatenate(exp_logps)
-                    cand_src = np.concatenate(exp_srcidx)
-                    cand_scores = scores_u[cand_src] + cand_logps
-                    self._expand(
-                        t,
-                        cand_states,
-                        cand_scores,
-                        prev_t=t,
-                        prev_states=states_u[cand_src],
-                        buffers=buffers,
-                        cache=cache,
-                        T=T,
-                    )
+                    self._expand_beam(t, states_u, scores_u, buffers, cache, T)
 
             all_columns.append(columns)
             final_col = columns[T]
@@ -667,39 +720,92 @@ class Decoder:
         decodes.reverse()
         return decodes, final_log_prob
 
-    def _expand(
+    def _scatter(
         self,
         t: int,
-        states: np.ndarray,
-        scores: np.ndarray,
-        prev_t: int,
-        prev_states: np.ndarray,
+        cand_states: np.ndarray,
+        cand_glyphs: np.ndarray,
+        cand_widths: np.ndarray,
+        cand_scores: np.ndarray,
+        cand_prev: np.ndarray,
         buffers: List[List[Tuple[np.ndarray, ...]]],
         cache: EmissionCache,
         T: int,
     ) -> None:
-        """Expand candidate states at column t over allowed widths,
-        appending (state, score, prev) tuples to target-column buffers."""
-        live = scores > NEG_INF
-        if not live.any():
-            return
-        states, scores, prev_states = states[live], scores[live], prev_states[live]
-        glyphs = self.tm.glyph_char_of_states(states)
-        idx, widths = _expand_by_widths(glyphs, self.stack.allowed_w_list)
-        next_t = t + widths
-        ok = next_t <= T
-        idx, widths, next_t = idx[ok], widths[ok], next_t[ok]
-        emit = cache.log_probs[t, glyphs[idx], widths].astype(np.float64)
-        total = scores[idx] + emit
-        ok2 = total > NEG_INF
-        idx, widths, next_t, total = idx[ok2], widths[ok2], next_t[ok2], total[ok2]
-        # group by target column (few distinct widths)
-        for w in np.unique(widths):
-            m = widths == w
-            tgt = t + int(w)
-            buffers[tgt].append(
-                (states[idx[m]], total[m], np.full(m.sum(), prev_t, dtype=np.int32), prev_states[idx[m]])
+        """Add emissions and append candidates to target-column buffers."""
+        ok = (t + cand_widths) <= T
+        if not ok.all():
+            cand_states, cand_glyphs = cand_states[ok], cand_glyphs[ok]
+            cand_widths, cand_scores, cand_prev = (
+                cand_widths[ok], cand_scores[ok], cand_prev[ok],
             )
+        total = cand_scores + cache.log_probs[t, cand_glyphs, cand_widths]
+        live = total > NEG_INF
+        if not live.all():
+            cand_states, cand_widths = cand_states[live], cand_widths[live]
+            total, cand_prev = total[live], cand_prev[live]
+        if len(total) == 0:
+            return
+        order = np.argsort(cand_widths, kind="stable")
+        sw = cand_widths[order]
+        bounds = np.flatnonzero(np.diff(sw)) + 1
+        prev_t_arr = None
+        for seg_states, seg_total, seg_prev, seg_w in zip(
+            np.split(cand_states[order], bounds),
+            np.split(total[order], bounds),
+            np.split(cand_prev[order], bounds),
+            sw[np.concatenate([[0], bounds])] if len(bounds) else sw[:1],
+        ):
+            tgt = t + int(seg_w)
+            buffers[tgt].append(
+                (
+                    seg_states,
+                    seg_total,
+                    np.full(len(seg_states), t, dtype=np.int32),
+                    seg_prev,
+                )
+            )
+
+    def _expand_start(self, s0, sc0, prev0, buffers, cache, T) -> None:
+        """Line-start expansion: start states emit themselves
+        (BeamingSemiMarkovDP.java:143-164)."""
+        parts_s, parts_g, parts_w, parts_sc, parts_p = [], [], [], [], []
+        for k in range(len(s0)):
+            if sc0[k] == NEG_INF:
+                continue
+            g, widths = self._self_expansion(int(s0[k]))
+            n = len(widths)
+            parts_s.append(np.full(n, s0[k], dtype=np.int64))
+            parts_g.append(np.full(n, g, dtype=np.int32))
+            parts_w.append(widths)
+            parts_sc.append(np.full(n, sc0[k], dtype=np.float64))
+            parts_p.append(np.full(n, prev0[k], dtype=np.int64))
+        if not parts_s:
+            return
+        self._scatter(
+            0,
+            np.concatenate(parts_s),
+            np.concatenate(parts_g),
+            np.concatenate(parts_w),
+            np.concatenate(parts_sc),
+            np.concatenate(parts_p),
+            buffers,
+            cache,
+            T,
+        )
+
+    def _expand_beam(self, t, states_u, scores_u, buffers, cache, T) -> None:
+        parts = [self._full_expansion(int(s)) for s in states_u]
+        cand_states = np.concatenate([p[0] for p in parts])
+        cand_glyphs = np.concatenate([p[1] for p in parts])
+        cand_widths = np.concatenate([p[2] for p in parts])
+        lens = [len(p[0]) for p in parts]
+        cand_scores = np.repeat(scores_u, lens) + np.concatenate([p[3] for p in parts])
+        cand_prev = np.repeat(states_u, lens)
+        self._scatter(
+            t, cand_states, cand_glyphs, cand_widths, cand_scores, cand_prev,
+            buffers, cache, T,
+        )
 
 
 class EmptyBeamError(RuntimeError):

@@ -1,0 +1,91 @@
+"""Mimics the driver's correctness gate: run each __spark_entry__
+query on Spark and its oracle_sql on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values.
+
+Uses sf0.001 for speed (driver uses sf0.01; same code paths)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    # sort columns by name (like the driver), then sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda r: tuple(str(x) for x in r))
+    return [c for _, c in sorted(zip(range(len(cols)), cols), key=lambda p: cols[p[0]])], out
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_duckdb_oracle(spark, sf_dir, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+
+    sdf = q(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck_con(sf_dir)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        name, len(spark_rows), len(duck_rows))
+
+    _, s_norm = _normalize(spark_rows, spark_cols)
+    _, d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mismatches, (name, mismatches[:5])
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "kind", "text", "media_ref", "offset"}
+    # media spans must carry decoded text
+    media_rows = [r for r in rows if r.kind == "media"]
+    assert media_rows and all(r.text for r in media_rows)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    qs = entry_mod.queries()
+    no_oracle = set(qs) - set(entry_mod.oracle_sql())
+    assert no_oracle == {"transcribe_spans", "transcribe_metrics"}
+    for name in sorted(no_oracle):
+        df = qs[name](spark, sf_dir)
+        assert df.count() > 0, name
