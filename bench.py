@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sum of query secs>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
+   "extras": {"decode_docs_per_sec": ..., "decode_pages_per_sec": ...}}
+
+The decode throughput extras are the BASELINE.json target metric
+(documents decoded/sec); scaling-efficiency evidence across two
+parallelism levels lives in BENCH/scaling.py (writes BENCH/results.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "48"))
+
+# relational / training-data headline queries (from the driver contract)
+RELATIONAL = [
+    "pricing_summary",
+    "top_orders",
+    "nation_volume",
+    "customers_without_orders",
+    "first_orders",
+    "event_hourly",
+    "char_bigrams",
+    "dedup_exact",
+    "minhash_bands",
+    "text_stats",
+    "embed_neighbors",
+    "label_centroid_sim",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ocular-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.executor.pyspark.memory", "2g")
+        .getOrCreate()
+    )
+
+
+def time_decode(spark, sf_dir: str, n_docs: int):
+    """Decode-pipeline throughput: derive a heavy-tailed doc set and
+    run the full transcription, timing the decode stage."""
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import build_models, derive_docs_and_media
+    from ocular_spark.pipeline import DOCS_DDL, transcribe
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media(
+        documents, n_docs=n_docs, heavy_tail=True, lines_per_page=2
+    )
+    bundle, char_strs = build_models(documents)
+    n_pages = int(media.shape[0])
+
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL).cache()
+    media_df = spark.createDataFrame(
+        media[["media_ref", "n_lines", "lines"]]
+    ).cache()
+    docs_df.count(), media_df.count()  # materialize inputs outside the timer
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+
+    # warm: compile the decoder on every worker with a tiny slice
+    transcribe(docs_df.limit(2), media_df, bundle_bc, char_strs).count()
+
+    t0 = time.time()
+    out = transcribe(docs_df, media_df, bundle_bc, char_strs)
+    n_out = out.count()
+    dt = time.time() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+    return dt, n_docs / dt, n_pages / dt
+
+
+def main() -> None:
+    t_start = time.time()
+    spark = build_spark(CPUS)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings = {}
+
+    decode_sec, docs_per_sec, pages_per_sec = time_decode(spark, SF_DIR, N_BENCH_DOCS)
+    timings["transcribe_spans"] = round(decode_sec, 3)
+
+    for name in RELATIONAL:
+        df = qs[name](spark, SF_DIR)
+        df.count()  # warm plan/scan
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extras": {
+            "decode_docs_per_sec": round(docs_per_sec, 3),
+            "decode_pages_per_sec": round(pages_per_sec, 3),
+            "bench_docs": N_BENCH_DOCS,
+            "cpus": CPUS,
+            "wall_total_sec": round(time.time() - t_start, 1),
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
