@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Two-parallelism-level scaling evidence (BASELINE.md §3).
+
+No real cluster exists in this sandbox, so the north_rule's
+"N vs 4N executors, efficiency >= 0.8" criterion is evidenced by
+running the identical decode job at local[N] and local[4N] on the
+same deterministic input (seed-free fixtures; heavy-tail page counts)
+and reporting throughput at both levels.
+
+throughput(K) = pages_decoded / wall_seconds (decode stage only,
+warm workers, models pre-broadcast; median of R runs).
+efficiency    = throughput(4N) / (4 * throughput(N)).
+
+Writes BENCH/results.json and prints a summary line.
+
+Usage: python BENCH/scaling.py [N] [R]   (default N=8, R=3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "96"))
+
+
+def run_level(cpus: int, repeats: int):
+    import pyarrow.parquet as pq
+
+    from bench import build_spark
+    from ocular_spark.fixtures import build_models, derive_docs_and_media
+    from ocular_spark.pipeline import DOCS_DDL, transcribe
+
+    spark = build_spark(cpus)
+    try:
+        documents = pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).to_pandas()
+        docs, media = derive_docs_and_media(
+            documents, n_docs=N_DOCS, heavy_tail=True, lines_per_page=2
+        )
+        n_pages = int(media.shape[0])
+        bundle, char_strs = build_models(documents)
+        docs_df = spark.createDataFrame(docs, schema=DOCS_DDL).cache()
+        media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]]).cache()
+        docs_df.count(), media_df.count()
+        bundle_bc = spark.sparkContext.broadcast(bundle)
+        # warm every python worker (compile decoder once per worker)
+        transcribe(docs_df, media_df, bundle_bc, char_strs).count()
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            n = transcribe(docs_df, media_df, bundle_bc, char_strs).count()
+            times.append(time.time() - t0)
+            assert n == N_DOCS
+        med = statistics.median(times)
+        return {
+            "cpus": cpus,
+            "docs": N_DOCS,
+            "pages": n_pages,
+            "times_sec": [round(t, 2) for t in times],
+            "median_sec": round(med, 2),
+            "docs_per_sec": round(N_DOCS / med, 3),
+            "pages_per_sec": round(n_pages / med, 3),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    low = run_level(n, repeats)
+    high = run_level(4 * n, repeats)
+    eff = high["pages_per_sec"] / (4.0 * low["pages_per_sec"])
+    result = {
+        "sf_dir": SF_DIR,
+        "low": low,
+        "high": high,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    out_path = os.path.join(REPO, "BENCH", "results.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Preprocessing chain tests (reference: preprocessing/*.java).
+
+The reference's bundled doc.jpg cannot be decoded here (no image
+codec in this environment), so the chain is validated on synthetic
+pages rendered from the fixture font — line counts and band geometry
+are checkable by construction (SURVEY.md §5.2)."""
+
+import numpy as np
+import pytest
+
+from ocular_spark.fixtures import render_text_line
+from ocular_spark.font import LINE_HEIGHT
+from ocular_spark.preprocess import (
+    BOT_DIST,
+    TOP_DIST,
+    JavaRandom,
+    binarize_already_binary,
+    binarize_global,
+    extract_lines,
+    is_binary,
+    levels_to_pixels,
+    prepare_page,
+    resample_to_height,
+    rotate_levels,
+    straighten,
+)
+
+
+def make_page(texts, gap=14):
+    lines = [render_text_line(t) for t in texts]
+    wmax = max(l.shape[0] for l in lines)
+    cols = [np.full((wmax, gap), 255.0)]
+    for l in lines:
+        blk = np.full((wmax, l.shape[1]), 255.0)
+        blk[: l.shape[0]] = np.where(l == 1, 0.0, 255.0)
+        cols.append(blk)
+        cols.append(np.full((wmax, gap), 255.0))
+    return np.concatenate(cols, axis=1)  # (width, height)
+
+
+def test_java_random_matches_jdk():
+    # first values of java.util.Random(0) — published LCG spec
+    r = JavaRandom(0)
+    assert r.next_double() == pytest.approx(0.730967787376657, abs=1e-15)
+    assert r.next_double() == pytest.approx(0.24053641567148587, abs=1e-15)
+    r2 = JavaRandom(0)
+    assert r2.next_int(24) == 0
+
+
+def test_binarize_global_percentile():
+    rng = np.random.RandomState(3)
+    levels = rng.randint(0, 256, size=(50, 40)).astype(np.float64)
+    out = binarize_global(0.12, levels)
+    assert set(np.unique(out)) <= {0.0, 255.0}
+    # ~12% of pixels at/below the percentile threshold become black
+    frac_black = (out == 0).mean()
+    assert 0.10 <= frac_black <= 0.15
+
+
+def test_binarize_already_binary_passthrough():
+    levels = np.where(np.random.RandomState(0).rand(20, 20) < 0.3, 17.0, 201.0)
+    assert is_binary(levels)
+    out = binarize_global(0.12, levels)
+    np.testing.assert_array_equal(out, binarize_already_binary(levels))
+    assert set(np.unique(out)) == {0.0, 255.0}
+
+
+def test_straighten_recovers_skew():
+    page = make_page(["the cat sat on a mat", "a man ran to a van"])
+    skewed = rotate_levels(page, 0.03)
+    fixed = straighten(skewed)
+    from ocular_spark.preprocess import vertical_total_variation
+
+    assert vertical_total_variation(fixed) >= vertical_total_variation(skewed)
+
+
+def test_extract_lines_counts():
+    for texts in (["one line here"], ["the cat sat", "on a mat", "no rat ran"]):
+        page = binarize_global(0.12, make_page(texts))
+        lines = extract_lines(page, num_iters=5, num_restarts=20)
+        assert len(lines) == len(texts), texts
+        for l in lines:
+            assert l.shape == (page.shape[0], TOP_DIST + BOT_DIST)
+
+
+def test_resample_and_pixels():
+    line = np.full((100, 40), 255.0)
+    line[:, 10:20] = 0.0
+    out = resample_to_height(line, LINE_HEIGHT)
+    assert out.shape == (75, LINE_HEIGHT)
+    px = levels_to_pixels(out)
+    assert set(np.unique(px)) <= {0, 1}
+    assert px.sum() > 0
+
+
+def test_prepare_page_end_to_end():
+    page = make_page(["the cat sat", "on a mat"])
+    # add light noise so the page isn't already-binary
+    rng = np.random.RandomState(5)
+    noisy = np.clip(page + rng.randint(-40, 40, page.shape), 0, 255).astype(np.float64)
+    lines = prepare_page(noisy, do_straighten=False, do_crop=False, num_em_restarts=20)
+    assert len(lines) == 2
+    for l in lines:
+        assert l.shape[1] == LINE_HEIGHT
+        assert l.dtype == np.uint8
+        assert (l == 1).sum() > 0  # has black pixels
