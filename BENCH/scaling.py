@@ -28,7 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "96"))
+# enough pages that the 4N-level still gets ~30 pages/task: with the
+# heavy-tail page distribution 384 docs -> ~930 pages
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "384"))
+PARTITIONS_PER_CORE = 4  # fine-grained tasks so stragglers rebalance
 
 
 def run_level(cpus: int, repeats: int):
@@ -52,12 +55,15 @@ def run_level(cpus: int, repeats: int):
         media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]]).cache()
         docs_df.count(), media_df.count()
         bundle_bc = spark.sparkContext.broadcast(bundle)
+        nparts = cpus * PARTITIONS_PER_CORE
         # warm every python worker (compile decoder once per worker)
-        transcribe(docs_df, media_df, bundle_bc, char_strs).count()
+        transcribe(docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts).count()
         times = []
         for _ in range(repeats):
             t0 = time.time()
-            n = transcribe(docs_df, media_df, bundle_bc, char_strs).count()
+            n = transcribe(
+                docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts
+            ).count()
             times.append(time.time() - t0)
             assert n == N_DOCS
         med = statistics.median(times)

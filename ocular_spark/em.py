@@ -1,0 +1,370 @@
+"""EM font training (hard EM over page decodes).
+
+Re-expresses ``train/FontTrainer.java`` (tberg12/ocular) Spark-first:
+
+  * E-step — the decode kernel additionally accumulates per-character
+    emission/width count tensors (CachingEmissionModel.incrementCounts
+    :336-352, CharacterTemplate.incrementCounts :271-276) and n-gram
+    token tables of the decoded text (for LM re-estimation,
+    FontTrainer.reestimateLM :340-424).  Each Spark partition emits one
+    :class:`CountsBundle`; bundles merge by plain summation, so they
+    combine via **RDD treeAggregate** (north_star requirement) — no
+    driver-side loop over documents.
+  * M-step — driver-side: L-BFGS refit per character template
+    (CharacterTemplate.updateParameters :278-281), width gaussian refit,
+    optional LM interpolation at weight 0.5 (:209-216 of reestimateLM),
+    then re-broadcast.
+  * Batching — the reference's batch-complete rule ported verbatim
+    (FontTrainer.isBatchComplete :272-285, incl. remainder lumping).
+  * Checkpoint/resume — models written per (iter, batch);
+    ``continue_from_last_complete_iteration`` scans for the newest
+    complete iteration (train/TrainingRestarter.java:28-87).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ocular_spark.decoder import Decoder, LineDecode
+from ocular_spark.font import Font, LINE_HEIGHT, BLACK, WHITE
+from ocular_spark.lm import (
+    KNESER_NEY,
+    InterpolatingSingleLanguageModel,
+    NgramLanguageModel,
+    derive_count_db,
+    merge_token_tables,
+    token_tables_from_lines,
+)
+from ocular_spark.pipeline import ModelBundle, get_decoder, unpack_line
+from ocular_spark.transcriptions import assemble
+
+
+class CountsBundle:
+    """Mergeable E-step sufficient statistics (one per partition)."""
+
+    def __init__(self, max_order: int) -> None:
+        # (char_idx, exposure, width) -> (2, width, LINE_HEIGHT) float64
+        # rows: [black, white]
+        self.emission: Dict[Tuple[int, int, int], np.ndarray] = {}
+        # char_idx -> {width: count}
+        self.width: Dict[int, Dict[int, float]] = {}
+        self.token_tables: List[Dict[Tuple[int, ...], int]] = [
+            {} for _ in range(max_order)
+        ]
+        self.max_order = max_order
+        self.n_pages = 0
+        self.joint_log_prob = 0.0
+
+    def merge(self, other: "CountsBundle") -> "CountsBundle":
+        for k, v in other.emission.items():
+            cur = self.emission.get(k)
+            if cur is None:
+                self.emission[k] = v.copy()
+            else:
+                cur += v
+        for c, wd in other.width.items():
+            mine = self.width.setdefault(c, {})
+            for w, n in wd.items():
+                mine[w] = mine.get(w, 0.0) + n
+        self.token_tables = merge_token_tables(self.token_tables, other.token_tables)
+        self.n_pages += other.n_pages
+        self.joint_log_prob += other.joint_log_prob
+        return self
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(self, protocol=4)
+
+    @staticmethod
+    def loads(raw: bytes) -> "CountsBundle":
+        return pickle.loads(raw)
+
+
+def accumulate_page_counts(
+    bundle: CountsBundle,
+    decodes: Sequence[LineDecode],
+    obs_lines: Sequence[np.ndarray],
+    space_idx: int,
+    count: float = 1.0,
+) -> None:
+    """emissionModel.incrementCounts over one decoded page
+    (DecoderEM.incrementCounts :164-176 -> CachingEmissionModel
+    :336-352).  Uses the (exposure, offset, pad) recovered from the
+    cache argmaxes; template width tw = width - pad."""
+    for ld, obs in zip(decodes, obs_lines):
+        n = len(ld.states)
+        for i in range(n):
+            c = int(ld.glyph_chars[i])
+            w = int(ld.widths[i])
+            pad = int(ld.pad_widths[i])
+            tw = w - pad
+            t0 = int(ld.start_cols[i])
+            e = int(ld.exposures[i])
+            off = int(ld.offsets[i])
+            if tw <= 0:
+                continue
+            # width counts (space included; space emission skipped)
+            wd = bundle.width.setdefault(c, {})
+            wd[tw] = wd.get(tw, 0.0) + count
+            if c == space_idx:
+                continue
+            key = (c, e, tw)
+            arr = bundle.emission.get(key)
+            if arr is None:
+                arr = np.zeros((2, tw, LINE_HEIGHT))
+                bundle.emission[key] = arr
+            seg = obs[t0 : t0 + tw]
+            j = np.clip(np.arange(LINE_HEIGHT) + off, 0, LINE_HEIGHT - 1)
+            np.add.at(arr[0], (slice(None), j), (seg == BLACK) * count)
+            np.add.at(arr[1], (slice(None), j), (seg == WHITE) * count)
+
+
+def accumulate_lm_counts(
+    bundle: CountsBundle, decodes: Sequence[LineDecode], char_strs: Sequence[str]
+) -> None:
+    """Count n-grams of the decoded running normalized text (the
+    monolingual analog of FontTrainer.separateTranscriptionsByLanguage
+    + CorpusCounter; distributive token tables, cascade derived on the
+    driver by derive_count_db)."""
+    tr = assemble(decodes, char_strs)
+    str_to_idx = {s: i for i, s in enumerate(char_strs)}
+    indexed = [str_to_idx[ch] for ch in tr.normalized_running]
+    if indexed:
+        new = token_tables_from_lines([indexed], bundle.max_order)
+        bundle.token_tables = merge_token_tables(bundle.token_tables, new)
+
+
+def estep_kernel(bundle_bc, char_strs: List[str], max_order: int):
+    """mapInPandas kernel: page rows -> ONE row per partition with the
+    pickled CountsBundle (partial aggregate; map-side combine)."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        bundle_models: ModelBundle = (
+            bundle_bc.value if hasattr(bundle_bc, "value") else bundle_bc
+        )
+        decoder = get_decoder(bundle_models)
+        space_idx = decoder.tm.space
+        counts = CountsBundle(max_order)
+        for pdf in batches:
+            for lines in pdf["lines"]:
+                imgs = [unpack_line(raw) for raw in lines]
+                decodes, log_prob = decoder.decode_document(imgs)
+                accumulate_page_counts(counts, decodes, imgs, space_idx)
+                accumulate_lm_counts(counts, decodes, char_strs)
+                counts.n_pages += 1
+                counts.joint_log_prob += log_prob
+        yield pd.DataFrame({"blob": [counts.dumps()]})
+
+    return fn
+
+
+def run_estep(
+    spark,
+    pages_df,
+    bundle_bc,
+    char_strs: List[str],
+    max_order: int,
+    num_partitions: Optional[int] = None,
+) -> CountsBundle:
+    """Distributed E-step: page-salted repartition -> per-partition
+    partial counts -> treeAggregate merge to the driver."""
+    from pyspark.sql import functions as F
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    salted = pages_df.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
+    blobs = salted.mapInPandas(
+        estep_kernel(bundle_bc, char_strs, max_order), schema="blob binary"
+    )
+    zero = CountsBundle(max_order)
+    return blobs.rdd.treeAggregate(
+        zero,
+        lambda acc, row: acc.merge(CountsBundle.loads(row.blob)),
+        lambda a, b: a.merge(b),
+        depth=2,
+    )
+
+
+def apply_font_mstep(font: Font, counts: CountsBundle, char_strs: Sequence[str]) -> Font:
+    """Driver M-step: load counts into templates, refit widths + LBFGS
+    (FontTrainer.updateFontParameters :306-318).  Mutates and returns
+    ``font`` (the reference updates templates in place)."""
+    for c_idx, c_str in enumerate(char_strs):
+        template = font.get(c_str)
+        template.clear_counts()
+        touched = False
+        wd = counts.width.get(c_idx)
+        if wd:
+            for tw, n in wd.items():
+                if template.min_width <= tw <= template.max_width:
+                    template.increment_width_counts(tw, n)
+                    touched = True
+        if not template.is_space:
+            for (cc, e, tw), arr in counts.emission.items():
+                if cc != c_idx:
+                    continue
+                if not (template.min_width <= tw <= template.max_width):
+                    continue
+                w_i = tw - template.min_width
+                template.black_counts[e][w_i] += arr[0]
+                template.white_counts[e][w_i] += arr[1]
+                template.count_sparsity[e, w_i] = True
+                touched = True
+        if touched:
+            template.update_parameters()
+    return font
+
+
+def reestimate_lm(lm, counts: CountsBundle, interp_weight: float = 0.5):
+    """Monolingual analog of FontTrainer.reestimateLM (:340-424):
+    KN LM over the decoded text interpolated with the base at 0.5."""
+    total_tokens = sum(counts.token_tables[0].values()) if counts.token_tables else 0
+    if total_tokens == 0:
+        return lm
+    base = lm
+    if isinstance(base, InterpolatingSingleLanguageModel):
+        base = base.sub_models[0]
+    dbs = derive_count_db(counts.token_tables)
+    new_lm = NgramLanguageModel(
+        base.get_character_indexer(),
+        dbs,
+        base.get_active_characters(),
+        KNESER_NEY,
+        base.lm_power,
+    )
+    return InterpolatingSingleLanguageModel(
+        [(base, 1.0 - interp_weight), (new_lm, interp_weight)]
+    )
+
+
+def is_batch_complete(
+    num_usable_docs: int,
+    doc_num: int,
+    current_batch_size: int,
+    update_doc_batch_size: int,
+    no_update_if_batch_too_small: bool = False,
+) -> bool:
+    """FontTrainer.isBatchComplete (:272-285), ported verbatim —
+    affects which docs see which model, so parity during training
+    depends on it."""
+    if doc_num + 1 == num_usable_docs:  # last document of the set
+        return (not no_update_if_batch_too_small) or (
+            current_batch_size >= update_doc_batch_size
+        )
+    if num_usable_docs - (doc_num + 1) < update_doc_batch_size:
+        return False  # lump the remainder into this batch
+    return current_batch_size == update_doc_batch_size
+
+
+def _font_path(out_dir: str, it: int, batch: int) -> str:
+    return os.path.join(out_dir, "font_iter-%02d_batch-%02d.fontnpz" % (it, batch))
+
+
+def _lm_path(out_dir: str, it: int, batch: int) -> str:
+    return os.path.join(out_dir, "lm_iter-%02d_batch-%02d.pkl" % (it, batch))
+
+
+def find_last_complete_iteration(out_dir: str, num_iters: int) -> int:
+    """TrainingRestarter.getRestartModels scan (:28-87, simplified to
+    whole-iteration granularity: resume from the newest iter whose
+    final-batch font artifact exists)."""
+    last = 0
+    if not os.path.isdir(out_dir):
+        return 0
+    names = set(os.listdir(out_dir))
+    for it in range(1, num_iters + 1):
+        if any(n.startswith("font_iter-%02d_" % it) and n.endswith(".final") for n in names):
+            last = it
+    return last
+
+
+def train_font(
+    spark,
+    pages_df,
+    font: Font,
+    lm,
+    char_strs: List[str],
+    num_em_iters: int = 3,
+    update_doc_batch_size: Optional[int] = None,
+    beam_size: int = 10,
+    out_dir: Optional[str] = None,
+    reestimate_lm_too: bool = False,
+    continue_from_last_complete_iteration: bool = False,
+    num_partitions: Optional[int] = None,
+):
+    """FontTrainer.trainFont (:56-134) driver loop.
+
+    pages_df: (doc_id, media_ref, lines: array<binary>) — one row per
+    page.  Batching is in *pages* (our document == one page, matching
+    LazyRawPdfImageDocument's page expansion).  Each batch: Spark
+    E-step job -> treeAggregate -> driver M-step -> re-broadcast ->
+    checkpoint artifact (the Iceberg-snapshot analog: atomic files
+    keyed by (iter, batch))."""
+    n_docs = pages_df.count()
+    if update_doc_batch_size is None:
+        update_doc_batch_size = n_docs
+    max_order = lm.get_max_order()
+
+    start_iter = 0
+    if continue_from_last_complete_iteration and out_dir:
+        start_iter = find_last_complete_iteration(out_dir, num_em_iters)
+        if start_iter > 0:
+            font = Font.load_npz(
+                _font_path(out_dir, start_iter, 0) + ".final"
+            )
+            lm_file = _lm_path(out_dir, start_iter, 0) + ".final"
+            if os.path.exists(lm_file):
+                with open(lm_file, "rb") as f:
+                    lm = pickle.load(f)
+
+    history: List[float] = []
+    # deterministic batch assignment by doc order (reference processes
+    # docs in lexicographic order; batches are contiguous slices)
+    from pyspark.sql import functions as F
+
+    ordered = pages_df.select("doc_id", "media_ref", "lines").orderBy(
+        "doc_id", "media_ref"
+    )
+    keys = [
+        (r["doc_id"], r["media_ref"]) for r in ordered.select("doc_id", "media_ref").collect()
+    ]
+    batches: List[List[Tuple[str, str]]] = []
+    cur: List[Tuple[str, str]] = []
+    for i, k in enumerate(keys):
+        cur.append(k)
+        if is_batch_complete(len(keys), i, len(cur), update_doc_batch_size):
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+
+    for it in range(start_iter + 1, num_em_iters + 1):
+        iter_log_prob = 0.0
+        for b_idx, batch_keys in enumerate(batches):
+            bundle = ModelBundle(font.to_bytes(), lm, beam_size=beam_size)
+            bundle_bc = spark.sparkContext.broadcast(bundle)
+            key_set = {f"{d}|{m}" for d, m in batch_keys}
+            batch_df = pages_df.filter(
+                F.concat_ws("|", "doc_id", "media_ref").isin(list(key_set))
+            )
+            counts = run_estep(
+                spark, batch_df, bundle_bc, char_strs, max_order, num_partitions
+            )
+            iter_log_prob += counts.joint_log_prob
+            font = apply_font_mstep(font, counts, char_strs)
+            if reestimate_lm_too:
+                lm = reestimate_lm(lm, counts)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                font.save_npz(_font_path(out_dir, it, b_idx + 1))
+        avg = iter_log_prob / max(1, n_docs)
+        history.append(avg)
+        if out_dir:
+            font.save_npz(_font_path(out_dir, it, 0) + ".final")
+            with open(_lm_path(out_dir, it, 0) + ".final", "wb") as f:
+                pickle.dump(lm, f)
+    return font, lm, history

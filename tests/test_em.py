@@ -1,0 +1,147 @@
+"""EM font-training tests (reference: train/FontTrainer.java).
+
+Invariants from SURVEY.md §5.2:
+  * count tensors are aggregation-order-independent: the Spark
+    treeAggregate result equals a sequential single-process
+    accumulation;
+  * avg joint log-prob is non-decreasing across EM iterations on the
+    self-consistent fixture (FontTrainer prints exactly this metric);
+  * the batch-complete rule matches the reference's remainder-lumping
+    semantics (FontTrainer.isBatchComplete :272-285).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocular_spark.em import (
+    CountsBundle,
+    accumulate_lm_counts,
+    accumulate_page_counts,
+    apply_font_mstep,
+    is_batch_complete,
+    run_estep,
+    train_font,
+)
+from ocular_spark.fixtures import build_models, render_text_line
+from ocular_spark.pipeline import ModelBundle, get_decoder, pack_line
+
+
+def test_is_batch_complete_reference_semantics():
+    # 10 docs, batch size 4: batches complete at doc 3 (idx), remainder
+    # (docs 8,9 after the batch at idx 7) lumps into the second batch
+    completions = [
+        is_batch_complete(10, i, cur, 4)
+        for i, cur in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 1), (5, 2), (6, 3), (7, 4), (8, 5), (9, 6)]
+    ]
+    assert completions == [False, False, False, True, False, False, False, False, False, True]
+    # noUpdateIfBatchTooSmall on the last doc
+    assert is_batch_complete(3, 2, 3, 4, no_update_if_batch_too_small=False)
+    assert not is_batch_complete(3, 2, 3, 4, no_update_if_batch_too_small=True)
+
+
+@pytest.fixture(scope="module")
+def em_fixture(sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    bundle, char_strs = build_models(documents)
+    texts = ["the cat sat", "on a mat", "a man ran", "to the van", "no rat sat", "a tan cat"]
+    pages = []
+    for i, t in enumerate(texts):
+        img = render_text_line(t)
+        pages.append(
+            {"doc_id": "d%02d" % i, "media_ref": "m%02d" % i, "lines": [pack_line(img)]}
+        )
+    return bundle, char_strs, pd.DataFrame(pages), texts
+
+
+def test_treeaggregate_counts_match_sequential(spark, em_fixture):
+    bundle, char_strs, pages, texts = em_fixture
+    max_order = bundle.lm.get_max_order()
+    pages_df = spark.createDataFrame(pages)
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    dist = run_estep(spark, pages_df, bundle_bc, char_strs, max_order, num_partitions=3)
+
+    # sequential oracle over the same pages
+    from ocular_spark.pipeline import unpack_line
+
+    decoder = get_decoder(bundle)
+    seq = CountsBundle(max_order)
+    for row in pages.itertuples():
+        imgs = [unpack_line(raw) for raw in row.lines]
+        decodes, lp = decoder.decode_document(imgs)
+        accumulate_page_counts(seq, decodes, imgs, decoder.tm.space)
+        accumulate_lm_counts(seq, decodes, char_strs)
+        seq.n_pages += 1
+        seq.joint_log_prob += lp
+
+    assert dist.n_pages == seq.n_pages
+    assert dist.joint_log_prob == pytest.approx(seq.joint_log_prob, rel=1e-9)
+    assert set(dist.emission) == set(seq.emission)
+    for k in seq.emission:
+        np.testing.assert_allclose(dist.emission[k], seq.emission[k], rtol=1e-12)
+    assert dist.width == seq.width
+    assert dist.token_tables == seq.token_tables
+
+
+def test_em_improves_joint_log_prob(spark, em_fixture):
+    bundle, char_strs, pages, texts = em_fixture
+    from ocular_spark.font import Font
+    from ocular_spark.transcriptions import diplomatic_text
+    from ocular_spark.pipeline import unpack_line
+
+    # perturb the font: shrink all template logits (washed-out glyphs)
+    font = Font.from_bytes(bundle.font_bytes)
+    for c in font.characters():
+        t = font.get(c)
+        if not t.is_space:
+            t.template_weights = (t.template_weights * 0.3).astype(np.float32)
+            t.prior_means = t.template_weights.copy()
+            t._log_prob_cache = {}
+
+    pages_df = spark.createDataFrame(pages)
+    trained_font, trained_lm, history = train_font(
+        spark,
+        pages_df,
+        font,
+        bundle.lm,
+        char_strs,
+        num_em_iters=2,
+        beam_size=10,
+        num_partitions=3,
+    )
+    assert len(history) == 2
+    assert history[1] >= history[0] - 1e-6, history
+
+    # decode accuracy with the trained font on a held-out rendering
+    trained_bundle = ModelBundle(trained_font.to_bytes(), trained_lm, beam_size=10)
+    dec = get_decoder(trained_bundle)
+    img = render_text_line("the cat ran")
+    decodes, _ = dec.decode_document([img])
+    assert diplomatic_text(decodes, char_strs).strip() == "the cat ran"
+
+
+def test_checkpoint_resume(spark, em_fixture, tmp_path):
+    bundle, char_strs, pages, texts = em_fixture
+    from ocular_spark.font import Font
+
+    font = Font.from_bytes(bundle.font_bytes)
+    pages_df = spark.createDataFrame(pages.head(2))
+    out_dir = str(tmp_path / "ckpt")
+    f1, lm1, h1 = train_font(
+        spark, pages_df, font, bundle.lm, char_strs,
+        num_em_iters=1, out_dir=out_dir, num_partitions=2,
+    )
+    # resume skips the completed iteration entirely
+    f2, lm2, h2 = train_font(
+        spark, pages_df, Font.from_bytes(bundle.font_bytes), bundle.lm, char_strs,
+        num_em_iters=1, out_dir=out_dir, num_partitions=2,
+        continue_from_last_complete_iteration=True,
+    )
+    assert h2 == []  # nothing re-run
+    a = f1.get("a").template_weights
+    b = f2.get("a").template_weights
+    np.testing.assert_array_equal(a, b)
