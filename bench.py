@@ -43,6 +43,12 @@ RELATIONAL = [
 
 
 def build_spark(cpus: int):
+    # Pin BLAS to one thread per task BEFORE the JVM forks python
+    # workers (workers inherit this env; OpenBLAS reads it at load
+    # time).  Without this, K workers x 2 BLAS threads oversubscribe
+    # the box at high parallelism and scaling efficiency collapses.
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
     from pyspark.sql import SparkSession
 
     return (

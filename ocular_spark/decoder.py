@@ -152,6 +152,20 @@ class CompiledTransitionModel:
         # identical to glyph char in the monolingual model
         return self.glyph_char_of_states(states)
 
+    def type_of_states(self, states: np.ndarray) -> np.ndarray:
+        return (states % N_TYPES).astype(np.int8)
+
+    def glyph_type_of_states(self, states: np.ndarray) -> np.ndarray:
+        # monolingual model always renders the LM char (NORMAL_CHAR=5,
+        # GlyphChar.java ordinals; CharacterNgramTransitionState:338-341)
+        return np.full(len(states), 5, dtype=np.int8)
+
+    def lang_of_states(self, states: np.ndarray) -> np.ndarray:
+        return np.full(len(states), -1, dtype=np.int8)  # getLanguageIndex: -1
+
+    def end_log_probs(self, states: np.ndarray) -> np.ndarray:
+        return np.zeros(len(states))  # endLogProb == 0 (:258-260)
+
     def start_states(self) -> Tuple[np.ndarray, np.ndarray]:
         """startStates (CharacterNgramTransitionModel.java:384-391)."""
         C = self.n_chars
@@ -521,6 +535,8 @@ class LineDecode(NamedTuple):
     exposures: np.ndarray  # int8
     offsets: np.ndarray  # int8
     pad_widths: np.ndarray  # int8
+    glyph_types: np.ndarray  # int8 (GlyphChar.GlyphType ordinal)
+    langs: np.ndarray  # int8 (language index, -1 = none)
 
 
 def _expand_by_widths(
@@ -551,8 +567,13 @@ class Decoder:
         pad_min: int = 1,
         pad_max: int = 5,
         beam_size: int = 10,
+        transition_model=None,
     ) -> None:
-        self.tm = CompiledTransitionModel(lm)
+        """``transition_model`` defaults to the monolingual
+        CompiledTransitionModel; pass a CodeSwitchTransitionModel
+        (cstransition.py) for multilingual / glyph-substitution decoding
+        (DecoderEM.constructTransitionModel :134-162 chooses likewise)."""
+        self.tm = transition_model if transition_model is not None else CompiledTransitionModel(lm)
         char_strs = self.tm.char_indexer.get_objects()
         self.stack = TemplateStack(font, char_strs, pad_min, pad_max)
         self.bigram = DenseBigramModel(lm, self.tm.n_chars, self.tm.space)
@@ -655,12 +676,18 @@ class Decoder:
                     "No possible final states found for this line. "
                     "Consider increasing beam_size."
                 )
-            end_scores = final_col["scores"]  # endLogProb == 0
+            end_scores = final_col["scores"] + tm.end_log_probs(final_col["states"])
+            if not np.isfinite(end_scores).any():
+                raise EmptyBeamError(
+                    "No final-state possibilities with non-zero probabilities."
+                )
             final_log_prob = float(end_scores.max())
 
             # nextLineStartStates with accumulated scores
             next_start: Dict[int, Tuple[float, int]] = {}
             for k, s in enumerate(final_col["states"]):
+                if end_scores[k] == NEG_INF:
+                    continue
                 ns, lps = tm.next_line_start_states(int(s))
                 sc = end_scores[k] + lps
                 for j in range(len(ns)):
@@ -686,7 +713,8 @@ class Decoder:
             T = cache.T
             col = columns[T]
             if final_state is None:
-                k = int(np.argmax(col["scores"]))
+                final_scores = col["scores"] + tm.end_log_probs(col["states"])
+                k = int(np.argmax(final_scores))
                 cur_s = int(col["states"][k])
             else:
                 cur_s = final_state
@@ -708,13 +736,16 @@ class Decoder:
             start_cols = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
             glyphs = tm.glyph_char_of_states(states)
             lm_chars = tm.lm_char_of_states(states)
-            types = (states % N_TYPES).astype(np.int8)
+            types = tm.type_of_states(states)
+            glyph_types = tm.glyph_type_of_states(states)
+            langs = tm.lang_of_states(states)
             exposures = cache.best_exposure[start_cols, glyphs, widths]
             offsets = cache.best_offset[start_cols, glyphs, widths]
             pads = cache.best_pad[start_cols, glyphs, widths]
             decodes.append(
                 LineDecode(
-                    states, widths, start_cols, glyphs, lm_chars, types, exposures, offsets, pads
+                    states, widths, start_cols, glyphs, lm_chars, types,
+                    exposures, offsets, pads, glyph_types, langs,
                 )
             )
         decodes.reverse()

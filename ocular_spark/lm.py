@@ -389,9 +389,15 @@ def build_ngram_lm_from_chars(
     lm_power: float = 1.0,
     char_indexer: Optional[CharIndexer] = None,
     min_char_count: int = 0,
+    extra_indexer_chars: Optional[Sequence[str]] = None,
 ) -> NgramLanguageModel:
     """NgramLanguageModel.buildFromText (driver-side path) with the
-    minCharCount pruning of main/InitializeLanguageModel.java:264-274."""
+    minCharCount pruning of main/InitializeLanguageModel.java:264-274.
+
+    extra_indexer_chars: auxiliary glyph characters added to the
+    indexer but NOT to the active set (InitializeLanguageModel.java
+    :287-307 adds LONG_S, ligatures, tilde-decorated variants so the
+    glyph-substitution search space can render them)."""
     counter = CorpusCounter(max_order)
     indexer = char_indexer if char_indexer is not None else CharIndexer()
     for i, chars in enumerate(char_lines):
@@ -400,8 +406,42 @@ def build_ngram_lm_from_chars(
     if min_char_count > 0:
         active = {c for c in active if counter.unigram_counts.get(c, 0) >= min_char_count}
     active.add(indexer.get_index(SPACE))
+    for c in extra_indexer_chars or ():
+        indexer.get_index(c)
     indexer.lock()
     return NgramLanguageModel(indexer, counter.counts, active, lm_type, lm_power)
+
+
+def add_auxiliary_glyph_chars(indexer: CharIndexer) -> None:
+    """InitializeLanguageModel.java:287-307: add alternate glyph
+    versions of the characters (long-s, ligatures + expansions,
+    elision-tilde-decorated variants, de-diacriticked bases) to the
+    indexer WITHOUT activating them for any language — they exist so
+    the glyph-substitution search space can render them."""
+    from ocular_spark.charset import (
+        CHARS_THAT_CAN_BE_DECORATED_WITH_AN_ELISION_TILDE,
+        LIGATURES,
+        LONG_S,
+        add_tilde,
+        read_normalize_characters,
+        remove_any_diacritic_from_char,
+    )
+
+    indexer.get_index(LONG_S)
+    for lig, expansion in LIGATURES.items():
+        chars = read_normalize_characters(lig)
+        if len(chars) > 1:
+            raise ValueError("Ligature [%s] has more than one character" % lig)
+        indexer.get_index(chars[0])
+        for c in read_normalize_characters(expansion):
+            indexer.get_index(c)
+    for c in list(indexer.get_objects()):
+        base = remove_any_diacritic_from_char(c)
+        if c in CHARS_THAT_CAN_BE_DECORATED_WITH_AN_ELISION_TILDE:
+            indexer.get_index(add_tilde(c))
+        if base in CHARS_THAT_CAN_BE_DECORATED_WITH_AN_ELISION_TILDE:
+            indexer.get_index(add_tilde(base))
+        indexer.get_index(base)
 
 
 class InterpolatingSingleLanguageModel:

@@ -53,7 +53,10 @@ def assemble(
     for li, ld in enumerate(decodes):
         dipl: List[str] = []
         norm: List[str] = []
-        gts = glyph_types[li] if glyph_types is not None else None
+        if glyph_types is not None:
+            gts = glyph_types[li]
+        else:
+            gts = getattr(ld, "glyph_types", None)
         n = len(ld.states)
         for i in range(n):
             gt = int(gts[i]) if gts is not None else NORMAL_CHAR
