@@ -170,6 +170,43 @@ def derive_docs_and_media(
     return pd.DataFrame(docs_rows), pd.DataFrame(media_rows)
 
 
+def media_lines_to_page_pngs(media: pd.DataFrame, skew: bool = False) -> pd.DataFrame:
+    """Convert pre-extracted-line media rows into whole-page PNGs
+    (media_ref, n_lines, page_png) exercising the full preprocessing
+    chain: lines stacked with inter-line gaps and margins, optional
+    deterministic ±0.02 rad skew (FIXTURES.md §2)."""
+    from ocular_spark.functions.png import encode_gray_png
+    from ocular_spark.pipeline import unpack_line
+    from ocular_spark.preprocess import BOT_DIST, TOP_DIST, rotate_levels
+
+    band = TOP_DIST + BOT_DIST  # 40: the extractor's fixed slice height
+    rows = []
+    for r in media.itertuples():
+        lines = [unpack_line(raw) for raw in r.lines]
+        wmax = max(l.shape[0] for l in lines) + 8
+        gap = 14
+        cols = [np.full((wmax, gap), 255.0)]
+        for l in lines:
+            # upsample the 30-row line to the 40-row band height so the
+            # extractor's [base-29, base+11) slice + resample-to-30
+            # round-trips back to font scale (nearest-neighbor)
+            yi = np.minimum((np.arange(band) * LINE_HEIGHT) // band, LINE_HEIGHT - 1)
+            up = l[:, yi]  # (T, 40)
+            blk = np.full((wmax, band), 255.0)
+            blk[4 : 4 + l.shape[0]] = np.where(up == 1, 0.0, 255.0)
+            cols.append(blk)
+            cols.append(np.full((wmax, gap), 255.0))
+        page = np.concatenate(cols, axis=1)  # (width, height)
+        if skew:
+            angle = ((_h(r.media_ref, "skew") % 9) - 4) * 0.005  # -0.02..0.02
+            page = rotate_levels(page, angle)
+        png = encode_gray_png(page.T.astype(np.uint8))  # PNG rows = y
+        rows.append(
+            {"media_ref": r.media_ref, "n_lines": len(lines), "page_png": png}
+        )
+    return pd.DataFrame(rows)
+
+
 def build_models(
     documents: pd.DataFrame,
     order: int = 3,
@@ -185,7 +222,7 @@ def build_models(
         m = hashlib.sha256()
         for t in texts:
             m.update(t.encode())
-        m.update(b"|order=%d" % order)
+        m.update(b"|order=%d|glyphv2" % order)
         cache_key = m.hexdigest()[:16]
     cache_path = os.path.join(CACHE_DIR, "models_%s.pkl" % cache_key)
     if os.path.exists(cache_path):

@@ -93,13 +93,15 @@ def _bitmap_5x7(char: str) -> np.ndarray:
     return grid
 
 
-def render_glyph(char: str, target_width: int = 10, ascent_rows: int = 22) -> np.ndarray:
+def render_glyph(char: str, target_width: int = 10, ascent_rows: int = 17) -> np.ndarray:
     """Render ``char`` as (width, LINE_HEIGHT) pixel array in {WHITE, BLACK}.
 
-    The 5x7 grid is nearest-neighbor upscaled into a band of the
-    30-row line (rows ~6..27), mirroring the reference's baseline
-    placement where glyphs occupy the central band of the line.
-    Returned array is indexed [column][row] like the reference's
+    The 5x7 grid is nearest-neighbor upscaled into rows 1..21 of the
+    30-row line, putting the baseline at row ~22 = LINE_HEIGHT*29/40 —
+    exactly where the line extractor's fixed band (topDist=29,
+    botDist=11, LineExtractor.java:28-29) places baselines after
+    resampling, so extracted lines match font scale.  Returned array
+    is indexed [column][row] like the reference's
     ``PixelType[width][LINE_HEIGHT]``.
     """
     if char == SPACE:

@@ -82,12 +82,26 @@ class ModelBundle:
     pattern, SURVEY.md §2.3)."""
 
     def __init__(self, font_bytes: bytes, lm, beam_size: int = 10,
-                 pad_min: int = 1, pad_max: int = 5) -> None:
+                 pad_min: int = 1, pad_max: int = 5,
+                 preprocess_em_iters: int = 5, preprocess_em_restarts: int = 100,
+                 binarize_threshold: float = 0.12,
+                 preprocess_straighten: bool = True,
+                 preprocess_crop: bool = False) -> None:
         self.font_bytes = font_bytes
         self.lm = lm
         self.beam_size = beam_size
         self.pad_min = pad_min
         self.pad_max = pad_max
+        # whole-page path (media carries page_png instead of lines)
+        self.preprocess_em_iters = preprocess_em_iters
+        self.preprocess_em_restarts = preprocess_em_restarts
+        self.binarize_threshold = binarize_threshold
+        # crop defaults OFF: the reference's margin cropper (Cropper.java)
+        # assumes book-page margins; fixture pages have none and the
+        # 3-segment objective would cut content. The operator itself is
+        # implemented and unit-tested (tests/test_preprocess.py).
+        self.preprocess_straighten = preprocess_straighten
+        self.preprocess_crop = preprocess_crop
 
 
 _DECODER_CACHE: dict = {}
@@ -115,11 +129,18 @@ def get_decoder(bundle: ModelBundle):
     return dec
 
 
-def decode_pages_kernel(bundle_bc, char_strs: List[str]):
-    """mapInPandas kernel: rows (doc_id, media_ref, offset, lines) ->
+def decode_pages_kernel(bundle_bc, char_strs: List[str], media_col: str = "lines"):
+    """mapInPandas kernel: rows (doc_id, media_ref, offset, <media>) ->
     rows (doc_id, kind='media', text, media_ref, offset, n_lines,
     log_prob).  One decode_document call per page (sequential line
-    continuity inside, SURVEY.md §2.7 O9)."""
+    continuity inside, SURVEY.md §2.7 O9).
+
+    media_col:
+      * "lines"    — pre-extracted line images (the reference's
+        -extractedLinesPath cache, LazyRawImageDocument.java:94-120);
+      * "page_png" — whole-page grayscale PNG run through the full
+        preprocessing chain (straighten/crop/binarize/extract/resample,
+        LazyRawImageDocument.java:80-92) before decoding."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -129,10 +150,24 @@ def decode_pages_kernel(bundle_bc, char_strs: List[str]):
         decoder = get_decoder(bundle)
         for pdf in batches:
             out_rows = []
-            for doc_id, media_ref, offset, lines in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["offset"], pdf["lines"]
+            for doc_id, media_ref, offset, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["offset"], pdf[media_col]
             ):
-                imgs = [unpack_line(raw) for raw in lines]
+                if media_col == "lines":
+                    imgs = [unpack_line(raw) for raw in payload]
+                else:
+                    from ocular_spark.functions.png import decode_gray_png
+                    from ocular_spark.preprocess import prepare_page
+
+                    page = decode_gray_png(bytes(payload)).T.astype(np.float64)
+                    imgs = prepare_page(
+                        page,
+                        binarize_threshold=bundle.binarize_threshold,
+                        do_straighten=bundle.preprocess_straighten,
+                        do_crop=bundle.preprocess_crop,
+                        num_em_iters=bundle.preprocess_em_iters,
+                        num_em_restarts=bundle.preprocess_em_restarts,
+                    )
                 decodes, log_prob = decoder.decode_document(imgs)
                 text = diplomatic_text(decodes, char_strs)
                 out_rows.append(
@@ -189,8 +224,9 @@ def transcribe(
         "doc_id", "media_ref", "offset"
     )
 
+    media_col = "lines" if "lines" in media.columns else "page_png"
     joined = media_spans.join(media, "media_ref", "inner").select(
-        "doc_id", "media_ref", "offset", "lines"
+        "doc_id", "media_ref", "offset", media_col
     )
 
     if num_partitions is None:
@@ -200,7 +236,7 @@ def transcribe(
     salted = joined.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
 
     decoded = salted.mapInPandas(
-        decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
+        decode_pages_kernel(bundle_bc, char_strs, media_col), schema=DECODED_SCHEMA
     )
 
     decoded_spans = decoded.select("doc_id", "kind", "text", "media_ref", "offset")

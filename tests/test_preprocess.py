@@ -27,12 +27,17 @@ from ocular_spark.preprocess import (
 
 
 def make_page(texts, gap=14):
+    """Stack 40-row bands (the extractor's TOP_DIST+BOT_DIST geometry,
+    like fixtures.media_lines_to_page_pngs) with white gaps."""
     lines = [render_text_line(t) for t in texts]
     wmax = max(l.shape[0] for l in lines)
+    band = TOP_DIST + BOT_DIST
+    yi = np.minimum((np.arange(band) * LINE_HEIGHT) // band, LINE_HEIGHT - 1)
     cols = [np.full((wmax, gap), 255.0)]
     for l in lines:
-        blk = np.full((wmax, l.shape[1]), 255.0)
-        blk[: l.shape[0]] = np.where(l == 1, 0.0, 255.0)
+        up = l[:, yi]
+        blk = np.full((wmax, band), 255.0)
+        blk[: l.shape[0]] = np.where(up == 1, 0.0, 255.0)
         cols.append(blk)
         cols.append(np.full((wmax, gap), 255.0))
     return np.concatenate(cols, axis=1)  # (width, height)
@@ -104,3 +109,22 @@ def test_prepare_page_end_to_end():
         assert l.shape[1] == LINE_HEIGHT
         assert l.dtype == np.uint8
         assert (l == 1).sum() > 0  # has black pixels
+
+
+def test_crop_keeps_content_on_margin_page():
+    """Cropper semantics (Cropper.java:254-273): on a page with large
+    white margins, cropping keeps the content block."""
+    from ocular_spark.preprocess import crop
+
+    inner = make_page(["the cat sat on a mat", "a man ran to a van"])
+    w, h = inner.shape
+    page = np.full((w + 80, h + 80), 255.0)
+    page[40 : 40 + w, 40 : 40 + h] = inner
+    cropped = crop(page, 0.12)
+    # content survives: the cropped page still contains (nearly) all
+    # black ink of the original content block
+    black_before = (page <= 127.5).sum()
+    black_after = (cropped <= 127.5).sum()
+    assert black_after >= 0.95 * black_before
+    # and the crop actually removed some margin
+    assert cropped.size < page.size
