@@ -305,6 +305,71 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets) over order priority/status."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props column + aggregation."""
+    e = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token (IDF-style corpus statistic):
+    distinct tokens per doc -> count docs per token, top by df."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash document fingerprint: per-token md5 -> bit votes
+    -> majority per bit -> packed fingerprint; duplicate-fingerprint
+    buckets are near-dup candidates."""
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.expr("sequence(0, 15)")).alias("b")
+    ).withColumn(
+        "vote",
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    fingerprints = votes.withColumn(
+        "bitval", F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")
+    ).groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    return (
+        fingerprints.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -326,6 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "embed_neighbors": q_embed_neighbors,
         "label_centroid_sim": q_label_centroid_sim,
+        "orders_rollup": q_orders_rollup,
+        "events_json": q_events_json,
+        "token_doc_freq": q_token_doc_freq,
+        "simhash": q_simhash,
     }
 
 
@@ -454,5 +523,55 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
             FROM embeddings
             GROUP BY label
+        """,
+        "orders_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "events_json": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS sum_k,
+                   MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "token_doc_freq": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS df
+            FROM toks
+            GROUP BY token
+            ORDER BY df DESC, token ASC
+            LIMIT 20
+        """,
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || SUBSTRING(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 4))::UBIGINT AS BIGINT) AS h
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, 15)) AS b FROM toks
+            ),
+            votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM bits GROUP BY doc_id, b
+            ),
+            fingerprints AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                FROM votes GROUP BY doc_id
+            )
+            SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+            FROM fingerprints
+            GROUP BY simhash
+            HAVING COUNT(*) > 1
         """,
     }
