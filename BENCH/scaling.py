@@ -4,12 +4,16 @@
 No real cluster exists in this sandbox, so the north_rule's
 "N vs 4N executors, efficiency >= 0.8" criterion is evidenced by
 running the identical decode job at local[N] and local[4N] on the
-same deterministic input (seed-free fixtures; heavy-tail page counts)
-and reporting throughput at both levels.
+same deterministic input (seed-free fixtures; heavy-tail page counts;
+page-salted repartitioning) and reporting throughput at both levels.
 
-throughput(K) = pages_decoded / wall_seconds (decode stage only,
-warm workers, models pre-broadcast; median of R runs).
-efficiency    = throughput(4N) / (4 * throughput(N)).
+Measures the decode stage (explode -> media join -> salted
+repartition -> mapInPandas decode -> count), exactly as BASELINE.md §3
+specifies ("decode stage only, warm workers, models pre-broadcast;
+median of R runs"):
+
+    throughput(K) = pages_decoded / wall_seconds
+    efficiency    = throughput(4N) / (4 * throughput(N))
 
 Writes BENCH/results.json and prints a summary line.
 
@@ -28,10 +32,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# enough pages that the 4N-level still gets ~30 pages/task: with the
-# heavy-tail page distribution 384 docs -> ~930 pages
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "384"))
-PARTITIONS_PER_CORE = 4  # fine-grained tasks so stragglers rebalance
+# enough pages that the 4N level still gets ~20+ pages per task
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "768"))
+PARTITIONS_PER_CORE = 10  # fine-grained tasks: local mode has no work
+# stealing or speculation, so small tasks are the only straggler defense
 
 
 def run_level(cpus: int, repeats: int):
@@ -39,7 +43,7 @@ def run_level(cpus: int, repeats: int):
 
     from bench import build_spark
     from ocular_spark.fixtures import build_models, derive_docs_and_media
-    from ocular_spark.pipeline import DOCS_DDL, transcribe
+    from ocular_spark.pipeline import DOCS_DDL, decode_metrics
 
     spark = build_spark(cpus)
     try:
@@ -56,16 +60,16 @@ def run_level(cpus: int, repeats: int):
         docs_df.count(), media_df.count()
         bundle_bc = spark.sparkContext.broadcast(bundle)
         nparts = cpus * PARTITIONS_PER_CORE
-        # warm every python worker (compile decoder once per worker)
-        transcribe(docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts).count()
+        # warm every python worker (compile the decoder once per worker)
+        decode_metrics(docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts).count()
         times = []
         for _ in range(repeats):
             t0 = time.time()
-            n = transcribe(
+            n = decode_metrics(
                 docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts
             ).count()
             times.append(time.time() - t0)
-            assert n == N_DOCS
+            assert n == n_pages, (n, n_pages)
         med = statistics.median(times)
         return {
             "cpus": cpus,
@@ -88,6 +92,7 @@ def main() -> None:
     eff = high["pages_per_sec"] / (4.0 * low["pages_per_sec"])
     result = {
         "sf_dir": SF_DIR,
+        "stage": "decode (explode + media join + salted repartition + mapInPandas)",
         "low": low,
         "high": high,
         "scaling_efficiency": round(eff, 3),

@@ -305,6 +305,75 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_em_font_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed EM E-step (decode + count accumulation via RDD
+    treeAggregate, SURVEY §2.4 A3) over a fixed fixture slice; returns
+    the per-character template width-count table (deterministic)."""
+    import pandas as pd
+
+    from ocular_spark.em import run_estep
+
+    docs_df, media_df, bundle_bc, char_strs = _pipeline_frames(spark, sf_dir)
+    pages = (
+        docs_df.select("doc_id", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") == "media")
+        .select("doc_id", F.col("span.media_ref").alias("media_ref"))
+        .join(media_df, "media_ref")
+        .select("doc_id", "media_ref", "lines")
+    )
+    bundle = bundle_bc.value
+    counts = run_estep(spark, pages, bundle_bc, char_strs, bundle.lm.get_max_order())
+    rows = [
+        {"char": char_strs[c], "template_width": int(w), "count": float(n)}
+        for c, wd in sorted(counts.width.items())
+        for w, n in sorted(wd.items())
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM perplexity (O20) of the documents text under the
+    fixture char-LM, computed in an Arrow-batched kernel."""
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import build_models
+
+    documents_path = os.path.join(sf_dir, "documents.parquet")
+    bundle, char_strs = build_models(
+        pq.read_table(documents_path).to_pandas()
+    )
+    lm_bc = spark.sparkContext.broadcast(bundle.lm)
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def ppl_kernel(batches):
+        import math
+
+        import pandas as pd
+
+        lm = lm_bc.value
+        ci = lm.get_character_indexer()
+        idx = {c: i for i, c in enumerate(ci.get_objects())}
+        max_order = lm.get_max_order()
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chars = [idx[ch] for ch in str(text) if ch in idx]
+                log_total, n = 0.0, 0
+                for i, c in enumerate(chars):
+                    ctx = lm.shrink_context(tuple(chars[max(0, i - (max_order - 1)) : i]))
+                    p = lm.get_char_ngram_prob(ctx, c)
+                    if p > 0:
+                        log_total += math.log(p)
+                        n += 1
+                ppl = math.exp(-log_total / n) if n else float("nan")
+                out.append((int(doc_id), len(chars), round(ppl, 4)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_scored", "perplexity"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        ppl_kernel, schema="doc_id long, n_scored int, perplexity double"
+    )
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping sets) over order priority/status."""
     o = _load(spark, sf_dir, "orders")
@@ -395,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "token_doc_freq": q_token_doc_freq,
         "simhash": q_simhash,
+        "em_font_counts": q_em_font_counts,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 

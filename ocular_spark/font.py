@@ -306,6 +306,24 @@ class CharacterTemplate:
         self.update_width_parameters(LEARN_WIDTH_MIN_VAR, LEARN_WIDTH_STD_THRESH)
         self.update_emission_parameters(MSTEP_LBFGS_TOL, MSTEP_LBFGS_ITERS)
 
+    def ascii_art(self) -> str:
+        """CharacterTemplate.toString (:287-314): ./o/O rendering of
+        black probabilities at the most likely width."""
+        if self.is_space:
+            return "%s: (space)\n" % self.character
+        widths = self.allowed_widths()
+        best_w = max(widths, key=self.width_prob) if widths else self.max_width
+        bp = self.black_probs(N_EXPOSURES // 2, 0, best_w)
+        rows = []
+        for j in range(LINE_HEIGHT):
+            rows.append(
+                " ".join(
+                    "." if bp[i, j] < 0.333 else ("o" if bp[i, j] < 0.666 else "O")
+                    for i in range(best_w)
+                )
+            )
+        return "%s:\n%s\n" % (self.character, "\n".join(rows))
+
     # ---- (de)serialization: flat arrays for broadcast / npz / parquet ----
 
     def to_arrays(self) -> Dict[str, np.ndarray]:

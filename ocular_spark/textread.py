@@ -187,6 +187,31 @@ class ReplaceSomeTextReader(TextReader):
         return rules
 
 
+class FlipUVTextReader(TextReader):
+    """data/textreader/FlipUVTextReader.java: stochastically swap u/v
+    (early-modern typography augmentation).  Uses the same fixed-seed
+    java.util.Random(0) stream as the reference, so output is
+    deterministic and bit-compatible."""
+
+    def __init__(self, flip_rate: float, delegate: TextReader) -> None:
+        from ocular_spark.preprocess import JavaRandom
+
+        self.flip_rate = flip_rate
+        self.delegate = delegate
+        self._rand = JavaRandom(0)
+
+    def read_characters(self, line: str) -> List[str]:
+        out: List[str] = []
+        for c in self.delegate.read_characters(line):
+            if c in ("u", "U", "v", "V"):
+                keep = self._rand.next_double() < self.flip_rate
+                flip_map = {"u": "v", "U": "V", "v": "u", "V": "U"}
+                out.append(c if keep else flip_map[c])
+            else:
+                out.append(c)
+        return out
+
+
 def build_reader_chain(
     treat_backslash_as_escape: bool = True,
     blacklist: Optional[Set[str]] = None,
@@ -243,7 +268,7 @@ def normalize_lines_fast(lines: Sequence[str], reader: TextReader) -> List[List[
 def _chain_has_state(reader: TextReader) -> bool:
     r: Optional[TextReader] = reader
     while r is not None:
-        if isinstance(r, ReplaceSomeTextReader):
+        if isinstance(r, (ReplaceSomeTextReader, FlipUVTextReader)):
             return True
         r = getattr(r, "delegate", None)
     return False

@@ -85,7 +85,9 @@ def test_entry_smoke(spark):
 def test_rows_only_queries_run(spark, sf_dir):
     qs = entry_mod.queries()
     no_oracle = set(qs) - set(entry_mod.oracle_sql())
-    assert no_oracle == {"transcribe_spans", "transcribe_metrics"}
+    assert no_oracle == {
+        "transcribe_spans", "transcribe_metrics", "em_font_counts", "lm_perplexity",
+    }
     for name in sorted(no_oracle):
         df = qs[name](spark, sf_dir)
         assert df.count() > 0, name
