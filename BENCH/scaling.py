@@ -38,7 +38,38 @@ PARTITIONS_PER_CORE = 10  # fine-grained tasks: local mode has no work
 # stealing or speculation, so small tasks are the only straggler defense
 
 
-def run_level(cpus: int, repeats: int):
+def cpu_control(n_low: int, n_high: int):
+    """Hardware-scaling control: aggregate throughput of K independent
+    single-threaded numpy GEMM processes.  Bounds what ANY job can
+    achieve on this box at 4x parallelism (memory bandwidth + turbo)."""
+    import multiprocessing as mp
+
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
+
+    def agg(n):
+        with mp.Pool(n) as p:
+            return sum(p.map(_gemm_worker, [0] * n)) / 3.0
+
+    lo, hi = agg(n_low), agg(n_high)
+    return {"low_gemms_per_sec": round(lo, 1), "high_gemms_per_sec": round(hi, 1),
+            "hardware_efficiency": round(hi / (lo * (n_high / n_low)), 3)}
+
+
+def _gemm_worker(_):
+    import numpy as np
+
+    a = np.random.rand(200, 300).astype(np.float32)
+    b = np.random.rand(300, 825).astype(np.float32)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 3.0:
+        a @ b
+        k += 1
+    return k
+
+
+def run_level(cpus: int, repeats: int, discard: int = 2):
     import pyarrow.parquet as pq
 
     from bench import build_spark
@@ -60,8 +91,11 @@ def run_level(cpus: int, repeats: int):
         docs_df.count(), media_df.count()
         bundle_bc = spark.sparkContext.broadcast(bundle)
         nparts = cpus * PARTITIONS_PER_CORE
-        # warm every python worker (compile the decoder once per worker)
-        decode_metrics(docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts).count()
+        # warm every python worker (compile the decoder once per worker),
+        # then run `discard` full measured-but-dropped rounds: JVM
+        # codegen + page cache + CPU turbo need more than one pass
+        for _ in range(1 + discard):
+            decode_metrics(docs_df, media_df, bundle_bc, char_strs, num_partitions=nparts).count()
         times = []
         for _ in range(repeats):
             t0 = time.time()
@@ -90,12 +124,16 @@ def main() -> None:
     low = run_level(n, repeats)
     high = run_level(4 * n, repeats)
     eff = high["pages_per_sec"] / (4.0 * low["pages_per_sec"])
+    control = cpu_control(n, 4 * n)
     result = {
         "sf_dir": SF_DIR,
         "stage": "decode (explode + media join + salted repartition + mapInPandas)",
         "low": low,
         "high": high,
         "scaling_efficiency": round(eff, 3),
+        "hardware_control": control,
+        "spark_layer_efficiency": round(eff / control["hardware_efficiency"], 3)
+        if control["hardware_efficiency"] > 0 else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }

@@ -39,6 +39,10 @@ RELATIONAL = [
     "text_stats",
     "embed_neighbors",
     "label_centroid_sim",
+    "orders_rollup",
+    "events_json",
+    "token_doc_freq",
+    "simhash",
 ]
 
 

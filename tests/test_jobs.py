@@ -1,0 +1,51 @@
+"""Job-level tests: extract-lines intermediate table + FlipUV reader."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_flip_uv_reader_deterministic():
+    from ocular_spark.textread import BasicTextReader, FlipUVTextReader
+
+    tr1 = FlipUVTextReader(0.5, BasicTextReader())
+    out1 = tr1.read_characters("uv vu under very")
+    tr2 = FlipUVTextReader(0.5, BasicTextReader())
+    out2 = tr2.read_characters("uv vu under very")
+    assert out1 == out2  # Random(0) stream is fixed
+    # rate 1.0 keeps everything; rate ~0 flips everything
+    keep = FlipUVTextReader(1.0, BasicTextReader()).read_characters("uvUV")
+    assert keep == ["u", "v", "U", "V"]
+    flip = FlipUVTextReader(0.0, BasicTextReader()).read_characters("uvUV")
+    assert flip == ["v", "u", "V", "U"]
+
+
+def test_extract_lines_table(spark, sf_dir):
+    from ocular_spark.fixtures import (
+        build_models,
+        derive_docs_and_media,
+        media_lines_to_page_pngs,
+    )
+    from ocular_spark.jobs.extract_lines import extract_lines_table
+    from ocular_spark.pipeline import unpack_line
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media(
+        documents, n_docs=2, max_pages_per_doc=1, noise_levels=(0.0,)
+    )
+    pages = media_lines_to_page_pngs(media, skew=False)
+    out = extract_lines_table(
+        spark.createDataFrame(pages[["media_ref", "page_png"]]),
+        em_restarts=20, num_partitions=2,
+    ).toPandas().sort_values("media_ref").reset_index(drop=True)
+    want = media.sort_values("media_ref").reset_index(drop=True)
+    assert list(out["media_ref"]) == list(want["media_ref"])
+    # extracted line counts match the ground truth page composition
+    assert list(out["n_lines"]) == list(want["n_lines"])
+    for lines in out["lines"]:
+        for raw in lines:
+            img = unpack_line(raw)
+            assert img.shape[1] == 30
+            assert (img == 1).any()
