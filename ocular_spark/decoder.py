@@ -636,10 +636,14 @@ class Decoder:
             for t in range(1, T + 1):
                 if not buffers[t]:
                     continue
-                states = np.concatenate([b[0] for b in buffers[t]])
-                scores = np.concatenate([b[1] for b in buffers[t]])
-                prev_ts = np.concatenate([b[2] for b in buffers[t]])
-                prev_states = np.concatenate([b[3] for b in buffers[t]])
+                entries = buffers[t]
+                states = np.concatenate([b[0] for b in entries])
+                scores = np.concatenate([b[1] for b in entries])
+                prev_ts = np.repeat(
+                    np.array([b[2] for b in entries], dtype=np.int32),
+                    np.array([len(b[0]) for b in entries]),
+                )
+                prev_states = np.concatenate([b[3] for b in entries])
                 buffers[t] = []
 
                 # dedup by state, keep max score (stable: lowest state id first)
@@ -779,23 +783,15 @@ class Decoder:
             return
         order = np.argsort(cand_widths, kind="stable")
         sw = cand_widths[order]
-        bounds = np.flatnonzero(np.diff(sw)) + 1
-        prev_t_arr = None
-        for seg_states, seg_total, seg_prev, seg_w in zip(
-            np.split(cand_states[order], bounds),
-            np.split(total[order], bounds),
-            np.split(cand_prev[order], bounds),
-            sw[np.concatenate([[0], bounds])] if len(bounds) else sw[:1],
-        ):
-            tgt = t + int(seg_w)
-            buffers[tgt].append(
-                (
-                    seg_states,
-                    seg_total,
-                    np.full(len(seg_states), t, dtype=np.int32),
-                    seg_prev,
-                )
-            )
+        s_states = cand_states[order]
+        s_total = total[order]
+        s_prev = cand_prev[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sw)) + 1, [len(sw)]])
+        for k in range(len(starts) - 1):
+            a, b = int(starts[k]), int(starts[k + 1])
+            tgt = t + int(sw[a])
+            # prev_t is a scalar per buffer entry; expanded at finalize
+            buffers[tgt].append((s_states[a:b], s_total[a:b], t, s_prev[a:b]))
 
     def _expand_start(self, s0, sc0, prev0, buffers, cache, T) -> None:
         """Line-start expansion: start states emit themselves
