@@ -27,6 +27,16 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + spread across cores.  The test parquet is a single small
+    file (1 input split), so row-explosion work would otherwise run on
+    one core; at production scale the scan itself provides the
+    parallelism and this repartition is a no-op by ratio."""
+    df = _load(spark, sf_dir, name)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(nparts)
+
+
 # ---------------------------------------------------------------- OCR core
 
 _N_PIPELINE_DOCS = 8  # fixed, sf-independent (deterministic fixture slice)
@@ -183,7 +193,7 @@ def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character n-gram counting (A1 corpus-count shape: one shuffle
     over (ngram) with map-side partial aggregation)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load_wide(spark, sf_dir, "documents")
     return (
         d.select(
             F.explode(
@@ -214,7 +224,7 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 5-char shingles -> per-band min
     hash -> band-bucket grouping (near-dup detection scale path).
     Buckets with >1 doc are candidate duplicate groups."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load_wide(spark, sf_dir, "documents")
     shingles = d.select(
         "doc_id",
         F.explode(
@@ -247,7 +257,7 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics: token counts, average word length,
     stopword ratio (quality-scoring operator)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     stop = F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to"))
     return d.select(
@@ -404,7 +414,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document frequency per token (IDF-style corpus statistic):
     distinct tokens per doc -> count docs per token, top by df."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load_wide(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
         .groupBy("token")
@@ -418,7 +428,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprint: per-token md5 -> bit votes
     -> majority per bit -> packed fingerprint; duplicate-fingerprint
     buckets are near-dup candidates."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load_wide(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("h", F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long"))
