@@ -176,7 +176,7 @@ def run_estep(
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    salted = pages_df.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
+    salted = pages_df.repartition(num_partitions, F.col("media_ref"))
     blobs = salted.mapInPandas(
         estep_kernel(bundle_bc, char_strs, max_order), schema="blob binary"
     )

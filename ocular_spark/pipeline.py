@@ -232,8 +232,13 @@ def transcribe(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # page-level salt: uniform page distribution regardless of per-doc
-    # page-count skew (explicit, not left to AQE — cost is per page)
-    salted = joined.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
+    # page-count skew (explicit, not left to AQE — cost is per page).
+    # Partitioning directly on media_ref (unique per page, so exactly as
+    # uniform as a (doc_id, media_ref) hash) lets Catalyst elide this
+    # exchange when the media join already hash-partitioned on
+    # media_ref — the heavy image payload then moves through ONE
+    # shuffle instead of two.
+    salted = joined.repartition(num_partitions, F.col("media_ref"))
 
     decoded = salted.mapInPandas(
         decode_pages_kernel(bundle_bc, char_strs, media_col), schema=DECODED_SCHEMA
@@ -282,7 +287,7 @@ def decode_metrics(
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    salted = joined.repartition(num_partitions, F.xxhash64("doc_id", "media_ref"))
+    salted = joined.repartition(num_partitions, F.col("media_ref"))
     decoded = salted.mapInPandas(
         decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
     )
