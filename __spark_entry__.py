@@ -315,6 +315,99 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dot64(a, b):
+    """Deterministic float64 dot product of two float32 array columns:
+    promote then left-to-right fold (bit-identical in Spark and DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (ANN baseline):
+    3 nearest neighbors for each probe vector (embeddings are
+    unit-norm, so dot == cosine)."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(e)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(_dot64(F.col("probe_vec"), F.col("embedding")), 5))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "vec_id", "cos", "rank")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: unordered pairs with
+    cosine above threshold, summarized per left vector."""
+    e = _load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _dot64(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") > 0.9)
+    )
+    return pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.min("id_b").alias("first_match"),
+    )
+
+
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the scale path: candidate pairs
+    only within buckets): bucket = sign bits of the first 4 dims;
+    reports bucket sizes and within-bucket high-cosine candidate pairs."""
+    e = _load(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(4)
+        ]
+    )
+    eb = e.withColumn("bucket", bucket)
+    a = eb.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = eb.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _dot64(F.col("vec_a"), F.col("vec_b")))
+    )
+    return pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("cos") > 0.9, 1)).alias("n_candidates"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-vote language-ID heuristic (stopword-profile matching):
+    count matches against two token lexicons, classify by majority."""
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    common = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to")))
+    tech = F.size(
+        F.filter(toks, lambda t: t.isin("spark", "join", "hash", "query", "table"))
+    )
+    return d.select(
+        "doc_id",
+        common.alias("n_common"),
+        tech.alias("n_tech"),
+        F.when(common >= tech, F.lit("common")).otherwise(F.lit("tech")).alias("lang_guess"),
+    )
+
+
 def q_em_font_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed EM E-step (decode + count accumulation via RDD
     treeAggregate, SURVEY §2.4 A3) over a fixed fixture slice; returns
@@ -476,6 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "em_font_counts": q_em_font_counts,
         "lm_perplexity": q_lm_perplexity,
+        "embed_topk": q_embed_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "lang_id": q_lang_id,
     }
 
 
@@ -630,6 +727,64 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY df DESC, token ASC
             LIMIT 20
+        """,
+        "embed_topk": """
+            WITH scored AS (
+                SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+                       ROUND(LIST_DOT_PRODUCT(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 5) AS cos
+                FROM embeddings p
+                JOIN embeddings e ON p.vec_id != e.vec_id
+                WHERE p.vec_id < 20
+            ),
+            ranked AS (
+                SELECT probe_id, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT probe_id, vec_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS id_a,
+                   COUNT(*) AS n_near_dups,
+                   MIN(b.vec_id) AS first_match
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) > 0.9
+            GROUP BY 1
+        """,
+        "embed_lsh_buckets": """
+            WITH eb AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                        CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                        CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                        CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            )
+            SELECT a.bucket,
+                   COUNT(*) AS n_pairs,
+                   COUNT(*) FILTER (WHERE LIST_DOT_PRODUCT(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) > 0.9) AS n_candidates
+            FROM eb a
+            JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            GROUP BY 1
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS n_common,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t IN ('spark', 'join', 'hash', 'query', 'table'))) AS n_tech,
+                   CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                            t -> t IN ('the', 'a', 'and', 'of', 'to')))
+                         >= LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                            t -> t IN ('spark', 'join', 'hash', 'query', 'table')))
+                        THEN 'common' ELSE 'tech' END AS lang_guess
+            FROM documents
         """,
         "simhash": """
             WITH toks AS (

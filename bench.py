@@ -43,6 +43,10 @@ RELATIONAL = [
     "events_json",
     "token_doc_freq",
     "simhash",
+    "embed_topk",
+    "embed_neardup",
+    "embed_lsh_buckets",
+    "lang_id",
 ]
 
 
