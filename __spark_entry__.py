@@ -351,18 +351,46 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: unordered pairs with
-    cosine above threshold, summarized per left vector."""
-    e = _load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _dot64(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") > 0.9)
+    cosine above threshold, summarized per left vector.
+
+    Implementation: the comparison side is broadcast as a dense NumPy
+    matrix and each partition computes a float64 GEMM block
+    (sims = batch @ M.T) inside an Arrow kernel — the brute-force ANN
+    pattern. Catalyst's per-element higher-order functions are ~30x
+    slower here.  Output columns are integers, so the GEMM's different
+    summation order vs the SQL oracle cannot flip results except
+    exactly at the 0.9 threshold (measure-zero for real embeddings)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return pairs.groupBy("id_a").agg(
-        F.count(F.lit(1)).alias("n_near_dups"),
-        F.min("id_b").alias("first_match"),
+    ids = np.asarray(tbl["vec_id"])
+    mat = np.stack(tbl["embedding"].to_pandas().values).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_all, m_all = bc.value
+        for pdf in batches:
+            batch_ids = pdf["vec_id"].to_numpy()
+            batch = np.stack(pdf["embedding"].values).astype(np.float64)
+            sims = batch @ m_all.T  # (b, N) float64 GEMM
+            out = []
+            for r in range(len(batch_ids)):
+                id_a = int(batch_ids[r])
+                mask = (sims[r] > 0.9) & (ids_all > id_a)
+                if mask.any():
+                    out.append(
+                        (id_a, int(mask.sum()), int(ids_all[mask].min()))
+                    )
+            yield pd.DataFrame(out, columns=["id_a", "n_near_dups", "first_match"])
+
+    e = _load_wide(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="id_a long, n_near_dups long, first_match long"
     )
 
 
