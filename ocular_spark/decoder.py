@@ -400,6 +400,19 @@ class EmissionCache(NamedTuple):
     T: int
 
 
+class ExplicitOffsetEmissionCache(NamedTuple):
+    """model/emission/CachingEmissionModelExplicitOffset.java: the
+    offset axis stays explicit (max over exposures only); the decoder
+    looks scores up at each state's own offset.  log_probs (the
+    offset-max) is retained for the coarse backward heuristic."""
+
+    log_probs4: np.ndarray  # (T, C, max_w+1, n_off) float32
+    best_exposure4: np.ndarray  # int8
+    best_pad4: np.ndarray  # int8
+    log_probs: np.ndarray  # (T, C, max_w+1) = max over offsets (betas)
+    T: int
+
+
 def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache:
     """CachingEmissionModel.rebuildCache + populate (:169-334) for one line.
 
@@ -504,6 +517,93 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
     return EmissionCache(cache, best_e, best_off, best_pad, T)
 
 
+def build_emission_cache_explicit(obs: np.ndarray, stack: TemplateStack):
+    """CachingEmissionModelExplicitOffset.rebuildCache equivalent:
+    like build_emission_cache but the offset axis stays explicit
+    (max over exposures and pad splits only)."""
+    T = obs.shape[0]
+    C = stack.n_chars
+    H = LINE_HEIGHT
+    white_obs = (obs == WHITE).astype(np.float32)
+    black_obs = (obs == BLACK).astype(np.float32)
+
+    max_w = stack.max_w
+    n_off = stack.n_offsets
+    cache4 = np.full((T, C, max_w + 1, n_off), NEG_INF, dtype=np.float32)
+    best_e4 = np.zeros((T, C, max_w + 1, n_off), dtype=np.int8)
+    best_pad4 = np.zeros((T, C, max_w + 1, n_off), dtype=np.int8)
+
+    ws_col = white_obs @ stack.ws_white.T + black_obs @ stack.ws_black.T
+    ws_cum = np.vstack([np.zeros((1, N_EXPOSURES), np.float32), np.cumsum(ws_col, axis=0)])
+    pad_min, pad_max = stack.pad_min, stack.pad_max
+
+    # space: offset-independent (constant columns) — same value at all offsets
+    sp = stack.space_idx
+    sp_wlp = stack.width_log_probs[sp]
+    for w in range(1 + pad_min, max_w + 1):
+        best_tw = None
+        for tw in range(max(1, w - pad_max), w - pad_min + 1):
+            if tw in stack.space_allowed_tw:
+                best_tw = tw
+                break
+        if best_tw is None:
+            continue
+        lim = min(T - w + 1, T - best_tw - pad_min + 1)
+        if lim <= 0:
+            continue
+        t_idx = np.arange(lim)
+        total = (ws_cum[t_idx + w] - ws_cum[t_idx]) + np.float32(
+            sp_wlp[best_tw] + stack.pad_log_prob
+        )
+        e_arg = total.argmax(axis=1)
+        val = np.take_along_axis(total, e_arg[:, None], axis=1)[:, 0]
+        cache4[:lim, sp, w, :] = val[:, None]
+        best_e4[:lim, sp, w, :] = e_arg.astype(np.int8)[:, None]
+        best_pad4[:lim, sp, w, :] = w - best_tw
+
+    for tw in stack.widths:
+        if tw + pad_min > T:
+            continue
+        whiteT, blackT, chars_tw, wlp = stack.stacks[tw]
+        nT = T - tw + 1
+        w_win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(white_obs, (tw, H))[:, 0].reshape(
+                nT, tw * H
+            )
+        )
+        b_win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(black_obs, (tw, H))[:, 0].reshape(
+                nT, tw * H
+            )
+        )
+        scores = w_win @ whiteT + b_win @ blackT
+        nc = len(chars_tw)
+        sc = scores.reshape(nT, nc, N_EXPOSURES, n_off)
+        tmpl_lp = sc + wlp[None, :, None, None]  # (nT, nc, E, n_off)
+        chars_arr = np.asarray(chars_tw)
+        for pw in range(pad_min, pad_max + 1):
+            w = tw + pw
+            lim = min(T - w + 1, T - tw - pad_min + 1, nT)
+            if lim <= 0:
+                continue
+            t_idx = np.arange(lim)
+            pad_lp = (ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]) + np.float32(
+                stack.pad_log_prob
+            )  # (lim, E)
+            total = tmpl_lp[:lim] + pad_lp[:, None, :, None]  # (lim, nc, E, n_off)
+            e_arg = total.argmax(axis=2)  # (lim, nc, n_off)
+            val = np.take_along_axis(total, e_arg[:, :, None, :], axis=2)[:, :, 0, :]
+            cur = cache4[:lim, chars_arr, w, :]
+            better = val > cur
+            if better.any():
+                ti, ci, oi = np.nonzero(better)
+                cc = chars_arr[ci]
+                cache4[ti, cc, w, oi] = val[ti, ci, oi]
+                best_e4[ti, cc, w, oi] = e_arg[ti, ci, oi].astype(np.int8)
+                best_pad4[ti, cc, w, oi] = pw
+    return ExplicitOffsetEmissionCache(cache4, best_e4, best_pad4, cache4.max(axis=3), T)
+
+
 def coarse_backward(cache: EmissionCache, stack: TemplateStack, bigram: DenseBigramModel):
     """doDenseCoarseBackwardPassLogSpace (BeamingSemiMarkovDP.java:305-331)."""
     T = cache.T
@@ -578,6 +678,9 @@ class Decoder:
         self.stack = TemplateStack(font, char_strs, pad_min, pad_max)
         self.bigram = DenseBigramModel(lm, self.tm.n_chars, self.tm.space)
         self.beam_size = beam_size
+        # Markov-offset variant: states carry explicit vertical offsets
+        # and emissions are looked up at the state's own offset
+        self.explicit_offset = bool(getattr(self.tm, "explicit_offset", False))
         # per-state caches: transition lists fully crossed with the
         # target glyph's allowed widths (built lazily, reused across
         # every column/line/document this decoder ever sees)
@@ -585,23 +688,35 @@ class Decoder:
         self._self_exp: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _full_expansion(self, s: int):
-        """(next_states, glyphs, widths, trans_logps) for all forward
-        transitions of state s, pre-expanded over allowed widths."""
+        """(next_states, glyphs, widths, trans_logps[, offset_idx]) for
+        all forward transitions of state s, pre-expanded over widths."""
         cached = self._full_exp.get(s)
         if cached is None:
             ns, lps = self.tm.forward_transitions(s)
             glyphs = self.tm.glyph_char_of_states(ns)
             idx, widths = _expand_by_widths(glyphs, self.stack.allowed_w_list)
-            cached = (ns[idx], glyphs[idx], widths, lps[idx])
+            if self.explicit_offset:
+                offs = (
+                    self.tm.offset_of_states(ns).astype(np.int32) + MAX_OFFSET
+                )
+                cached = (ns[idx], glyphs[idx], widths, lps[idx], offs[idx])
+            else:
+                cached = (ns[idx], glyphs[idx], widths, lps[idx], None)
             self._full_exp[s] = cached
         return cached
 
     def _self_expansion(self, s: int):
-        """(glyph, widths) for emitting state s itself (line starts)."""
+        """(glyph, widths, offset_idx) for emitting state s itself."""
         cached = self._self_exp.get(s)
         if cached is None:
-            g = int(self.tm.glyph_char_of_states(np.array([s], dtype=np.int64))[0])
-            cached = (g, self.stack.allowed_w_list[g])
+            arr = np.array([s], dtype=np.int64)
+            g = int(self.tm.glyph_char_of_states(arr)[0])
+            off = (
+                int(self.tm.offset_of_states(arr)[0]) + MAX_OFFSET
+                if self.explicit_offset
+                else 0
+            )
+            cached = (g, self.stack.allowed_w_list[g], off)
             self._self_exp[s] = cached
         return cached
 
@@ -617,7 +732,10 @@ class Decoder:
         final_log_prob = NEG_INF
 
         for line_obs in lines:
-            cache = build_emission_cache(line_obs, self.stack)
+            if self.explicit_offset:
+                cache = build_emission_cache_explicit(line_obs, self.stack)
+            else:
+                cache = build_emission_cache(line_obs, self.stack)
             caches.append(cache)
             betas = coarse_backward(cache, self.stack, self.bigram)
             T = cache.T
@@ -743,9 +861,15 @@ class Decoder:
             types = tm.type_of_states(states)
             glyph_types = tm.glyph_type_of_states(states)
             langs = tm.lang_of_states(states)
-            exposures = cache.best_exposure[start_cols, glyphs, widths]
-            offsets = cache.best_offset[start_cols, glyphs, widths]
-            pads = cache.best_pad[start_cols, glyphs, widths]
+            if self.explicit_offset:
+                offsets = tm.offset_of_states(states)
+                oi = offsets.astype(np.int32) + MAX_OFFSET
+                exposures = cache.best_exposure4[start_cols, glyphs, widths, oi]
+                pads = cache.best_pad4[start_cols, glyphs, widths, oi]
+            else:
+                exposures = cache.best_exposure[start_cols, glyphs, widths]
+                offsets = cache.best_offset[start_cols, glyphs, widths]
+                pads = cache.best_pad[start_cols, glyphs, widths]
             decodes.append(
                 LineDecode(
                     states, widths, start_cols, glyphs, lm_chars, types,
@@ -764,8 +888,9 @@ class Decoder:
         cand_scores: np.ndarray,
         cand_prev: np.ndarray,
         buffers: List[List[Tuple[np.ndarray, ...]]],
-        cache: EmissionCache,
+        cache,
         T: int,
+        cand_offs: Optional[np.ndarray] = None,
     ) -> None:
         """Add emissions and append candidates to target-column buffers."""
         ok = (t + cand_widths) <= T
@@ -774,7 +899,13 @@ class Decoder:
             cand_widths, cand_scores, cand_prev = (
                 cand_widths[ok], cand_scores[ok], cand_prev[ok],
             )
-        total = cand_scores + cache.log_probs[t, cand_glyphs, cand_widths]
+            if cand_offs is not None:
+                cand_offs = cand_offs[ok]
+        if cand_offs is not None:  # explicit-offset emission lookup
+            emit = cache.log_probs4[t, cand_glyphs, cand_widths, cand_offs]
+        else:
+            emit = cache.log_probs[t, cand_glyphs, cand_widths]
+        total = cand_scores + emit
         live = total > NEG_INF
         if not live.all():
             cand_states, cand_widths = cand_states[live], cand_widths[live]
@@ -796,17 +927,19 @@ class Decoder:
     def _expand_start(self, s0, sc0, prev0, buffers, cache, T) -> None:
         """Line-start expansion: start states emit themselves
         (BeamingSemiMarkovDP.java:143-164)."""
-        parts_s, parts_g, parts_w, parts_sc, parts_p = [], [], [], [], []
+        parts_s, parts_g, parts_w, parts_sc, parts_p, parts_o = [], [], [], [], [], []
         for k in range(len(s0)):
             if sc0[k] == NEG_INF:
                 continue
-            g, widths = self._self_expansion(int(s0[k]))
+            g, widths, off = self._self_expansion(int(s0[k]))
             n = len(widths)
             parts_s.append(np.full(n, s0[k], dtype=np.int64))
             parts_g.append(np.full(n, g, dtype=np.int32))
             parts_w.append(widths)
             parts_sc.append(np.full(n, sc0[k], dtype=np.float64))
             parts_p.append(np.full(n, prev0[k], dtype=np.int64))
+            if self.explicit_offset:
+                parts_o.append(np.full(n, off, dtype=np.int32))
         if not parts_s:
             return
         self._scatter(
@@ -819,6 +952,7 @@ class Decoder:
             buffers,
             cache,
             T,
+            np.concatenate(parts_o) if self.explicit_offset else None,
         )
 
     def _expand_beam(self, t, states_u, scores_u, buffers, cache, T) -> None:
@@ -829,9 +963,12 @@ class Decoder:
         lens = [len(p[0]) for p in parts]
         cand_scores = np.repeat(scores_u, lens) + np.concatenate([p[3] for p in parts])
         cand_prev = np.repeat(states_u, lens)
+        cand_offs = (
+            np.concatenate([p[4] for p in parts]) if self.explicit_offset else None
+        )
         self._scatter(
             t, cand_states, cand_glyphs, cand_widths, cand_scores, cand_prev,
-            buffers, cache, T,
+            buffers, cache, T, cand_offs,
         )
 
 
