@@ -82,6 +82,88 @@ def edit_distance(
     return float(prev[m])
 
 
+def edit_distance_alignment(
+    src: Sequence[str],
+    trg: Sequence[str],
+    allow_fs_confusion: bool = False,
+) -> Tuple[float, List[int]]:
+    """Full alignment: (cost, ops) with ops in {EQUAL, SUBST, INSERT,
+    DELETE} — MarkovEditDistanceComputer.backwardPass (:213-243)."""
+    n, m = len(src), len(trg)
+    cost = np.zeros((n + 1, m + 1))
+    cost[0, :] = np.arange(m + 1)
+    cost[:, 0] = np.arange(n + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            match = 0.0 if _fs_equal(src[i - 1], trg[j - 1], allow_fs_confusion) else 1.0
+            cost[i, j] = min(
+                cost[i - 1, j - 1] + match, cost[i - 1, j] + 1.0, cost[i, j - 1] + 1.0
+            )
+    ops: List[int] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0:
+            match = 0.0 if _fs_equal(src[i - 1], trg[j - 1], allow_fs_confusion) else 1.0
+            if cost[i, j] == cost[i - 1, j - 1] + match:
+                # reference classifies by raw equality in the trace (:233-237)
+                ops.append(EQUAL if src[i - 1] == trg[j - 1] else SUBST)
+                i, j = i - 1, j - 1
+                continue
+        if i > 0 and cost[i, j] == cost[i - 1, j] + 1.0:
+            ops.append(DELETE)
+            i -= 1
+        else:
+            ops.append(INSERT)
+            j -= 1
+    ops.reverse()
+    return float(cost[n, m]), ops
+
+
+def error_analyze(
+    guess_lines, gold_lines, remove_punc: bool = False, allow_fs: bool = False
+) -> str:
+    """Evaluator.errorAnalyze (:96-172): word-level alignment error
+    breakdown + most-missed words."""
+    guess = _fully_normalize(guess_lines, remove_punc).split()
+    gold = _fully_normalize(gold_lines, remove_punc).split()
+    _, ops = edit_distance_alignment(guess, gold, allow_fs)
+    guess_i = gold_i = 0
+    insertions = deletions = isolated = non_isolated = 0
+    confusions: Dict[Tuple[str, str], int] = {}
+    for k, op in enumerate(ops):
+        if op == EQUAL:
+            guess_i += 1
+            gold_i += 1
+        elif op == SUBST:
+            if (k == 0 or ops[k - 1] == EQUAL) and (
+                k == len(ops) - 1 or ops[k + 1] == EQUAL
+            ):
+                isolated += 1
+                key = (gold[gold_i], guess[guess_i])
+                confusions[key] = confusions.get(key, 0) + 1
+            else:
+                non_isolated += 1
+            guess_i += 1
+            gold_i += 1
+        elif op == INSERT:
+            insertions += 1
+            gold_i += 1
+        else:
+            deletions += 1
+            guess_i += 1
+    lines = [
+        "%d isolated substitutions, %d non-isolated substitutions, "
+        "%d insertions, %d deletions" % (isolated, non_isolated, insertions, deletions)
+    ]
+    missed: Dict[str, int] = {}
+    for (gold_w, _guess_w), n in confusions.items():
+        missed[gold_w] = missed.get(gold_w, 0) + n
+    lines.append("Most frequent missed words")
+    for w, n in sorted(missed.items(), key=lambda kv: (-kv[1], kv[0]))[:20]:
+        lines.append("  %s: %d" % (w, n))
+    return "\n".join(lines) + "\n"
+
+
 class EvalSuffStats:
     """Evaluator.EvalSuffStats (:22-55): doc-count-weighted incremental
     mean — this is the reference's macro-average reduction, and it is

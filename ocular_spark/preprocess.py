@@ -90,6 +90,40 @@ def binarize_global(black_percentile: float, levels: np.ndarray) -> np.ndarray:
     return np.where(levels <= threshold, 0.0, MAX_LEVEL)
 
 
+def binarize_local(
+    black_percentile: float, radius_factor: float, levels: np.ndarray
+) -> np.ndarray:
+    """Binarizer.binarizeLocal (:81-130): per-block percentile
+    thresholds over a grid of radius ``levels.shape[0] * radius_factor``
+    (each block's threshold computed from its ±radius neighborhood)."""
+    if is_binary(levels):
+        return binarize_already_binary(levels)
+    w, h = levels.shape
+    radius = int(w * radius_factor)
+    if radius < 1:
+        return binarize_global(black_percentile, levels)
+    d_w = math.ceil(w / radius)
+    d_h = math.ceil(h / radius)
+    thresholds = np.zeros((d_w, d_h))
+    for di in range(d_w):
+        for dj in range(d_h):
+            i = di * radius + radius // 2
+            j = dj * radius + radius // 2
+            if i < w and j < h:
+                block = levels[
+                    max(0, i - radius) : min(w, i + radius),
+                    max(0, j - radius) : min(h, j + radius),
+                ]
+                hist = np.bincount(block.astype(np.int64).ravel(), minlength=256)
+                rank = math.ceil(block.size * black_percentile)
+                idx = np.searchsorted(np.cumsum(hist), rank, side="left")
+                thresholds[di, dj] = float(min(idx, int(MAX_LEVEL)))
+    ti = np.minimum(np.arange(w) // radius, d_w - 1)
+    tj = np.minimum(np.arange(h) // radius, d_h - 1)
+    thr = thresholds[np.ix_(ti, tj)]
+    return np.where(levels <= thr, 0.0, MAX_LEVEL)
+
+
 # --------------------------------------------------------------- straighten
 
 MIN_ANGLE_RADIANS = -0.05

@@ -116,3 +116,54 @@ def test_html_output(decoded_fixture):
     ].replace("<font color=\"Black\">", "") or "t" in html
     assert html.startswith("<HTML")
     assert "</body></html>" in html
+
+
+def test_edit_distance_alignment_and_error_analyze():
+    from ocular_spark.eval import (
+        DELETE,
+        EQUAL,
+        INSERT,
+        SUBST,
+        edit_distance,
+        edit_distance_alignment,
+        error_analyze,
+    )
+
+    cost, ops = edit_distance_alignment(list("kitten"), list("sitting"))
+    assert cost == 3 == edit_distance(list("kitten"), list("sitting"))
+    assert ops.count(SUBST) + ops.count(INSERT) + ops.count(DELETE) == 3
+    assert len([o for o in ops if o in (EQUAL, SUBST, DELETE)]) == 6  # src consumed
+
+    guess = [list("the bat sat on a mat")]
+    gold = [list("the cat sat on a mat")]
+    report = error_analyze(guess, gold)
+    assert "1 isolated substitutions" in report
+    assert "cat: 1" in report
+
+
+def test_binarize_local():
+    import numpy as np
+
+    from ocular_spark.preprocess import binarize_local
+
+    rng = np.random.RandomState(0)
+    # left half dark-ish, right half light: local thresholds adapt
+    levels = np.concatenate(
+        [rng.randint(0, 120, (40, 30)), rng.randint(140, 256, (40, 30))], axis=0
+    ).astype(np.float64)
+    out = binarize_local(0.2, 0.25, levels)
+    assert set(np.unique(out)) <= {0.0, 255.0}
+    # each half gets some black (its own 20th percentile), unlike a
+    # global threshold which would mark the whole dark half black
+    assert (out[:40] == 0).any() and (out[40:] == 0).any()
+    assert (out[:40] == 0).mean() < 0.9
+
+
+def test_template_ascii_art():
+    from ocular_spark.glyphs import build_init_font
+
+    font = build_init_font(["o", " "])
+    art = font.get("o").ascii_art()
+    assert "O" in art or "o" in art
+    assert art.startswith("o:")
+    assert "(space)" in font.get(" ").ascii_art()
