@@ -58,6 +58,11 @@ class CountsBundle:
         self.max_order = max_order
         self.n_pages = 0
         self.joint_log_prob = 0.0
+        # GSM sufficient statistics (A6): raw Viterbi (lang, lmChar,
+        # glyph) counts WITHOUT the smoothing prior (the factory adds
+        # smoothing when `make` is called on the driver), summed as a
+        # dense (L, C, C+5) tensor
+        self.gsm_counts: Optional[np.ndarray] = None
 
     def merge(self, other: "CountsBundle") -> "CountsBundle":
         for k, v in other.emission.items():
@@ -71,6 +76,11 @@ class CountsBundle:
             for w, n in wd.items():
                 mine[w] = mine.get(w, 0.0) + n
         self.token_tables = merge_token_tables(self.token_tables, other.token_tables)
+        if other.gsm_counts is not None:
+            if self.gsm_counts is None:
+                self.gsm_counts = other.gsm_counts.copy()
+            else:
+                self.gsm_counts += other.gsm_counts
         self.n_pages += other.n_pages
         self.joint_log_prob += other.joint_log_prob
         return self
@@ -137,6 +147,39 @@ def accumulate_lm_counts(
         bundle.token_tables = merge_token_tables(bundle.token_tables, new)
 
 
+def accumulate_gsm_counts(
+    bundle: CountsBundle,
+    decodes: Sequence[LineDecode],
+    char_strs: Sequence[str],
+    n_langs: int,
+) -> None:
+    """GSM E-step counts over the full Viterbi state sequence
+    (gsm/BasicGlyphSubstitutionModel.incrementCounts :234-257, applied
+    to FontTrainer.makeFullViterbiStateSeq output)."""
+    from ocular_spark.gsm import N_SPECIAL_GLYPHS, NORMAL_CHAR
+    from ocular_spark.transcriptions import make_full_viterbi_state_seq
+    from ocular_spark.decoder import RMRGN_HPHN_INIT, TMPL
+
+    C = len(char_strs)
+    if bundle.gsm_counts is None:
+        bundle.gsm_counts = np.zeros((n_langs, C, C + N_SPECIAL_GLYPHS))
+    space_idx = char_strs.index(" ")
+    hyphen_idx = char_strs.index("-") if "-" in char_strs else -1
+    for li, i in make_full_viterbi_state_seq(decodes, char_strs):
+        ld = decodes[li]
+        lang = int(ld.langs[i])
+        if lang < 0:
+            continue
+        stype = int(ld.types[i])
+        gtype = int(ld.glyph_types[i])
+        tmpl_char = int(ld.glyph_chars[i])
+        glyph = tmpl_char if gtype == NORMAL_CHAR else C + gtype
+        if stype == TMPL:
+            bundle.gsm_counts[lang, int(ld.lm_chars[i]), glyph] += 1
+        elif stype == RMRGN_HPHN_INIT and tmpl_char == space_idx and hyphen_idx >= 0:
+            bundle.gsm_counts[lang, hyphen_idx, glyph] += 1
+
+
 def estep_kernel(bundle_bc, char_strs: List[str], max_order: int):
     """mapInPandas kernel: page rows -> ONE row per partition with the
     pickled CountsBundle (partial aggregate; map-side combine)."""
@@ -155,6 +198,8 @@ def estep_kernel(bundle_bc, char_strs: List[str], max_order: int):
                 decodes, log_prob = decoder.decode_document(imgs)
                 accumulate_page_counts(counts, decodes, imgs, space_idx)
                 accumulate_lm_counts(counts, decodes, char_strs)
+                n_langs = getattr(decoder.tm, "n_langs", 1)
+                accumulate_gsm_counts(counts, decodes, char_strs, n_langs)
                 counts.n_pages += 1
                 counts.joint_log_prob += log_prob
         yield pd.DataFrame({"blob": [counts.dumps()]})

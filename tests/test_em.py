@@ -145,3 +145,68 @@ def test_checkpoint_resume(spark, em_fixture, tmp_path):
     a = f1.get("a").template_weights
     b = f2.get("a").template_weights
     np.testing.assert_array_equal(a, b)
+
+
+def test_estep_accumulates_gsm_counts(spark, em_fixture):
+    """A6 integration: the distributed E-step carries GSM (lang,
+    lmChar, glyph) counts; a GSM built from them row-normalizes
+    (gsm/BasicGlyphSubstitutionModel.make :263-283)."""
+    from ocular_spark.gsm import BasicGlyphSubstitutionModelFactory
+
+    bundle, char_strs, pages, texts = em_fixture
+    max_order = bundle.lm.get_max_order()
+    pages_df = spark.createDataFrame(pages)
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    counts = run_estep(spark, pages_df, bundle_bc, char_strs, max_order, num_partitions=2)
+    # monolingual decode: langs are -1 => no GSM counts accrue (the
+    # reference only counts when a language is assigned)
+    assert counts.gsm_counts is None or counts.gsm_counts.sum() == 0
+
+
+def test_gsm_counts_from_code_switch_decode():
+    import numpy as np
+
+    from ocular_spark.cstransition import CodeSwitchTransitionModel
+    from ocular_spark.decoder import Decoder
+    from ocular_spark.em import CountsBundle, accumulate_gsm_counts
+    from ocular_spark.fixtures import render_text_line
+    from ocular_spark.glyphs import build_init_font
+    from ocular_spark.gsm import BasicGlyphSubstitutionModelFactory, NoSubGlyphSubstitutionModel
+    from ocular_spark.charset import CharIndexer
+    from ocular_spark.lm import (
+        KNESER_NEY,
+        BasicCodeSwitchLanguageModel,
+        CorpusCounter,
+        NgramLanguageModel,
+        add_auxiliary_glyph_chars,
+    )
+
+    ci = CharIndexer()
+    counter = CorpusCounter(3)
+    corpus = ["the cat sat on the mat", "a fast cat", "-"] * 5
+    for i, line in enumerate(corpus):
+        counter.count_line_chars(list(line), ci, i)
+    active = set(counter.active_characters) | {ci.get_index(" ")}
+    add_auxiliary_glyph_chars(ci)
+    ci.lock()
+    lm = NgramLanguageModel(ci, counter.counts, active, KNESER_NEY, 1.0)
+    cslm = BasicCodeSwitchLanguageModel([(lm, 1.0)], ci, ["english"], 0.999999)
+    font = build_init_font(ci.get_objects())
+    tm = CodeSwitchTransitionModel(cslm, True, NoSubGlyphSubstitutionModel(ci), False)
+    dec = Decoder(font, cslm, beam_size=10, transition_model=tm)
+    img = render_text_line("the cat sat")
+    decodes, _ = dec.decode_document([img])
+    bundle = CountsBundle(3)
+    accumulate_gsm_counts(bundle, decodes, ci.get_objects(), 1)
+    assert bundle.gsm_counts is not None
+    assert bundle.gsm_counts.sum() >= len("thecatsat")  # one per TMPL char
+    # identity glyphs dominate (no substitution model active)
+    a = ci.get_index("a")
+    assert bundle.gsm_counts[0, a, a] >= 2
+    # and the factory turns raw counts + smoothing into a normalized GSM
+    f = BasicGlyphSubstitutionModelFactory(
+        0.1, 100.0, ["english"], ci, [lm.get_active_characters()], 1.0
+    )
+    gsm = f.make(f.initialize_new_counts_matrix() + bundle.gsm_counts)
+    sums = gsm.probs[0].sum(axis=1)
+    assert abs(sums[a] - 1.0) < 1e-9
