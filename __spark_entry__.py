@@ -237,18 +237,27 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    # hash each shingle ONCE (md5 -> 60-bit int); per-band values derive
+    # by XOR with fixed constants — 4x fewer digests and integer
+    # (not string) min aggregation
+    hashed = shingles.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    band_keys = [0, 0x5A5A5A5A5A5A5A, 0x3C3C3C3C3C3C3C, 0x66666666666666]
     minhashes = (
-        shingles.select(
-            "doc_id",
-            F.explode(F.expr("sequence(0, 3)")).alias("band"),
-            "shingle",
+        hashed.select(
+            "doc_id", "h", F.explode(F.expr("sequence(0, 3)")).alias("band")
+        )
+        .withColumn(
+            "v",
+            F.expr(
+                "h ^ CASE band WHEN 0 THEN %dL WHEN 1 THEN %dL "
+                "WHEN 2 THEN %dL ELSE %dL END" % tuple(band_keys)
+            ),
         )
         .groupBy("doc_id", "band")
-        .agg(
-            F.min(F.md5(F.concat(F.col("band").cast("string"), F.col("shingle")))).alias(
-                "minhash"
-            )
-        )
+        .agg(F.min("v").alias("minhash"))
     )
     return (
         minhashes.groupBy("band", "minhash")
@@ -688,14 +697,20 @@ def oracle_sql() -> dict[str, str]:
                        UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 4, 1))) AS i
                 FROM documents
             ),
-            shingles AS (
-                SELECT doc_id, SUBSTRING(text, i, 5) AS shingle FROM pos
+            hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || SUBSTRING(MD5(SUBSTRING(text, i, 5)), 1, 15))::UBIGINT
+                            AS BIGINT) AS h
+                FROM pos
             ),
             bands AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band),
             minhashes AS (
                 SELECT doc_id, band,
-                       MIN(MD5(CAST(band AS VARCHAR) || shingle)) AS minhash
-                FROM shingles CROSS JOIN bands
+                       MIN(XOR(h, CASE band WHEN 0 THEN 0
+                                            WHEN 1 THEN 25432092013386330
+                                            WHEN 2 THEN 16954728008924220
+                                            ELSE 28823037615171174 END)) AS minhash
+                FROM hashed CROSS JOIN bands
                 GROUP BY doc_id, band
             )
             SELECT band, minhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
