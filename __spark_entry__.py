@@ -33,11 +33,14 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load + spread across cores.  The test parquet is a single small
     file (1 input split), so row-explosion work would otherwise run on
-    one core; at production scale the scan itself provides the
-    parallelism and this repartition is a no-op by ratio."""
+    one core.  The repartition is GATED on the scan's actual split
+    count: at production scale the scan already yields >= cores splits
+    and no shuffle is inserted."""
     df = _load(spark, sf_dir, name)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(nparts)
+    if df.rdd.getNumPartitions() < nparts:
+        df = df.repartition(nparts)
+    return df
 
 
 # ---------------------------------------------------------------- OCR core
@@ -223,12 +226,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: 5-char shingles -> per-band min
-    hash -> band-bucket grouping (near-dup detection scale path).
-    Buckets with >1 doc are candidate duplicate groups."""
-    d = _load_wide(spark, sf_dir, "documents")
-    shingles = d.select(
+# Universal-hash family for per-band minhash permutations:
+# v_b = (a_b * h + c_b) mod P over the Mersenne prime P = 2^31 - 1.
+# Unlike XOR-with-constant (which preserves the ordering of the high
+# bits, rank-correlating the bands), multiplication mod P is a proper
+# 2-universal permutation family, so the b bands are independent as the
+# LSH recall/precision math assumes.  All arithmetic stays < 2^62, so
+# it is exact in BIGINT on both engines (no ANSI overflow).
+MINHASH_P = 2147483647
+MINHASH_A = [1103515245, 1583458089, 784588716, 999999937]
+MINHASH_C = [12345, 54321, 98765, 24680]
+
+
+def _minhash_minhashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, minhash): 5-char shingles,
+    ONE md5 digest per shingle reduced mod P, then 4 independent
+    band permutations (integer min aggregation)."""
+    shingles = docs.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -237,28 +251,35 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    # hash each shingle ONCE (md5 -> 60-bit int); per-band values derive
-    # by XOR with fixed constants — 4x fewer digests and integer
-    # (not string) min aggregation
     hashed = shingles.select(
         "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        ).alias("h31"),
     )
-    band_keys = [0, 0x5A5A5A5A5A5A5A, 0x3C3C3C3C3C3C3C, 0x66666666666666]
-    minhashes = (
+    a_case = "CASE band WHEN 0 THEN %dL WHEN 1 THEN %dL WHEN 2 THEN %dL ELSE %dL END" % tuple(
+        MINHASH_A
+    )
+    c_case = "CASE band WHEN 0 THEN %dL WHEN 1 THEN %dL WHEN 2 THEN %dL ELSE %dL END" % tuple(
+        MINHASH_C
+    )
+    return (
         hashed.select(
-            "doc_id", "h", F.explode(F.expr("sequence(0, 3)")).alias("band")
+            "doc_id", "h31", F.explode(F.expr("sequence(0, 3)")).alias("band")
         )
-        .withColumn(
-            "v",
-            F.expr(
-                "h ^ CASE band WHEN 0 THEN %dL WHEN 1 THEN %dL "
-                "WHEN 2 THEN %dL ELSE %dL END" % tuple(band_keys)
-            ),
-        )
+        .withColumn("v", F.expr(f"(h31 * {a_case} + {c_case}) % {MINHASH_P}"))
         .groupBy("doc_id", "band")
         .agg(F.min("v").alias("minhash"))
     )
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 5-char shingles -> per-band min
+    hash -> band-bucket grouping (near-dup detection scale path).
+    Buckets with >1 doc are candidate duplicate groups."""
+    d = _load_wide(spark, sf_dir, "documents")
+    minhashes = _minhash_minhashes(d)
     return (
         minhashes.groupBy("band", "minhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
@@ -407,27 +428,61 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (the scale path: candidate pairs
-    only within buckets): bucket = sign bits of the first 4 dims;
-    reports bucket sizes and within-bucket high-cosine candidate pairs."""
+    """Hyperplane-LSH bucketed ANN — the 100 TB scale path: candidate
+    pairs are generated only WITHIN buckets.  16 sign bits per table
+    (2^16 buckets -> O(1)-sized buckets at scale, so the within-bucket
+    self-join is linear, not quadratic) and TWO hash tables over
+    disjoint dim blocks (multi-table probing recovers the recall a
+    single 16-bit table loses).  Output: per-table bucket/pair summary
+    (n_buckets, max bucket size, pair counts, high-cosine candidates)."""
     e = _load(spark, sf_dir, "embeddings")
-    bucket = F.concat(
-        *[
-            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(4)
-        ]
+
+    def sig(d0: int) -> "F.Column":
+        return F.concat(
+            *[
+                F.when(F.element_at("embedding", d0 + k + 1) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for k in range(16)
+            ]
+        )
+
+    eb = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("table_id"), sig(0).alias("bucket")),
+                F.struct(F.lit(1).alias("table_id"), sig(16).alias("bucket")),
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+    sizes = eb.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    bucket_stats = sizes.groupBy("table_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
     )
-    eb = e.withColumn("bucket", bucket)
-    a = eb.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = eb.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    pairs = (
-        a.join(b, ["bucket"])
+    a = eb.select("table_id", "bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = eb.select("table_id", "bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pair_stats = (
+        a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", _dot64(F.col("vec_a"), F.col("vec_b")))
+        .groupBy("table_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("cos") > 0.9, 1)).alias("n_candidates"),
+        )
     )
-    return pairs.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.count(F.when(F.col("cos") > 0.9, 1)).alias("n_candidates"),
+    return (
+        bucket_stats.join(pair_stats, "table_id", "left")
+        .select(
+            "table_id",
+            "n_buckets",
+            "max_bucket_size",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        )
     )
 
 
@@ -700,16 +755,20 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (
                 SELECT doc_id,
                        CAST(('0x' || SUBSTRING(MD5(SUBSTRING(text, i, 5)), 1, 15))::UBIGINT
-                            AS BIGINT) AS h
+                            AS BIGINT) % 2147483647 AS h31
                 FROM pos
             ),
             bands AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band),
             minhashes AS (
                 SELECT doc_id, band,
-                       MIN(XOR(h, CASE band WHEN 0 THEN 0
-                                            WHEN 1 THEN 25432092013386330
-                                            WHEN 2 THEN 16954728008924220
-                                            ELSE 28823037615171174 END)) AS minhash
+                       MIN((h31 * CASE band WHEN 0 THEN 1103515245
+                                            WHEN 1 THEN 1583458089
+                                            WHEN 2 THEN 784588716
+                                            ELSE 999999937 END
+                            + CASE band WHEN 0 THEN 12345
+                                        WHEN 1 THEN 54321
+                                        WHEN 2 THEN 98765
+                                        ELSE 24680 END) % 2147483647) AS minhash
                 FROM hashed CROSS JOIN bands
                 GROUP BY doc_id, band
             )
@@ -758,7 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": """
             SELECT event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS max_k
             FROM events
             GROUP BY event_type
@@ -802,22 +861,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "embed_lsh_buckets": """
-            WITH eb AS (
-                SELECT vec_id, embedding,
-                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-                        CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-                        CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-                        CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-                FROM embeddings
+            WITH tables(table_id, d0) AS (VALUES (0, 0), (1, 16)),
+            eb AS (
+                SELECT t.table_id, e.vec_id, e.embedding,
+                       LIST_AGGREGATE(
+                           LIST_TRANSFORM(GENERATE_SERIES(1, 16),
+                               k -> CASE WHEN e.embedding[t.d0 + k] >= 0
+                                         THEN '1' ELSE '0' END),
+                           'string_agg', '') AS bucket
+                FROM embeddings e CROSS JOIN tables t
+            ),
+            bucket_stats AS (
+                SELECT table_id,
+                       COUNT(*) AS n_buckets,
+                       MAX(sz) AS max_bucket_size
+                FROM (SELECT table_id, bucket, COUNT(*) AS sz
+                      FROM eb GROUP BY 1, 2)
+                GROUP BY table_id
+            ),
+            pair_stats AS (
+                SELECT a.table_id,
+                       COUNT(*) AS n_pairs,
+                       COUNT(*) FILTER (WHERE LIST_DOT_PRODUCT(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) > 0.9) AS n_candidates
+                FROM eb a
+                JOIN eb b ON a.table_id = b.table_id
+                         AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                GROUP BY 1
             )
-            SELECT a.bucket,
-                   COUNT(*) AS n_pairs,
-                   COUNT(*) FILTER (WHERE LIST_DOT_PRODUCT(
-                       CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])) > 0.9) AS n_candidates
-            FROM eb a
-            JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            GROUP BY 1
+            SELECT s.table_id, s.n_buckets, s.max_bucket_size,
+                   COALESCE(p.n_pairs, 0) AS n_pairs,
+                   COALESCE(p.n_candidates, 0) AS n_candidates
+            FROM bucket_stats s
+            LEFT JOIN pair_stats p ON s.table_id = p.table_id
         """,
         "lang_id": """
             SELECT doc_id,
@@ -848,7 +925,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             fingerprints AS (
                 SELECT doc_id,
-                       SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                            AS BIGINT) AS simhash
                 FROM votes GROUP BY doc_id
             )
             SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id

@@ -82,6 +82,39 @@ def test_entry_smoke(spark):
     assert media_rows and all(r.text for r in media_rows)
 
 
+def test_minhash_bands_are_rank_independent(spark):
+    """The per-band minhash permutations must be statistically
+    independent: with the round-1 XOR-constant derivation all bands
+    shared the candidate-min ordering of the top bits (rank correlation
+    ~1 across bands), silently breaking the b-band LSH recall math.
+    The universal-hash family (a_b*h + c_b mod 2^31-1) must show low
+    cross-band rank correlation of per-doc band minima."""
+    import hashlib
+
+    import numpy as np
+
+    texts = [
+        " ".join(
+            hashlib.sha256(f"{i}|{j}".encode()).hexdigest()[:6] for j in range(30)
+        )
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    mh = entry_mod._minhash_minhashes(docs).collect()
+    by_band = {}
+    for r in mh:
+        by_band.setdefault(r.band, {})[r.doc_id] = r.minhash
+    doc_ids = sorted(by_band[0])
+    mat = np.array([[by_band[b][d] for d in doc_ids] for b in range(4)], dtype=np.float64)
+    ranks = np.argsort(np.argsort(mat, axis=1), axis=1).astype(np.float64)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            rho = np.corrcoef(ranks[i], ranks[j])[0, 1]
+            assert abs(rho) < 0.5, (i, j, rho)
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     qs = entry_mod.queries()
     no_oracle = set(qs) - set(entry_mod.oracle_sql())
