@@ -305,6 +305,41 @@ def is_batch_complete(
     return current_batch_size == update_doc_batch_size
 
 
+def num_batches(n_docs: int, update_doc_batch_size: int) -> int:
+    """Number of contiguous batches under the reference's
+    isBatchComplete rule: floor(n/batch) slices of size `batch`, with
+    the remainder lumped into the LAST batch (FontTrainer.java:272-285)."""
+    if update_doc_batch_size <= 0 or n_docs <= update_doc_batch_size:
+        return 1
+    return n_docs // update_doc_batch_size
+
+
+def assign_batches(pages_df, update_doc_batch_size: int, n_docs: int):
+    """Materialize a ``batch_id`` column reproducing the reference's
+    contiguous-slice batch semantics WITHOUT collecting keys to the
+    driver (the round-1 implementation collected every (doc_id,
+    media_ref) and filtered with a giant IN-list — a driver OOM at
+    10^12 docs).
+
+    The global row_number runs over a keys-only projection (two narrow
+    string columns, never the image payload); the result joins back on
+    the page key, which Catalyst plans as a broadcast join for small
+    key sets and a co-partitioned shuffle join otherwise."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_b = num_batches(n_docs, update_doc_batch_size)
+    w = Window.orderBy("doc_id", "media_ref")
+    keyed = pages_df.select("doc_id", "media_ref").withColumn(
+        "batch_id",
+        F.least(
+            F.floor((F.row_number().over(w) - 1) / update_doc_batch_size).cast("int"),
+            F.lit(n_b - 1),
+        ),
+    )
+    return pages_df.join(keyed, ["doc_id", "media_ref"]), n_b
+
+
 def _font_path(out_dir: str, it: int, batch: int) -> str:
     return os.path.join(out_dir, "font_iter-%02d_batch-%02d.fontnpz" % (it, batch))
 
@@ -368,34 +403,25 @@ def train_font(
 
     history: List[float] = []
     # deterministic batch assignment by doc order (reference processes
-    # docs in lexicographic order; batches are contiguous slices)
+    # docs in lexicographic order; batches are contiguous slices) —
+    # materialized as a batch_id column, no driver-side key collect
     from pyspark.sql import functions as F
 
-    ordered = pages_df.select("doc_id", "media_ref", "lines").orderBy(
-        "doc_id", "media_ref"
-    )
-    keys = [
-        (r["doc_id"], r["media_ref"]) for r in ordered.select("doc_id", "media_ref").collect()
-    ]
-    batches: List[List[Tuple[str, str]]] = []
-    cur: List[Tuple[str, str]] = []
-    for i, k in enumerate(keys):
-        cur.append(k)
-        if is_batch_complete(len(keys), i, len(cur), update_doc_batch_size):
-            batches.append(cur)
-            cur = []
-    if cur:
-        batches.append(cur)
+    from ocular_spark.decoder import CompiledTransitionModel
 
+    pages_b, n_batches = assign_batches(pages_df, update_doc_batch_size, n_docs)
+
+    # compile the dense transition tables once per LM generation on the
+    # driver (re-broadcast ships arrays, workers skip the compile)
+    tm = CompiledTransitionModel(lm)
     for it in range(start_iter + 1, num_em_iters + 1):
         iter_log_prob = 0.0
-        for b_idx, batch_keys in enumerate(batches):
-            bundle = ModelBundle(font.to_bytes(), lm, beam_size=beam_size)
-            bundle_bc = spark.sparkContext.broadcast(bundle)
-            key_set = {f"{d}|{m}" for d, m in batch_keys}
-            batch_df = pages_df.filter(
-                F.concat_ws("|", "doc_id", "media_ref").isin(list(key_set))
+        for b_idx in range(n_batches):
+            bundle = ModelBundle(
+                font.to_bytes(), lm, beam_size=beam_size, transition_model=tm
             )
+            bundle_bc = spark.sparkContext.broadcast(bundle)
+            batch_df = pages_b.filter(F.col("batch_id") == b_idx).drop("batch_id")
             counts = run_estep(
                 spark, batch_df, bundle_bc, char_strs, max_order, num_partitions
             )
@@ -403,6 +429,7 @@ def train_font(
             font = apply_font_mstep(font, counts, char_strs)
             if reestimate_lm_too:
                 lm = reestimate_lm(lm, counts)
+                tm = CompiledTransitionModel(lm)
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
                 font.save_npz(_font_path(out_dir, it, b_idx + 1))

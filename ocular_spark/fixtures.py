@@ -222,13 +222,15 @@ def build_models(
         m = hashlib.sha256()
         for t in texts:
             m.update(t.encode())
-        m.update(b"|order=%d|glyphv2" % order)
+        m.update(b"|order=%d|glyphv3" % order)
         cache_key = m.hexdigest()[:16]
     cache_path = os.path.join(CACHE_DIR, "models_%s.pkl" % cache_key)
     if os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
-            font_bytes, lm = pickle.load(f)
+            font_bytes, lm, tm = pickle.load(f)
     else:
+        from ocular_spark.decoder import CompiledTransitionModel
+
         ci = CharIndexer()
         corpus = [list(t) for t in texts]
         # force hyphen (universal punctuation) into the charset,
@@ -237,13 +239,17 @@ def build_models(
         lm = build_ngram_lm_from_chars(corpus, order, KNESER_NEY, 1.0, ci)
         font = build_init_font(ci.get_objects())
         font_bytes = font.to_bytes()
+        # compile the dense transition tables ONCE on the driver; the
+        # broadcast then ships plain NumPy arrays (cold workers skip
+        # the O(n_ctx * C) compile entirely)
+        tm = CompiledTransitionModel(lm)
         os.makedirs(CACHE_DIR, exist_ok=True)
         tmp = cache_path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump((font_bytes, lm), f)
+            pickle.dump((font_bytes, lm, tm), f)
         os.replace(tmp, cache_path)
     char_strs = lm.get_character_indexer().get_objects()
-    bundle = ModelBundle(font_bytes, lm, beam_size=beam_size)
+    bundle = ModelBundle(font_bytes, lm, beam_size=beam_size, transition_model=tm)
     return bundle, char_strs
 
 

@@ -86,9 +86,18 @@ class ModelBundle:
                  preprocess_em_iters: int = 5, preprocess_em_restarts: int = 100,
                  binarize_threshold: float = 0.12,
                  preprocess_straighten: bool = True,
-                 preprocess_crop: bool = False) -> None:
+                 preprocess_crop: bool = False,
+                 transition_model=None) -> None:
         self.font_bytes = font_bytes
         self.lm = lm
+        # Optional PRE-COMPILED transition model (CompiledTransitionModel
+        # / CodeSwitchTransitionModel / MarkovOffsetTransitionModel).
+        # Compiling the dense context tables costs O(n_ctx * C) Python
+        # loops; doing it once on the driver and shipping plain NumPy
+        # arrays in the broadcast turns every cold worker's start-up
+        # into O(unpickle) (the round-1 driver bench lost 2.3x decode
+        # throughput to per-worker recompiles).
+        self.transition_model = transition_model
         self.beam_size = beam_size
         self.pad_min = pad_min
         self.pad_max = pad_max
@@ -123,7 +132,10 @@ def get_decoder(bundle: ModelBundle):
         except Exception:
             pass
         font = Font.from_bytes(bundle.font_bytes)
-        dec = Decoder(font, bundle.lm, bundle.pad_min, bundle.pad_max, bundle.beam_size)
+        dec = Decoder(
+            font, bundle.lm, bundle.pad_min, bundle.pad_max, bundle.beam_size,
+            transition_model=getattr(bundle, "transition_model", None),
+        )
         _DECODER_CACHE.clear()  # one model generation at a time per worker
         _DECODER_CACHE[key] = dec
     return dec

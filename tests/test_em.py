@@ -40,6 +40,35 @@ def test_is_batch_complete_reference_semantics():
     assert not is_batch_complete(3, 2, 3, 4, no_update_if_batch_too_small=True)
 
 
+def test_assign_batches_matches_reference_loop(spark):
+    """The materialized batch_id column must reproduce exactly the
+    contiguous slices the round-1 collect+isin loop (and the
+    reference's isBatchComplete walk) produced."""
+    from ocular_spark.em import assign_batches
+
+    for n, batch in [(10, 4), (9, 3), (3, 4), (8, 8), (7, 2), (5, 1)]:
+        keys = [("doc-%03d" % i, "m-%03d" % i) for i in range(n)]
+        # reference walk
+        ref_batches, cur = [], []
+        for i, k in enumerate(keys):
+            cur.append(k)
+            if is_batch_complete(n, i, len(cur), batch):
+                ref_batches.append(cur)
+                cur = []
+        if cur:
+            ref_batches.append(cur)
+        want = {
+            k: b_idx for b_idx, ks in enumerate(ref_batches) for k in ks
+        }
+        df = spark.createDataFrame(
+            [(d, m, "x") for d, m in keys], "doc_id string, media_ref string, lines string"
+        )
+        got_df, n_b = assign_batches(df, batch, n)
+        got = {(r.doc_id, r.media_ref): r.batch_id for r in got_df.collect()}
+        assert n_b == len(ref_batches), (n, batch)
+        assert got == want, (n, batch)
+
+
 @pytest.fixture(scope="module")
 def em_fixture(sf_dir):
     import os
