@@ -531,41 +531,37 @@ def q_em_font_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LM perplexity (O20) of the documents text under the
-    fixture char-LM, computed in an Arrow-batched kernel."""
+    fixture char-LM.  The broadcast carries only the DENSE scoring
+    tables (log P(c|ctx) matrix + per-order context-code indexes,
+    plain NumPy — built once on the driver); the kernel is fully
+    vectorized (strided window codes + searchsorted + gather), no
+    per-character Python and no KN recursion at scoring time."""
     import pyarrow.parquet as pq
 
     from ocular_spark.fixtures import build_models
+    from ocular_spark.lm import DensePplTables
 
     documents_path = os.path.join(sf_dir, "documents.parquet")
     bundle, char_strs = build_models(
         pq.read_table(documents_path).to_pandas()
     )
-    lm_bc = spark.sparkContext.broadcast(bundle.lm)
+    tables_bc = spark.sparkContext.broadcast(DensePplTables(bundle.transition_model))
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
 
     def ppl_kernel(batches):
-        import math
-
+        import numpy as np
         import pandas as pd
 
-        lm = lm_bc.value
-        ci = lm.get_character_indexer()
-        idx = {c: i for i, c in enumerate(ci.get_objects())}
-        max_order = lm.get_max_order()
+        tables = tables_bc.value
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                chars = [idx[ch] for ch in str(text) if ch in idx]
-                log_total, n = 0.0, 0
-                for i, c in enumerate(chars):
-                    ctx = lm.shrink_context(tuple(chars[max(0, i - (max_order - 1)) : i]))
-                    p = lm.get_char_ngram_prob(ctx, c)
-                    if p > 0:
-                        log_total += math.log(p)
-                        n += 1
-                ppl = math.exp(-log_total / n) if n else float("nan")
-                out.append((int(doc_id), len(chars), round(ppl, 4)))
-            yield pd.DataFrame(out, columns=["doc_id", "n_scored", "perplexity"])
+            n_chars, ppl = tables.score_batch([str(t) for t in pdf["text"]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_scored": n_chars.astype("int32"),
+                    "perplexity": np.round(ppl, 4),
+                }
+            )
 
     return d.select("doc_id", "text").mapInPandas(
         ppl_kernel, schema="doc_id long, n_scored int, perplexity double"
@@ -672,7 +668,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = dict(_ORACLE_SQL)
+    # frozen VALUES-goldens for the non-SQL-expressible OCR-core
+    # queries (deterministic decode outputs at the driver's sf0.01
+    # correctness scale; regenerate via tools/freeze_goldens.py)
+    try:
+        from golden_oracles import GOLDEN_ORACLES
+
+        out.update(GOLDEN_ORACLES)
+    except ImportError:
+        pass
+    return out
+
+
+_ORACLE_SQL = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -17,6 +17,8 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
 
 def _duck_con(sf_dir):
     con = duckdb.connect()
@@ -46,7 +48,18 @@ def _normalize(rows, cols):
     return [c for _, c in sorted(zip(range(len(cols)), cols), key=lambda p: cols[p[0]])], out
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+# the frozen VALUES-goldens are pinned to sf0.01 (the driver's
+# correctness scale) — they get their own sf0.01 test below; the
+# recomputable oracles are checked here at sf0.001 for speed
+try:
+    from golden_oracles import GOLDEN_ORACLES
+except ImportError:
+    GOLDEN_ORACLES = {}
+
+RECOMPUTABLE = sorted(set(entry_mod.oracle_sql()) - set(GOLDEN_ORACLES))
+
+
+@pytest.mark.parametrize("name", RECOMPUTABLE)
 def test_query_matches_duckdb_oracle(spark, sf_dir, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
@@ -115,12 +128,31 @@ def test_minhash_bands_are_rank_independent(spark):
             assert abs(rho) < 0.5, (i, j, rho)
 
 
-def test_rows_only_queries_run(spark, sf_dir):
-    qs = entry_mod.queries()
-    no_oracle = set(qs) - set(entry_mod.oracle_sql())
-    assert no_oracle == {
+def test_every_query_has_an_oracle():
+    """Since round 2 every driver query carries an oracle entry — the
+    OCR-core queries via frozen sf0.01 goldens (golden_oracles.py)."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
+    assert set(GOLDEN_ORACLES) == {
         "transcribe_spans", "transcribe_metrics", "em_font_counts", "lm_perplexity",
     }
-    for name in sorted(no_oracle):
-        df = qs[name](spark, sf_dir)
-        assert df.count() > 0, name
+
+
+def test_golden_queries_match_frozen_oracles_at_sf001(spark):
+    """Mimic the driver's gate for the golden queries AT sf0.01 (the
+    scale the goldens were frozen at): rows, columns, and
+    order-insensitive values must match the VALUES-select exactly."""
+    sf_dir = os.path.join(TESTDATA, "sf0.01")
+    con = _duck_con(sf_dir)
+    for name in sorted(GOLDEN_ORACLES):
+        sdf = entry_mod.queries()[name](spark, sf_dir)
+        spark_cols = sdf.columns
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(GOLDEN_ORACLES[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert sorted(spark_cols) == sorted(duck_cols), name
+        assert len(spark_rows) == len(duck_rows), name
+        _, s_norm = _normalize(spark_rows, spark_cols)
+        _, d_norm = _normalize(duck_rows, duck_cols)
+        mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+        assert not mismatches, (name, mismatches[:5])

@@ -223,3 +223,46 @@ def test_abs_disc_backoff():
     # P_AD(b|a) = (3-.75)/3 + 2*... historyType(a)=|{ab}|=1 → bow = 1*.75/3
     # unigram MLE(b)=4/7
     assert lm.get_char_ngram_prob((a,), b) == pytest.approx(2.25 / 3 + 0.75 / 3 * 4 / 7)
+
+
+def test_dense_ppl_tables_match_reference_walk():
+    """The vectorized batch scorer (DensePplTables.score_batch) must
+    reproduce exactly the per-character reference walk
+    (shrink_context + get_char_ngram_prob per position) including
+    boundary behavior at doc starts, unknown chars, and empty docs."""
+    import numpy as np
+
+    from ocular_spark.decoder import CompiledTransitionModel
+    from ocular_spark.lm import DensePplTables, build_ngram_lm_from_chars
+
+    ci = CharIndexer()
+    corpus = [list(s) for s in [
+        "the cat sat on a mat", "a man ran to the van",
+        "no rat sat", "the fast man ran", "-",
+    ]]
+    lm = build_ngram_lm_from_chars(corpus, 3, KNESER_NEY, 1.0, ci)
+    tables = DensePplTables(CompiledTransitionModel(lm))
+
+    idx = {c: i for i, c in enumerate(ci.get_objects())}
+    m = lm.get_max_order()
+
+    def ref_score(text):
+        cs = [idx[ch] for ch in text if ch in idx]
+        lt, n = 0.0, 0
+        for i, c in enumerate(cs):
+            ctx = lm.shrink_context(tuple(cs[max(0, i - (m - 1)):i]))
+            p = lm.get_char_ngram_prob(ctx, c)
+            if p > 0:
+                lt += math.log(p)
+                n += 1
+        return len(cs), (math.exp(-lt / n) if n else float("nan"))
+
+    texts = ["the cat ran", "zzz unseen zzz", "", "Ω", "a", "man on a mat sat"]
+    n_chars, ppl = tables.score_batch(texts)
+    for t, nc, p in zip(texts, n_chars, ppl):
+        rnc, rp = ref_score(t)
+        assert nc == rnc, t
+        if math.isnan(rp):
+            assert math.isnan(p), t
+        else:
+            assert p == pytest.approx(rp, abs=1e-9), t
