@@ -84,6 +84,62 @@ def q_transcribe_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flatten_spans(out: DataFrame) -> DataFrame:
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def q_transcribe_spans_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch + glyph-substitution transcription (O12 on the
+    SPARK path): bilingual pages (language 0 = document text, language
+    1 = word-reversed) decoded with the CodeSwitchTransitionModel and
+    a uniform GSM; the first page renders a LONG-S glyph, which the
+    diplomatic channel must preserve (reference serving wiring:
+    main/FonttrainTranscribeShared.java:255-304)."""
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import build_models_cs, derive_docs_and_media_cs
+    from ocular_spark.pipeline import DOCS_DDL, transcribe
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media_cs(documents, n_docs=3)
+    bundle, char_strs = build_models_cs(documents)
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    return _flatten_spans(transcribe(docs_df, media_df, bundle_bc, char_strs))
+
+
+def q_transcribe_spans_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov vertical-offset transcription (O13 on the SPARK path):
+    page lines are shifted by deterministic per-line offsets in
+    [-3, 3]; the explicit-offset transition/emission variant tracks
+    the shift (CharacterNgramTransitionModelMarkovOffset.java,
+    CachingEmissionModelExplicitOffset.java)."""
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import (
+        build_models_offset,
+        derive_docs_and_media_offset,
+    )
+    from ocular_spark.pipeline import DOCS_DDL, transcribe
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media_offset(documents, n_docs=4)
+    bundle, char_strs = build_models_offset(documents)
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    return _flatten_spans(transcribe(docs_df, media_df, bundle_bc, char_strs))
+
+
 def q_transcribe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page decode lineage metrics (resume/monitoring table)."""
     from ocular_spark.pipeline import decode_metrics
@@ -641,6 +697,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcribe_spans": q_transcribe_spans,
+        "transcribe_spans_cs": q_transcribe_spans_cs,
+        "transcribe_spans_offset": q_transcribe_spans_offset,
         "transcribe_metrics": q_transcribe_metrics,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,

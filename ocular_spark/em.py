@@ -55,6 +55,10 @@ class CountsBundle:
         self.token_tables: List[Dict[Tuple[int, ...], int]] = [
             {} for _ in range(max_order)
         ]
+        # per-language token tables (multilingual hard-EM,
+        # FontTrainer.separateTranscriptionsByLanguage :388-424):
+        # lang index -> per-order tables over that language's runs
+        self.lang_token_tables: Dict[int, List[Dict[Tuple[int, ...], int]]] = {}
         self.max_order = max_order
         self.n_pages = 0
         self.joint_log_prob = 0.0
@@ -76,6 +80,12 @@ class CountsBundle:
             for w, n in wd.items():
                 mine[w] = mine.get(w, 0.0) + n
         self.token_tables = merge_token_tables(self.token_tables, other.token_tables)
+        for lang, tables in other.lang_token_tables.items():
+            mine_l = self.lang_token_tables.get(lang)
+            self.lang_token_tables[lang] = (
+                merge_token_tables(mine_l, tables) if mine_l is not None
+                else [dict(t) for t in tables]
+            )
         if other.gsm_counts is not None:
             if self.gsm_counts is None:
                 self.gsm_counts = other.gsm_counts.copy()
@@ -132,19 +142,64 @@ def accumulate_page_counts(
             np.add.at(arr[1], (slice(None), j), (seg == WHITE) * count)
 
 
+def separate_runs_by_language(
+    running: Sequence[str], langs: Sequence[int], n_langs: int
+) -> Dict[int, List[List[str]]]:
+    """FontTrainer.separateTranscriptionsByLanguage (:388-424) over one
+    document's running normalized charLang sequence: split into
+    maximal same-language runs (consecutive duplicate spaces dropped
+    within a run); a lang of -1 maps to 0 when there is exactly one
+    language (the reference's null-language monolingual case)."""
+    out: Dict[int, List[List[str]]] = {}
+    prev_lang: Optional[int] = None
+    cur: List[str] = []
+
+    def flush() -> None:
+        if cur:
+            lang = prev_lang if prev_lang is not None else -1
+            if lang < 0:
+                if n_langs == 1:
+                    lang = 0
+                else:
+                    return  # no language attribution — reference would crash
+            out.setdefault(lang, []).append(list(cur))
+
+    for ch, lang in zip(running, langs):
+        if prev_lang is None or lang != prev_lang:
+            flush()
+            cur = []
+            prev_lang = lang
+        if ch != " " or not cur or cur[-1] != " ":
+            cur.append(ch)
+    flush()
+    return out
+
+
 def accumulate_lm_counts(
-    bundle: CountsBundle, decodes: Sequence[LineDecode], char_strs: Sequence[str]
+    bundle: CountsBundle, decodes: Sequence[LineDecode], char_strs: Sequence[str],
+    n_langs: int = 1,
 ) -> None:
-    """Count n-grams of the decoded running normalized text (the
-    monolingual analog of FontTrainer.separateTranscriptionsByLanguage
-    + CorpusCounter; distributive token tables, cascade derived on the
-    driver by derive_count_db)."""
+    """Count n-grams of the decoded running normalized text
+    (distributive token tables; cascade derived on the driver by
+    derive_count_db).  The combined tables feed monolingual
+    re-estimation; the per-language split (reference
+    separateTranscriptionsByLanguage) feeds per-language KN rebuilds."""
     tr = assemble(decodes, char_strs)
     str_to_idx = {s: i for i, s in enumerate(char_strs)}
     indexed = [str_to_idx[ch] for ch in tr.normalized_running]
     if indexed:
         new = token_tables_from_lines([indexed], bundle.max_order)
         bundle.token_tables = merge_token_tables(bundle.token_tables, new)
+    runs = separate_runs_by_language(
+        tr.normalized_running, tr.normalized_running_langs, n_langs
+    )
+    for lang, passages in runs.items():
+        lines = [[str_to_idx[ch] for ch in p] for p in passages]
+        new_l = token_tables_from_lines(lines, bundle.max_order)
+        cur = bundle.lang_token_tables.get(lang)
+        bundle.lang_token_tables[lang] = (
+            merge_token_tables(cur, new_l) if cur is not None else new_l
+        )
 
 
 def accumulate_gsm_counts(
@@ -196,9 +251,9 @@ def estep_kernel(bundle_bc, char_strs: List[str], max_order: int):
             for lines in pdf["lines"]:
                 imgs = [unpack_line(raw) for raw in lines]
                 decodes, log_prob = decoder.decode_document(imgs)
-                accumulate_page_counts(counts, decodes, imgs, space_idx)
-                accumulate_lm_counts(counts, decodes, char_strs)
                 n_langs = getattr(decoder.tm, "n_langs", 1)
+                accumulate_page_counts(counts, decodes, imgs, space_idx)
+                accumulate_lm_counts(counts, decodes, char_strs, n_langs)
                 accumulate_gsm_counts(counts, decodes, char_strs, n_langs)
                 counts.n_pages += 1
                 counts.joint_log_prob += log_prob
@@ -283,6 +338,40 @@ def reestimate_lm(lm, counts: CountsBundle, interp_weight: float = 0.5):
     )
     return InterpolatingSingleLanguageModel(
         [(base, 1.0 - interp_weight), (new_lm, interp_weight)]
+    )
+
+
+def reestimate_cslm(cslm, counts: CountsBundle, interp_weight: float = 0.5):
+    """Per-language LM re-estimation for multilingual hard-EM —
+    FontTrainer.reestimateLM (train/FontTrainer.java:340-386): for each
+    language with decoded characters, rebuild a KN LM over that
+    language's runs and interpolate with the base at `interp_weight`;
+    languages absent from the transcription keep their base LM.  New
+    language priors are proportional to decoded chars + 1 (smoothing),
+    normalized by the BasicCodeSwitchLanguageModel constructor."""
+    from ocular_spark.lm import BasicCodeSwitchLanguageModel
+
+    ci = cslm.get_character_indexer()
+    lms_and_priors = []
+    for lang in range(cslm.num_languages()):
+        base = cslm.get(lang)
+        if isinstance(base, InterpolatingSingleLanguageModel):
+            base = base.sub_models[0]
+        tables = counts.lang_token_tables.get(lang)
+        total = sum(tables[0].values()) if tables else 0
+        if total > 0:
+            dbs = derive_count_db(tables)
+            new_lm = NgramLanguageModel(
+                ci, dbs, base.get_active_characters(), KNESER_NEY, base.lm_power
+            )
+            updated = InterpolatingSingleLanguageModel(
+                [(base, 1.0 - interp_weight), (new_lm, interp_weight)]
+            )
+        else:
+            updated = base
+        lms_and_priors.append((updated, total + 1.0))
+    return BasicCodeSwitchLanguageModel(
+        lms_and_priors, ci, cslm.lang_names, cslm.get_prob_keep_same_language()
     )
 
 
@@ -375,6 +464,9 @@ def train_font(
     reestimate_lm_too: bool = False,
     continue_from_last_complete_iteration: bool = False,
     num_partitions: Optional[int] = None,
+    tm_factory=None,
+    gsm_factory=None,
+    gsm=None,
 ):
     """FontTrainer.trainFont (:56-134) driver loop.
 
@@ -387,7 +479,11 @@ def train_font(
     n_docs = pages_df.count()
     if update_doc_batch_size is None:
         update_doc_batch_size = n_docs
-    max_order = lm.get_max_order()
+    max_order = (
+        lm.get_max_order()
+        if hasattr(lm, "get_max_order")
+        else max(lm.get(k).get_max_order() for k in range(lm.num_languages()))
+    )
 
     start_iter = 0
     if continue_from_last_complete_iteration and out_dir:
@@ -411,9 +507,14 @@ def train_font(
 
     pages_b, n_batches = assign_batches(pages_df, update_doc_batch_size, n_docs)
 
-    # compile the dense transition tables once per LM generation on the
-    # driver (re-broadcast ships arrays, workers skip the compile)
-    tm = CompiledTransitionModel(lm)
+    # compile the transition model once per (LM, GSM) generation on
+    # the driver (re-broadcast ships tables, workers skip the compile).
+    # tm_factory(lm, gsm) supports the code-switch / markov-offset
+    # variants (DecoderEM.constructTransitionModel :134-162); the
+    # default is the monolingual dense model.
+    if tm_factory is None:
+        tm_factory = lambda _lm, _gsm: CompiledTransitionModel(_lm)
+    tm = tm_factory(lm, gsm)
     for it in range(start_iter + 1, num_em_iters + 1):
         iter_log_prob = 0.0
         for b_idx in range(n_batches):
@@ -427,9 +528,22 @@ def train_font(
             )
             iter_log_prob += counts.joint_log_prob
             font = apply_font_mstep(font, counts, char_strs)
+            models_changed = False
             if reestimate_lm_too:
-                lm = reestimate_lm(lm, counts)
-                tm = CompiledTransitionModel(lm)
+                from ocular_spark.lm import BasicCodeSwitchLanguageModel
+
+                if isinstance(lm, BasicCodeSwitchLanguageModel):
+                    lm = reestimate_cslm(lm, counts)
+                else:
+                    lm = reestimate_lm(lm, counts)
+                models_changed = True
+            if gsm_factory is not None and counts.gsm_counts is not None:
+                # GSM M-step (BasicGlyphSubstitutionModelFactory.make
+                # adds the smoothing prior to the raw Viterbi counts)
+                gsm = gsm_factory.make(counts.gsm_counts)
+                models_changed = True
+            if models_changed:
+                tm = tm_factory(lm, gsm)
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
                 font.save_npz(_font_path(out_dir, it, b_idx + 1))

@@ -283,3 +283,215 @@ def oracle_transcribe_pandas(
         out_rows.append({"doc_id": r.doc_id, "spans": spans})
     out = pd.DataFrame(out_rows)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def reverse_words(text: str) -> str:
+    return " ".join(w[::-1] for w in str(text).split())
+
+
+def build_models_cs(
+    documents: pd.DataFrame,
+    order: int = 3,
+    max_docs_for_lm: int = 100,
+    beam_size: int = 20,
+) -> Tuple[ModelBundle, List[str]]:
+    """Bilingual code-switch + glyph-substitution fixture models
+    (serving-path analog of main/FonttrainTranscribeShared.java:255-304
+    wiring a CodeSwitchTransitionModel + GSM by option).
+
+    Language 0 is the documents text; language 1 is its deterministic
+    word-reversed variant (disjoint n-gram statistics, same charset).
+    The GSM is the uniform factory model with substitution enabled, so
+    long-s glyphs decode as 's' in the normalized channel.  The
+    transition model ships PREBUILT in the bundle (lazy tables, cheap
+    init, picklable)."""
+    import hashlib as _hl
+
+    from ocular_spark.cstransition import CodeSwitchTransitionModel
+    from ocular_spark.gsm import BasicGlyphSubstitutionModelFactory
+    from ocular_spark.lm import (
+        BasicCodeSwitchLanguageModel,
+        CorpusCounter,
+        add_auxiliary_glyph_chars,
+    )
+
+    texts = [str(t) for t in documents["text"].head(max_docs_for_lm)]
+    m = _hl.sha256()
+    for t in texts:
+        m.update(t.encode())
+    m.update(b"|order=%d|csv1" % order)
+    cache_path = os.path.join(CACHE_DIR, "models_cs_%s.pkl" % m.hexdigest()[:16])
+    if os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            font_bytes, cslm, tm = pickle.load(f)
+    else:
+        ci = CharIndexer()
+        corpora = [
+            [list(t) for t in texts],
+            [list(reverse_words(t)) for t in texts],
+        ]
+        counters, actives = [], []
+        for corpus in corpora:
+            counter = CorpusCounter(max(order, 2))
+            for i, line in enumerate(corpus):
+                counter.count_line_chars(line, ci, i)
+            counters.append(counter)
+            actives.append(set(counter.active_characters) | {ci.get_index(SPACE)})
+        ci.get_index("-")
+        add_auxiliary_glyph_chars(ci)
+        ci.lock()
+        lms = [
+            NgramLanguageModel(ci, counters[k].counts, actives[k], KNESER_NEY, 1.0)
+            for k in range(2)
+        ]
+        cslm = BasicCodeSwitchLanguageModel(
+            [(lms[0], 0.6), (lms[1], 0.4)], ci, ["english", "reversed"], 0.999999
+        )
+        gsm_factory = BasicGlyphSubstitutionModelFactory(
+            1.0, 100.0, ["english", "reversed"], ci, actives, gsm_power=1.0
+        )
+        gsm = gsm_factory.uniform()
+        tm = CodeSwitchTransitionModel(
+            cslm, True, gsm, allow_glyph_substitution=True, no_char_sub_prior=0.9
+        )
+        font = build_init_font(ci.get_objects())
+        font_bytes = font.to_bytes()
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump((font_bytes, cslm, tm), f)
+        os.replace(tmp, cache_path)
+    bundle = ModelBundle(
+        font_bytes, cslm, beam_size=beam_size, transition_model=tm
+    )
+    return bundle, cslm.get_character_indexer().get_objects()
+
+
+def derive_docs_and_media_cs(
+    documents: pd.DataFrame, n_docs: int = 3, words_per_line: int = 3
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Interleaved docs whose pages code-switch per line: line 0 is
+    language-0 words from the doc text, line 1 their word-reversed
+    language-1 counterparts.  The first page's line 0 renders one 's'
+    as a LONG-S glyph (the classic historical-print substitution), so
+    the decode exercises the GSM path end-to-end."""
+    docs_rows, media_rows = [], []
+    count = 0
+    long_s_used = False
+    for row in documents.itertuples():
+        if count >= n_docs:
+            break
+        words = [w for w in str(row.text).split() if w][: 2 * words_per_line]
+        if len(words) < 2 * words_per_line:
+            continue
+        doc_id = "csdoc-%06d" % int(row.doc_id)
+        line0 = " ".join(words[:words_per_line])
+        line1 = reverse_words(" ".join(words[words_per_line:]))
+        render0 = line0
+        if not long_s_used and "s" in line0:
+            i = line0.index("s")
+            render0 = line0[:i] + "ſ" + line0[i + 1 :]  # long s
+            long_s_used = True
+        media_ref = "m-%s-00" % doc_id
+        imgs = [render_text_line(render0), render_text_line(line1)]
+        media_rows.append(
+            {
+                "media_ref": media_ref,
+                "n_lines": len(imgs),
+                "lines": [pack_line(im) for im in imgs],
+                "src_text": line0 + "\n" + line1,
+                "noise": 0.0,
+            }
+        )
+        docs_rows.append(
+            {
+                "doc_id": doc_id,
+                "spans": [
+                    {"kind": "text", "text": " ".join(words[:2]), "media_ref": None,
+                     "offset": 0},
+                    {"kind": "media", "text": None, "media_ref": media_ref,
+                     "offset": 1},
+                ],
+            }
+        )
+        count += 1
+    return pd.DataFrame(docs_rows), pd.DataFrame(media_rows)
+
+
+def build_models_offset(
+    documents: pd.DataFrame, beam_size: int = 20
+) -> Tuple[ModelBundle, List[str]]:
+    """Markov-offset decode variant models: the monolingual fixture LM
+    with a MarkovOffsetTransitionModel (states carry explicit vertical
+    offsets; emission cache indexed per offset —
+    CharacterNgramTransitionModelMarkovOffset.java /
+    CachingEmissionModelExplicitOffset.java)."""
+    from ocular_spark.markov_offset import MarkovOffsetTransitionModel
+
+    base, char_strs = build_models(documents, beam_size=beam_size)
+    tm = MarkovOffsetTransitionModel(base.lm)
+    bundle = ModelBundle(
+        base.font_bytes, base.lm, beam_size=beam_size, transition_model=tm
+    )
+    return bundle, char_strs
+
+
+def shift_line_vertical(img: np.ndarray, shift: int) -> np.ndarray:
+    """Shift a (width, LINE_HEIGHT) line image down by `shift` rows
+    (negative = up), padding with WHITE."""
+    out = np.full_like(img, WHITE)
+    if shift > 0:
+        out[:, shift:] = img[:, :-shift]
+    elif shift < 0:
+        out[:, :shift] = img[:, -shift:]
+    else:
+        out[:] = img
+    return out
+
+
+def derive_docs_and_media_offset(
+    documents: pd.DataFrame, n_docs: int = 4, words_per_line: int = 3
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Docs whose page lines are vertically shifted by a deterministic
+    per-line offset in [-3, 3] — decodable cleanly only by the
+    explicit-offset variant tracking the shift."""
+    docs_rows, media_rows = [], []
+    count = 0
+    for row in documents.itertuples():
+        if count >= n_docs:
+            break
+        words = [w for w in str(row.text).split() if w][: 2 * words_per_line]
+        if len(words) < 2 * words_per_line:
+            continue
+        doc_id = "offdoc-%06d" % int(row.doc_id)
+        media_ref = "m-%s-00" % doc_id
+        lines = [
+            " ".join(words[:words_per_line]),
+            " ".join(words[words_per_line:]),
+        ]
+        imgs = []
+        for k, l in enumerate(lines):
+            shift = (_h(media_ref, "shift%d" % k) % 7) - 3
+            imgs.append(shift_line_vertical(render_text_line(l), shift))
+        media_rows.append(
+            {
+                "media_ref": media_ref,
+                "n_lines": len(imgs),
+                "lines": [pack_line(im) for im in imgs],
+                "src_text": "\n".join(lines),
+                "noise": 0.0,
+            }
+        )
+        docs_rows.append(
+            {
+                "doc_id": doc_id,
+                "spans": [
+                    {"kind": "media", "text": None, "media_ref": media_ref,
+                     "offset": 0},
+                    {"kind": "text", "text": " ".join(words[:2]), "media_ref": None,
+                     "offset": 1},
+                ],
+            }
+        )
+        count += 1
+    return pd.DataFrame(docs_rows), pd.DataFrame(media_rows)

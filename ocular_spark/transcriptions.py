@@ -37,6 +37,11 @@ class Transcriptions(NamedTuple):
     diplomatic_lines: List[List[str]]  # per line, normalized char strings
     normalized_lines: List[List[str]]
     normalized_running: List[str]
+    # language index per running char (-1 = none), aligned with
+    # normalized_running — the ModelTranscriptions charLang tuples
+    # (eval/ModelTranscriptions.java:84,93) that
+    # separateTranscriptionsByLanguage consumes
+    normalized_running_langs: List[int] = []
 
 
 def assemble(
@@ -50,6 +55,7 @@ def assemble(
     dipl_lines: List[List[str]] = []
     norm_lines: List[List[str]] = []
     running: List[str] = []
+    running_langs: List[int] = []
     for li, ld in enumerate(decodes):
         dipl: List[str] = []
         norm: List[str] = []
@@ -70,21 +76,25 @@ def assemble(
                 curr_norm = char_strs[int(ld.lm_chars[i])]
                 norm.append(curr_norm)
                 stype = int(ld.types[i])
+                lang = int(ld.langs[i]) if getattr(ld, "langs", None) is not None else -1
                 if stype in (RMRGN_HPHN_INIT, RMRGN_HPHN, LMRGN_HPHN):
                     pass
                 elif stype in (LMRGN, RMRGN):
                     if running and running[-1] != SPACE:
                         running.append(SPACE)
+                        running_langs.append(lang)
                 elif stype == TMPL:
                     if curr_norm == SPACE and (not running or running[-1] == SPACE):
                         pass  # collapse spaces
                     else:
                         running.append(curr_norm)
+                        running_langs.append(lang)
         dipl_lines.append(dipl)
         norm_lines.append(norm)
     if running and running[-1] == SPACE:
         running.pop()
-    return Transcriptions(dipl_lines, norm_lines, running)
+        running_langs.pop()
+    return Transcriptions(dipl_lines, norm_lines, running, running_langs)
 
 
 def render_line(chars: Sequence[str]) -> str:

@@ -10,6 +10,8 @@ Invariants from SURVEY.md §5.2:
     semantics (FontTrainer.isBatchComplete :272-285).
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -239,3 +241,78 @@ def test_gsm_counts_from_code_switch_decode():
     gsm = f.make(f.initialize_new_counts_matrix() + bundle.gsm_counts)
     sums = gsm.probs[0].sum(axis=1)
     assert abs(sums[a] - 1.0) < 1e-9
+
+
+def test_separate_runs_by_language():
+    from ocular_spark.em import separate_runs_by_language
+
+    running = list("the cat")
+    langs = [0] * 3 + [0] + [1] * 3  # "the " english, "cat" reversed
+    runs = separate_runs_by_language(running, langs, 2)
+    assert runs == {0: [list("the ")], 1: [list("cat")]}
+    # -1 maps to 0 only in the monolingual case
+    assert separate_runs_by_language(list("ab"), [-1, -1], 1) == {0: [list("ab")]}
+    assert separate_runs_by_language(list("ab"), [-1, -1], 2) == {}
+    # duplicate spaces collapse within a run
+    runs = separate_runs_by_language(list("a  b"), [0, 0, 0, 0], 1)
+    assert runs == {0: [list("a b")]}
+
+
+def test_multilingual_em_reestimates_per_language_lms(spark, sf_dir, tmp_path):
+    """EM-with-GSM e2e on the code-switch model: per-language KN
+    rebuild + 0.5 interpolation + priors proportional to decoded
+    chars + 1 (FontTrainer.reestimateLM :340-424), GSM refit from
+    distributed Viterbi counts, non-decreasing joint log prob."""
+    import pyarrow.parquet as pq
+
+    from ocular_spark.cstransition import CodeSwitchTransitionModel
+    from ocular_spark.em import train_font
+    from ocular_spark.fixtures import build_models_cs, reverse_words
+    from ocular_spark.font import Font
+    from ocular_spark.gsm import BasicGlyphSubstitutionModelFactory
+    from ocular_spark.lm import InterpolatingSingleLanguageModel
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    bundle, char_strs = build_models_cs(documents)
+    cslm = bundle.lm
+    ci = cslm.get_character_indexer()
+    actives = [cslm.get(k).get_active_characters() for k in range(2)]
+    gsm_factory = BasicGlyphSubstitutionModelFactory(
+        1.0, 100.0, list(cslm.lang_names), ci, actives, gsm_power=1.0
+    )
+
+    texts = [str(t) for t in documents["text"].head(4)]
+    pages = []
+    for i, t in enumerate(texts):
+        words = t.split()[:3]
+        line = " ".join(words) if i % 2 == 0 else reverse_words(" ".join(words))
+        pages.append(
+            {"doc_id": "ml%02d" % i, "media_ref": "mm%02d" % i,
+             "lines": [pack_line(render_text_line(line))]}
+        )
+    pages_df = spark.createDataFrame(pd.DataFrame(pages))
+
+    def tm_factory(lm, gsm):
+        return CodeSwitchTransitionModel(
+            lm, True, gsm, allow_glyph_substitution=True, no_char_sub_prior=0.9
+        )
+
+    font = Font.from_bytes(bundle.font_bytes)
+    trained_font, trained_lm, history = train_font(
+        spark, pages_df, font, cslm, char_strs,
+        num_em_iters=2, beam_size=20,
+        reestimate_lm_too=True,
+        tm_factory=tm_factory,
+        gsm_factory=gsm_factory,
+        gsm=gsm_factory.uniform(),
+    )
+    assert len(history) == 2
+    assert history[1] >= history[0]  # hard EM improves the joint
+    # both languages decoded -> both submodels interpolated
+    assert isinstance(trained_lm.get(0), InterpolatingSingleLanguageModel)
+    assert isinstance(trained_lm.get(1), InterpolatingSingleLanguageModel)
+    # priors proportional to decoded chars + 1 — both languages seen,
+    # so both priors strictly inside (0, 1) and different from init
+    p0, p1 = trained_lm.language_priors
+    assert 0.0 < p0 < 1.0 and 0.0 < p1 < 1.0
+    assert abs(p0 - 0.6) > 1e-6 or abs(p1 - 0.4) > 1e-6

@@ -133,7 +133,8 @@ def test_every_query_has_an_oracle():
     OCR-core queries via frozen sf0.01 goldens (golden_oracles.py)."""
     assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
     assert set(GOLDEN_ORACLES) == {
-        "transcribe_spans", "transcribe_metrics", "em_font_counts", "lm_perplexity",
+        "transcribe_spans", "transcribe_spans_cs", "transcribe_spans_offset",
+        "transcribe_metrics", "em_font_counts", "lm_perplexity",
     }
 
 

@@ -100,3 +100,73 @@ def test_pipeline_plan_has_no_cartesian_and_prunes(spark, small_fixture):
     out = transcribe(docs_df, media_df, bundle_bc, char_strs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_code_switch_gsm_spark_path(spark, sf_dir):
+    """O12 end-to-end on Spark: bilingual pages decode through the
+    CodeSwitchTransitionModel + uniform GSM shipped in the broadcast;
+    output must (a) equal the single-process oracle span-for-span,
+    (b) preserve the rendered LONG-S diplomatically, and (c) read the
+    reversed-language line verbatim (code switch mid-page)."""
+    from ocular_spark.fixtures import (
+        build_models_cs,
+        derive_docs_and_media_cs,
+        reverse_words,
+    )
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media_cs(documents, n_docs=3)
+    bundle, char_strs = build_models_cs(documents)
+    oracle = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    out = transcribe(docs_df, media_df, bundle_bc, char_strs)
+    result = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert list(result["doc_id"]) == list(oracle["doc_id"])
+    all_media_text = []
+    for got, want in zip(result["spans"], oracle["spans"]):
+        got_t = [(s["kind"], s["text"], s["media_ref"]) for s in got]
+        assert got_t == _spans_tuples(want)
+        all_media_text += [s["text"] for s in got if s["kind"] == "media"]
+    joined = "\n".join(all_media_text)
+    assert "ſ" in joined  # GSM long-s decoded diplomatically
+    # each page's second line is the reversed-language source text
+    for r, got_spans in zip(media.itertuples(), result["spans"]):
+        line1 = r.src_text.split("\n")[1]
+        media_text = [s["text"] for s in got_spans if s["kind"] == "media"][0]
+        assert line1.strip() in media_text.replace("  ", " ")
+
+
+def test_markov_offset_spark_path(spark, sf_dir):
+    """O13 end-to-end on Spark: vertically shifted lines decode
+    cleanly through the explicit-offset variant, matching the
+    single-process oracle and the unshifted source text."""
+    from ocular_spark.fixtures import (
+        build_models_offset,
+        derive_docs_and_media_offset,
+    )
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media_offset(documents, n_docs=3)
+    bundle, char_strs = build_models_offset(documents)
+    oracle = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    out = transcribe(docs_df, media_df, bundle_bc, char_strs)
+    result = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert list(result["doc_id"]) == list(oracle["doc_id"])
+    for got, want in zip(result["spans"], oracle["spans"]):
+        got_t = [(s["kind"], s["text"], s["media_ref"]) for s in got]
+        assert got_t == _spans_tuples(want)
+    # decoded text matches the unshifted source lines
+    for r, got_spans in zip(media.itertuples(), result["spans"]):
+        media_text = [s["text"] for s in got_spans if s["kind"] == "media"][0]
+        decoded_lines = [l.strip() for l in media_text.split("\n")]
+        src_lines = [l.strip() for l in r.src_text.split("\n")]
+        assert decoded_lines == src_lines, (r.media_ref, decoded_lines, src_lines)
