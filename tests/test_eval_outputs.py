@@ -167,3 +167,45 @@ def test_template_ascii_art():
     assert "O" in art or "o" in art
     assert art.startswith("o:")
     assert "(space)" in font.get(" ").ascii_art()
+
+
+def test_error_sampler_word_errors_and_sampling():
+    """ErrorSampler port (eval/ErrorSampler.java): word-level error
+    aggregation over the Markov alignment + seeded java.util.Random
+    shuffle sampling."""
+    from ocular_spark.eval import (
+        DELETION,
+        INSERTION,
+        WordError,
+        aggregate_word_errors,
+        sample_errors,
+    )
+
+    docs = [
+        (
+            ["the cat sat extra", "on the mat"],   # guess lines
+            ["the bat sat", "on the mat"],          # gold lines
+        ),
+        (
+            ["lorem ipsum"],
+            ["lorem ipsum dolor"],
+        ),
+    ]
+    errors = aggregate_word_errors(docs)
+    # doc0 line0: cat->bat SUBST at guess idx 1; "extra" DELETE at idx 3
+    assert WordError(0, 0, 1, "cat", "bat") in errors
+    assert WordError(0, 0, 3, "extra", DELETION) in errors
+    # doc1: missing "dolor" -> INSERTION
+    assert WordError(1, 0, 2, INSERTION, "dolor") in errors
+    assert all(e.doc_idx == 0 or e.doc_idx == 1 for e in errors)
+    # '|' reads as 's' (long-s output escape), so no error
+    assert aggregate_word_errors([(["fa|t"], ["fast"])]) == []
+
+    # sampling: deterministic, bounded, re-sorted
+    s1 = sample_errors(errors, n=2)
+    s2 = sample_errors(errors, n=2)
+    assert s1 == s2 and len(s1) == 2
+    assert s1 == sorted(s1, key=lambda e: (e.doc_idx, e.line_idx, e.guess_token_idx))
+    assert sample_errors(errors, n=100) == sorted(
+        errors, key=lambda e: (e.doc_idx, e.line_idx, e.guess_token_idx)
+    )
