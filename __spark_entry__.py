@@ -542,6 +542,54 @@ def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the coarse-quantizer scale path, complementing
+    hyperplane LSH): 16 deterministic centroids (vec_id < 16 — a fixed
+    seeding, standing in for a k-means codebook), every vector is
+    assigned to its nearest centroid (one broadcast of the 16-vector
+    codebook, no shuffle), probes search ONLY their top-2 clusters
+    (nprobe=2), then exact cosine top-3 within the candidate set.
+    At 100 TB: codebook broadcast is O(K*d), the cluster assignment is
+    a map-only pass, and per-probe work is bounded by the probed
+    clusters' sizes instead of N."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cdot", _dot64(F.col("embedding"), F.col("cent_vec"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < 10)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") <= 2)  # nprobe = 2
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+            F.col("cent_id").alias("cluster"),
+        )
+    )
+    cands = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(_dot64(F.col("probe_vec"), F.col("embedding")), 5))
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "vec_id", "cos", "rank")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -721,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "embed_lsh_buckets": q_embed_lsh_buckets,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "lang_id": q_lang_id,
     }
 
@@ -962,6 +1011,43 @@ _ORACLE_SQL = {
                    COALESCE(p.n_candidates, 0) AS n_candidates
             FROM bucket_stats s
             LEFT JOIN pair_stats p ON s.table_id = p.table_id
+        """,
+        "embed_ivf_topk": """
+            WITH cent AS (
+                SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+                FROM embeddings WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cent c
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS crank
+                FROM scored
+            ),
+            assigned AS (
+                SELECT vec_id, embedding, cent_id AS cluster FROM ranked WHERE crank = 1
+            ),
+            probes AS (
+                SELECT vec_id AS probe_id, embedding AS probe_vec, cent_id AS cluster
+                FROM ranked WHERE vec_id < 10 AND crank <= 2
+            ),
+            cands AS (
+                SELECT p.probe_id, a.vec_id,
+                       ROUND(LIST_DOT_PRODUCT(CAST(p.probe_vec AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])), 5) AS cos
+                FROM probes p JOIN assigned a ON p.cluster = a.cluster
+                WHERE p.probe_id != a.vec_id
+            ),
+            rr AS (
+                SELECT probe_id, vec_id, cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM cands
+            )
+            SELECT probe_id, vec_id, cos, rank FROM rr WHERE rank <= 3
         """,
         "lang_id": """
             SELECT doc_id,

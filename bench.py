@@ -46,6 +46,7 @@ RELATIONAL = [
     "embed_topk",
     "embed_neardup",
     "embed_lsh_buckets",
+    "embed_ivf_topk",
     "lang_id",
 ]
 
