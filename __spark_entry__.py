@@ -607,6 +607,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by rolling-hash WINNOWING (the MOSS
+    scheme): polynomial Rabin-Karp hash of every 7-gram (base 257 mod
+    2^31-1 — at scale computed incrementally per char, here as a
+    vectorized JVM expression), minimum over each window of 8
+    consecutive gram hashes, distinct minima = the document's
+    fingerprints; fingerprints shared by >1 doc are near-dup/plagiarism
+    candidates.  One shuffle on the fingerprint — no all-pairs."""
+    from pyspark.sql.window import Window
+
+    k, w, B, P = 7, 8, 257, 2147483647
+    d = _load_wide(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(text) >= {k} THEN "
+                f"transform(sequence(1, length(text) - {k - 1}), i -> "
+                f"aggregate(transform(sequence(0, {k - 1}), "
+                f"j -> ascii(substring(text, i + j, 1))), "
+                f"0L, (acc, x) -> (acc * {B} + x) % {P})) "
+                f"ELSE array() END"
+            )
+        ).alias("pos", "h"),
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    w_cnt = Window.partitionBy("doc_id")
+    fps = (
+        grams.withColumn("minh", F.min("h").over(w_min))
+        .withColumn("n_grams", F.count(F.lit(1)).over(w_cnt))
+        # full windows only (posexplode pos is 0-indexed)
+        .filter(F.col("pos") + 1 <= F.col("n_grams") - (w - 1))
+        .select("doc_id", F.col("minh").alias("fp"))
+        .distinct()
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def q_em_font_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed EM E-step (decode + count accumulation via RDD
     treeAggregate, SURVEY §2.4 A3) over a fixed fixture slice; returns
@@ -764,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "token_doc_freq": q_token_doc_freq,
         "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
         "em_font_counts": q_em_font_counts,
         "lm_perplexity": q_lm_perplexity,
         "embed_topk": q_embed_topk,
@@ -1011,6 +1054,42 @@ _ORACLE_SQL = {
                    COALESCE(p.n_candidates, 0) AS n_candidates
             FROM bucket_stats s
             LEFT JOIN pair_stats p ON s.table_id = p.table_id
+        """,
+        "doc_fingerprint": """
+            WITH grams AS (
+                SELECT doc_id,
+                       UNNEST(GENERATE_SERIES(1, LENGTH(text) - 6)) AS pos,
+                       text
+                FROM documents
+                WHERE LENGTH(text) >= 7
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       (ASCII(SUBSTRING(text, pos + 0, 1))::BIGINT * 336663071
+                      + ASCII(SUBSTRING(text, pos + 1, 1))::BIGINT * 168429323
+                      + ASCII(SUBSTRING(text, pos + 2, 1))::BIGINT * 67503107
+                      + ASCII(SUBSTRING(text, pos + 3, 1))::BIGINT * 16974593
+                      + ASCII(SUBSTRING(text, pos + 4, 1))::BIGINT * 66049
+                      + ASCII(SUBSTRING(text, pos + 5, 1))::BIGINT * 257
+                      + ASCII(SUBSTRING(text, pos + 6, 1))::BIGINT) % 2147483647 AS h
+                FROM grams
+            ),
+            winnowed AS (
+                SELECT doc_id, pos,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS minh,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+                FROM hashed
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, minh AS fp
+                FROM winnowed
+                WHERE pos <= n_grams - 7
+            )
+            SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+            FROM fps
+            GROUP BY fp
+            HAVING COUNT(*) > 1
         """,
         "embed_ivf_topk": """
             WITH cent AS (

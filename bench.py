@@ -43,6 +43,7 @@ RELATIONAL = [
     "events_json",
     "token_doc_freq",
     "simhash",
+    "doc_fingerprint",
     "embed_topk",
     "embed_neardup",
     "embed_lsh_buckets",
