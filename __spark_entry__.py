@@ -360,6 +360,26 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (training-data budget estimation):
+    whitespace tokens and a BPE-ish regex segmentation (letter runs /
+    digit runs / single punctuation — the GPT-2 pretokenizer shape,
+    restricted to constructs Java regex and RE2 treat identically).
+    Pure JVM expressions; one map-only pass."""
+    d = _load_wide(spark, sf_dir, "documents")
+    # pattern passed as a Column literal, NOT through a SQL string
+    # (Spark SQL literals eat single backslashes: '\s' -> 's')
+    bpe = F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), bpe, F.lit(0)))
+    n_ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe / n_ws, 4).alias("bpe_per_word"),
+    )
+
+
 def q_embed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity search: for each probe vector
     (vec_id < 10), count neighbors above threshold.  JVM-side
@@ -800,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "embed_neighbors": q_embed_neighbors,
         "label_centroid_sim": q_label_centroid_sim,
         "orders_rollup": q_orders_rollup,
@@ -945,6 +966,14 @@ _ORACLE_SQL = {
                    ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
                          t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
                          / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_ws_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+                   ROUND(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) * 1.0
+                         / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')), 4) AS bpe_per_word
             FROM documents
         """,
         "embed_neighbors": """

@@ -37,6 +37,7 @@ RELATIONAL = [
     "dedup_exact",
     "minhash_bands",
     "text_stats",
+    "token_counts",
     "embed_neighbors",
     "label_centroid_sim",
     "orders_rollup",
