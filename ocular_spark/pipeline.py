@@ -249,16 +249,20 @@ def transcribe(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     # page-level salt: uniform page distribution regardless of per-doc
-    # page-count skew (explicit, not left to AQE — cost is per page).
-    # Partitioning directly on media_ref (unique per page, so exactly as
-    # uniform as a (doc_id, media_ref) hash) keeps the plan a single
-    # hash exchange of the image payload.  The 3x-cores task count is
+    # page-count skew (explicit, not left to AQE — cost is per page;
+    # media_ref is unique per page, so exactly as uniform as a
+    # (doc_id, media_ref) hash).  The 3x-cores task count is
     # deliberate: decode cost per page is seconds, so finer tasks let
     # dynamic scheduling pack the stragglers that a 1x hash
     # partitioning leaves (max balls-in-bins load ~2x mean at
     # pages≈partitions); 2-3x tasks per core is standard Spark
-    # guidance for expensive, skewed stages and measured ~20% faster
-    # at the bench scale.
+    # guidance for expensive skewed stages and measured ~20% faster at
+    # bench scale.  Tradeoff: with a partition count different from
+    # the join's, this exchange no longer elides into the media join's
+    # (the payload moves through two shuffles); decode CPU dominates
+    # the extra shuffle by ~100x at every scale tested, and callers
+    # who want the single-shuffle plan pass num_partitions equal to
+    # spark.sql.shuffle.partitions explicitly.
     salted = joined.repartition(num_partitions, F.col("media_ref"))
 
     decoded = salted.mapInPandas(
