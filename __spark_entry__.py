@@ -634,34 +634,34 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized JVM expression), minimum over each window of 8
     consecutive gram hashes, distinct minima = the document's
     fingerprints; fingerprints shared by >1 doc are near-dup/plagiarism
-    candidates.  One shuffle on the fingerprint — no all-pairs."""
-    from pyspark.sql.window import Window
-
+    candidates.  The whole winnow (gram hashes -> window minima ->
+    distinct) happens INSIDE one array expression, so the only shuffle
+    in the plan is the final groupBy on the fingerprint — no per-doc
+    window sort, no all-pairs."""
     k, w, B, P = 7, 8, 257, 2147483647
     d = _load_wide(spark, sf_dir, "documents")
-    grams = d.select(
+    gram_hashes = (
+        f"transform(sequence(1, length(text) - {k - 1}), i -> "
+        f"aggregate(transform(sequence(0, {k - 1}), "
+        f"j -> ascii(substring(text, i + j, 1))), "
+        f"0L, (acc, x) -> (acc * {B} + x) % {P}))"
+    )
+    # bind the gram-hash array to a column FIRST: referenced inside the
+    # winnow lambda it would otherwise be recomputed per window position
+    hs = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN length(text) >= {k} THEN "
-                f"transform(sequence(1, length(text) - {k - 1}), i -> "
-                f"aggregate(transform(sequence(0, {k - 1}), "
-                f"j -> ascii(substring(text, i + j, 1))), "
-                f"0L, (acc, x) -> (acc * {B} + x) % {P})) "
-                f"ELSE array() END"
-            )
-        ).alias("pos", "h"),
+        F.expr(
+            f"CASE WHEN length(text) >= {k} THEN {gram_hashes} "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        ).alias("hs"),
     )
-    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    w_cnt = Window.partitionBy("doc_id")
-    fps = (
-        grams.withColumn("minh", F.min("h").over(w_min))
-        .withColumn("n_grams", F.count(F.lit(1)).over(w_cnt))
-        # full windows only (posexplode pos is 0-indexed)
-        .filter(F.col("pos") + 1 <= F.col("n_grams") - (w - 1))
-        .select("doc_id", F.col("minh").alias("fp"))
-        .distinct()
+    fps_arr = (
+        f"CASE WHEN size(hs) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}), "
+        f"p -> array_min(slice(hs, p, {w})))) "
+        f"ELSE CAST(array() AS array<bigint>) END"
     )
+    fps = hs.select("doc_id", F.explode(F.expr(fps_arr)).alias("fp"))
     return (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
