@@ -343,6 +343,57 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of MinHash-LSH candidates —
+    the standard two-stage near-dup pipeline: band buckets propose
+    pairs (no all-pairs), then exact 5-gram-set Jaccard confirms.
+    |A∩B| comes from one join of distinct shingle sets restricted to
+    candidate pairs; |A∪B| = |A|+|B|-|A∩B|."""
+    d = _load_wide(spark, sf_dir, "documents")
+    minhashes = _minhash_minhashes(d)
+    pairs = (
+        minhashes.alias("a")
+        .join(minhashes.alias("b"), ["band", "minhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+                " i -> substring(text, i, 5)))"
+            )
+        ).alias("shingle"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # count shared shingles via a (pair x shingle) join
+    shared = (
+        pairs.join(shingles.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            shingles.select(
+                F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle")
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics: token counts, average word length,
     stopword ratio (quality-scoring operator)."""
@@ -873,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
+        "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "embed_neighbors": q_embed_neighbors,
@@ -1011,6 +1063,59 @@ _ORACLE_SQL = {
             FROM minhashes
             GROUP BY band, minhash
             HAVING COUNT(*) > 1
+        """,
+        "ngram_jaccard": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 4, 1))) AS i
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || SUBSTRING(MD5(SUBSTRING(text, i, 5)), 1, 15))::UBIGINT
+                            AS BIGINT) % 2147483647 AS h31
+                FROM pos
+            ),
+            bands AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band),
+            minhashes AS (
+                SELECT doc_id, band,
+                       MIN((h31 * CASE band WHEN 0 THEN 1103515245
+                                            WHEN 1 THEN 1583458089
+                                            WHEN 2 THEN 784588716
+                                            ELSE 999999937 END
+                            + CASE band WHEN 0 THEN 12345
+                                        WHEN 1 THEN 54321
+                                        WHEN 2 THEN 98765
+                                        ELSE 24680 END) % 2147483647) AS minhash
+                FROM hashed CROSS JOIN bands
+                GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM minhashes a
+                JOIN minhashes b ON a.band = b.band AND a.minhash = b.minhash
+                                AND a.doc_id < b.doc_id
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id, SUBSTRING(text, i, 5) AS shingle FROM pos
+            ),
+            sizes AS (
+                SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
+            ),
+            shared AS (
+                SELECT p.id_a, p.id_b, COUNT(*) AS n_shared
+                FROM pairs p
+                JOIN shingles sa ON sa.doc_id = p.id_a
+                JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+                GROUP BY p.id_a, p.id_b
+            )
+            SELECT s.id_a, s.id_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+                   ROUND(s.n_shared * 1.0 / (za.n_shingles + zb.n_shingles - s.n_shared), 4) AS jaccard
+            FROM shared s
+            JOIN sizes za ON za.doc_id = s.id_a
+            JOIN sizes zb ON zb.doc_id = s.id_b
+            WHERE ROUND(s.n_shared * 1.0 /
+                        (za.n_shingles + zb.n_shingles - s.n_shared), 4) >= 0.5
         """,
         "text_stats": """
             SELECT doc_id,

@@ -36,6 +36,7 @@ RELATIONAL = [
     "char_bigrams",
     "dedup_exact",
     "minhash_bands",
+    "ngram_jaccard",
     "text_stats",
     "token_counts",
     "embed_neighbors",
