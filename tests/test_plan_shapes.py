@@ -1,0 +1,132 @@
+"""Physical-plan regression tests: the scale properties the queries
+claim (shuffle counts, broadcast joins, no per-doc sorts) must be
+visible in the executed plan, not just asserted in docstrings."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_doc_fingerprint_is_map_side_until_final_groupby(spark, sf_dir):
+    """Winnowing happens inside the array expression: the plan must
+    contain NO window operator and NO sort; the only exchanges are the
+    final fingerprint aggregation (plus AQE reads)."""
+    plan = _plan(entry_mod.q_doc_fingerprint(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
+def test_embed_ivf_topk_broadcasts_the_codebook(spark, sf_dir):
+    """The 16-vector codebook and profile tables must move by
+    broadcast, never by shuffling the embeddings against them."""
+    plan = _plan(entry_mod.q_embed_ivf_topk(spark, sf_dir))
+    assert "Broadcast" in plan
+
+
+def test_lang_id_ngram_broadcasts_profiles(spark, sf_dir):
+    plan = _plan(entry_mod.q_lang_id_ngram(spark, sf_dir))
+    assert "Broadcast" in plan
+
+
+def test_nation_volume_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(entry_mod.q_nation_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan and the scan
+    must not read columns the query never touches."""
+    df = entry_mod.q_pricing_summary(spark, sf_dir)
+    scan = [
+        line for line in _plan(df).splitlines() if "Scan parquet" in line or "PushedFilters" in line
+    ]
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # ReadSchema must exclude e.g. l_comment (never referenced)
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "l_comment" not in read_schema
+
+
+def test_token_counts_has_no_shuffle(spark, sf_dir):
+    """Pure map-side query: no exchange beyond the gated input
+    repartition (which disappears at production split counts)."""
+    plan = _plan(entry_mod.q_token_counts(spark, sf_dir))
+    # one exchange at most (the _load_wide gate on the tiny test file)
+    assert plan.count("Exchange") <= 1
+
+
+def _winnow_numpy(text: str, k: int = 7, w: int = 8):
+    """Exact numpy mirror of q_doc_fingerprint's arithmetic (base-257
+    polynomial mod 2^31-1 over codepoints, window-of-w minima)."""
+    import numpy as np
+
+    cps = np.array([ord(c) for c in text], dtype=np.int64)
+    if len(cps) < k:
+        return set()
+    n = len(cps) - k + 1
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        h = (h * 257 + cps[j : j + n]) % 2147483647
+    if n < w:
+        return set()
+    mins = np.array(
+        [h[p : p + w].min() for p in range(n - w + 1)], dtype=np.int64
+    )
+    return set(int(m) for m in mins)
+
+
+def test_winnowing_guarantee_and_spark_numpy_agreement(spark):
+    """(a) The MOSS guarantee: two documents sharing any substring of
+    length >= k + w - 1 = 14 share at least one fingerprint.
+    (b) The Spark expression computes exactly the numpy mirror."""
+    import hashlib
+
+    import pandas as pd
+
+    def rnd_text(seed: str, n: int) -> str:
+        out = []
+        s = seed
+        while len(out) < n:
+            s = hashlib.sha256(s.encode()).hexdigest()
+            out += [chr(97 + int(c, 16) % 26) for c in s]
+        return "".join(out[:n])
+
+    docs = []
+    for i in range(12):
+        a = rnd_text(f"a{i}", 60)
+        b = rnd_text(f"b{i}", 60)
+        common = rnd_text(f"c{i}", 14 + i)  # >= 14 chars shared
+        docs.append((f"x{i}", a + common + rnd_text(f"a2{i}", 20)))
+        docs.append((f"y{i}", b + rnd_text(f"b2{i}", 9) + common))
+    # (a) guarantee, on the numpy mirror
+    for i in range(12):
+        fx = _winnow_numpy(dict(docs)[f"x{i}"])
+        fy = _winnow_numpy(dict(docs)[f"y{i}"])
+        assert fx & fy, f"pair {i} shares a 14+-char substring but no fingerprint"
+
+    # (b) Spark == numpy on the union of fingerprints per doc
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    from pyspark.sql import functions as F
+
+    k, w, B, P = 7, 8, 257, 2147483647
+    gram_hashes = (
+        f"transform(sequence(1, length(text) - {k - 1}), i -> "
+        f"aggregate(transform(sequence(0, {k - 1}), "
+        f"j -> ascii(substring(text, i + j, 1))), "
+        f"0L, (acc, x) -> (acc * {B} + x) % {P}))"
+    )
+    hs = df.select("doc_id", F.expr(gram_hashes).alias("hs"))
+    fps_arr = (
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}), "
+        f"p -> array_min(slice(hs, p, {w}))))"
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in hs.select("doc_id", F.expr(fps_arr).alias("fps")).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == _winnow_numpy(text), doc_id
