@@ -130,3 +130,42 @@ def test_winnowing_guarantee_and_spark_numpy_agreement(spark):
     }
     for doc_id, text in docs:
         assert got[doc_id] == _winnow_numpy(text), doc_id
+
+
+def test_heavy_tail_doc_pages_spread_across_partitions(spark, sf_dir):
+    """north_rule skew evidence: a 40-page document's pages must land
+    on many partitions under the pipeline's page-level (media_ref)
+    salting — never serialized onto one executor core."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ocular_spark.fixtures import derive_docs_and_media, page_counts_for_doc
+
+    documents = pq.read_table(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).to_pandas()
+    # find a deterministic 40-page doc among the first 200
+    heavy = None
+    for i in range(200):
+        if page_counts_for_doc("doc-%06d" % i) == 40:
+            heavy = i
+            break
+    assert heavy is not None, "fixture distribution should yield a 40-pager in 200"
+    docs, media = derive_docs_and_media(
+        documents.iloc[heavy : heavy + 1], n_docs=1, heavy_tail=True
+    )
+    assert media.shape[0] == 40
+    pages = spark.createDataFrame(media[["media_ref"]])
+    nparts = 24
+    dist = (
+        pages.repartition(nparts, F.col("media_ref"))  # = pipeline salting
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    # balls-in-bins: 40 pages over 24 partitions -> expect ~19 distinct
+    # bins; anything above nparts/2 proves the doc's cost is spread
+    assert dist > nparts / 2, dist
