@@ -753,14 +753,21 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = bi.select(F.countDistinct("bigram").alias("v"))
     langs = bi.select(F.col("lang").alias("cand_lang")).distinct()
+    # pre-aggregate per-doc bigram multiplicities BEFORE the x|langs|
+    # blowup: the cross join then multiplies the compact (doc, bigram)
+    # table, not the raw position stream
+    doc_bi = bi.groupBy("doc_id", "lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     scored = (
-        bi.crossJoin(F.broadcast(langs))
+        doc_bi.crossJoin(F.broadcast(langs))
         .join(F.broadcast(profile), ["cand_lang", "bigram"], "left")
         .join(F.broadcast(totals), "cand_lang")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "logp",
-            F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / (F.col("tot") + F.col("v"))),
+            F.col("n")
+            * F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / (F.col("tot") + F.col("v"))),
         )
         .groupBy("doc_id", "lang", "cand_lang")
         .agg(F.round(F.sum("logp"), 6).alias("score"))
