@@ -159,7 +159,17 @@ def decode_pages_kernel(bundle_bc, char_strs: List[str], media_col: str = "lines
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import time
+
         from ocular_spark.transcriptions import diplomatic_text
+
+        try:  # per-partition lineage (north_rule metrics table)
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            partition_id = tc.partitionId() if tc is not None else -1
+        except Exception:  # pragma: no cover
+            partition_id = -1
 
         bundle = bundle_bc.value if hasattr(bundle_bc, "value") else bundle_bc
         decoder = get_decoder(bundle)
@@ -168,6 +178,7 @@ def decode_pages_kernel(bundle_bc, char_strs: List[str], media_col: str = "lines
             for doc_id, media_ref, offset, payload in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["offset"], pdf[media_col]
             ):
+                t_page = time.time()
                 if media_col == "lines":
                     imgs = [unpack_line(raw) for raw in payload]
                 else:
@@ -186,12 +197,17 @@ def decode_pages_kernel(bundle_bc, char_strs: List[str], media_col: str = "lines
                 decodes, log_prob = decoder.decode_document(imgs)
                 text = diplomatic_text(decodes, char_strs)
                 out_rows.append(
-                    (doc_id, "media", text, media_ref, int(offset), len(imgs), float(log_prob))
+                    (
+                        doc_id, "media", text, media_ref, int(offset), len(imgs),
+                        float(log_prob), partition_id,
+                        round(time.time() - t_page, 4),
+                    )
                 )
             yield pd.DataFrame(
                 out_rows,
                 columns=[
-                    "doc_id", "kind", "text", "media_ref", "offset", "n_lines", "log_prob",
+                    "doc_id", "kind", "text", "media_ref", "offset", "n_lines",
+                    "log_prob", "partition_id", "decode_sec",
                 ],
             )
 
@@ -200,7 +216,8 @@ def decode_pages_kernel(bundle_bc, char_strs: List[str], media_col: str = "lines
 
 DECODED_SCHEMA = (
     "doc_id string, kind string, text string, media_ref string, "
-    "offset int, n_lines int, log_prob double"
+    "offset int, n_lines int, log_prob double, "
+    "partition_id int, decode_sec double"
 )
 
 
@@ -294,9 +311,13 @@ def decode_metrics(
     docs: "DataFrame", media: "DataFrame", bundle_bc, char_strs: List[str],
     num_partitions: Optional[int] = None,
 ) -> "DataFrame":
-    """Per-page decode metrics (doc_id, media_ref, n_lines, log_prob) —
-    the per-partition lineage/metrics table required by the north_rule
-    (reference analog: per-batch wall-clock prints, DecoderEM.java:128-129)."""
+    """Per-page decode metrics (doc_id, media_ref, offset, n_lines,
+    log_prob, partition_id, decode_sec) — the per-partition
+    lineage/metrics table required by the north_rule (reference
+    analog: per-batch wall-clock prints, DecoderEM.java:128-129).
+    partition_id comes from the task context, decode_sec is the page's
+    wall-clock inside the kernel; both support straggler/lineage
+    monitoring and resume audits."""
     exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
@@ -318,4 +339,7 @@ def decode_metrics(
     decoded = salted.mapInPandas(
         decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
     )
-    return decoded.select("doc_id", "media_ref", "offset", "n_lines", "log_prob")
+    return decoded.select(
+        "doc_id", "media_ref", "offset", "n_lines", "log_prob",
+        "partition_id", "decode_sec",
+    )

@@ -90,6 +90,10 @@ def test_decode_metrics_lineage(spark, small_fixture):
     assert len(m) == n_media
     assert (m["n_lines"] >= 1).all()
     assert m["log_prob"].notna().all()
+    # per-partition lineage (north_rule): every page reports the task
+    # partition that decoded it and its wall-clock
+    assert (m["partition_id"] >= 0).all()
+    assert (m["decode_sec"] > 0).all()
 
 
 def test_pipeline_plan_has_no_cartesian_and_prunes(spark, small_fixture):
