@@ -49,3 +49,47 @@ def test_extract_lines_table(spark, sf_dir):
             img = unpack_line(raw)
             assert img.shape[1] == 30
             assert (img == 1).any()
+
+
+def test_initialize_models_job(tmp_path, sf_dir):
+    """InitializeLanguageModel/Font/GSM equivalents in one job; empty
+    corpus raises (NoDocumentsFoundException semantics)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    models = tmp_path / "models.pkl"
+    gsm = tmp_path / "gsm.pkl"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "ocular_spark/jobs/initialize_models.py"),
+         "--corpus", os.path.join(sf_dir, "documents.parquet"),
+         "--models-out", str(models), "--gsm-out", str(gsm)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    with open(models, "rb") as f:
+        font_bytes, lm = pickle.load(f)
+    ci = lm.get_character_indexer()
+    assert ci.contains("-")  # hyphen forced in (InitializeLanguageModel:272-274)
+    assert lm.get_max_order() == 3
+    from ocular_spark.font import Font
+
+    font = Font.from_bytes(font_bytes)
+    assert font.get(" ").is_space
+    with open(gsm, "rb") as f:
+        factory, gsm_model = pickle.load(f)
+    assert gsm_model.glyph_prob(0, ci.get_index("a"), 5, ci.get_index("a")) > 0
+
+    # empty corpus -> NoDocumentsFoundException semantics
+    import pandas as pd
+
+    empty = tmp_path / "empty.parquet"
+    pd.DataFrame({"text": []}).to_parquet(empty)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "ocular_spark/jobs/initialize_models.py"),
+         "--corpus", str(empty), "--models-out", str(tmp_path / "m2.pkl")],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode != 0 and "NoDocumentsFound" in r2.stderr
