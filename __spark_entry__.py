@@ -290,14 +290,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH recall/precision math assumes.  All arithmetic stays < 2^62, so
 # it is exact in BIGINT on both engines (no ANSI overflow).
 MINHASH_P = 2147483647
-MINHASH_A = [1103515245, 1583458089, 784588716, 999999937]
-MINHASH_C = [12345, 54321, 98765, 24680]
+MINHASH_A = [1103515245, 1583458089, 784588716, 999999937,
+             1804289383, 846930886, 1681692777, 1714636915]
+MINHASH_C = [12345, 54321, 98765, 24680,
+             424242, 131313, 777777, 909090]
 
 
-def _minhash_minhashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, band, minhash): 5-char shingles,
-    ONE md5 digest per shingle reduced mod P, then 4 independent
-    band permutations (integer min aggregation)."""
+def _minhash_perms(docs: DataFrame, n_perms: int, perm_col: str = "band") -> DataFrame:
+    """(doc_id, <perm_col>, minhash): 5-char shingles, ONE md5 digest
+    per shingle reduced mod P, then n_perms independent permutations
+    (integer min aggregation)."""
     shingles = docs.select(
         "doc_id",
         F.explode(
@@ -314,20 +316,28 @@ def _minhash_minhashes(docs: DataFrame) -> DataFrame:
             % F.lit(MINHASH_P)
         ).alias("h31"),
     )
-    a_case = "CASE band WHEN 0 THEN %dL WHEN 1 THEN %dL WHEN 2 THEN %dL ELSE %dL END" % tuple(
-        MINHASH_A
+    a_case = "CASE %s %s END" % (
+        perm_col,
+        " ".join(f"WHEN {i} THEN {a}L" for i, a in enumerate(MINHASH_A[:n_perms])),
     )
-    c_case = "CASE band WHEN 0 THEN %dL WHEN 1 THEN %dL WHEN 2 THEN %dL ELSE %dL END" % tuple(
-        MINHASH_C
+    c_case = "CASE %s %s END" % (
+        perm_col,
+        " ".join(f"WHEN {i} THEN {c}L" for i, c in enumerate(MINHASH_C[:n_perms])),
     )
     return (
         hashed.select(
-            "doc_id", "h31", F.explode(F.expr("sequence(0, 3)")).alias("band")
+            "doc_id", "h31",
+            F.explode(F.expr(f"sequence(0, {n_perms - 1})")).alias(perm_col),
         )
         .withColumn("v", F.expr(f"(h31 * {a_case} + {c_case}) % {MINHASH_P}"))
-        .groupBy("doc_id", "band")
+        .groupBy("doc_id", perm_col)
         .agg(F.min("v").alias("minhash"))
     )
+
+
+def _minhash_minhashes(docs: DataFrame) -> DataFrame:
+    """4-permutation r=1 variant used by q_minhash_bands."""
+    return _minhash_perms(docs, 4, "band")
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,31 +353,68 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WORD_TRIGRAMS = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+    " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification of MinHash-LSH candidates —
     the standard two-stage near-dup pipeline: band buckets propose
-    pairs (no all-pairs), then exact 5-gram-set Jaccard confirms.
+    pairs (no all-pairs), then exact shingle-set Jaccard confirms.
+    Design choices that keep the pair set bounded at scale:
+    (a) WORD-TRIGRAM shingles — on text, char 5-grams are so widely
+        shared that buckets explode (767k candidate pairs on 5k docs
+        of the sf0.1 corpus; 607 with word trigrams);
+    (b) b=4, r=2 banding (bucket key = a PAIR of minhashes per band):
+        per-band collision probability is the Jaccard SQUARED, so
+        unrelated docs rarely collide while 4 bands keep recall high
+        at the 0.5 threshold.
     |A∩B| comes from one join of distinct shingle sets restricted to
     candidate pairs; |A∪B| = |A|+|B|-|A∩B|."""
     d = _load_wide(spark, sf_dir, "documents")
-    minhashes = _minhash_minhashes(d)
+    shingles = d.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({WORD_TRIGRAMS})")).alias("shingle"),
+    )
+    hashed = shingles.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        ).alias("h31"),
+    )
+    a_case = "CASE perm %s END" % " ".join(
+        f"WHEN {i} THEN {a}L" for i, a in enumerate(MINHASH_A[:8])
+    )
+    c_case = "CASE perm %s END" % " ".join(
+        f"WHEN {i} THEN {c}L" for i, c in enumerate(MINHASH_C[:8])
+    )
+    perms = (
+        hashed.select(
+            "doc_id", "h31", F.explode(F.expr("sequence(0, 7)")).alias("perm")
+        )
+        .withColumn("v", F.expr(f"(h31 * {a_case} + {c_case}) % {MINHASH_P}"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("v").alias("minhash"))
+    )
+    sig = (
+        perms.withColumn("band", F.expr("perm div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.max(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).alias("m0"),
+            F.max(F.when(F.col("perm") % 2 == 1, F.col("minhash"))).alias("m1"),
+        )
+    )
     pairs = (
-        minhashes.alias("a")
-        .join(minhashes.alias("b"), ["band", "minhash"])
+        sig.alias("a")
+        .join(sig.alias("b"), ["band", "m0", "m1"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
-    )
-    shingles = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
-                " i -> substring(text, i, 5)))"
-            )
-        ).alias("shingle"),
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # count shared shingles via a (pair x shingle) join
@@ -1072,39 +1119,58 @@ _ORACLE_SQL = {
             HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": """
-            WITH pos AS (
-                SELECT doc_id, text,
-                       UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 4, 1))) AS i
+            WITH grams AS (
+                SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(
+                           GENERATE_SERIES(1, GREATEST(
+                               LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+                           i -> ARRAY_TO_STRING(
+                               STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
                 FROM documents
             ),
             hashed AS (
                 SELECT doc_id,
-                       CAST(('0x' || SUBSTRING(MD5(SUBSTRING(text, i, 5)), 1, 15))::UBIGINT
+                       CAST(('0x' || SUBSTRING(MD5(shingle), 1, 15))::UBIGINT
                             AS BIGINT) % 2147483647 AS h31
-                FROM pos
+                FROM grams
             ),
-            bands AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band),
+            perms AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS perm),
             minhashes AS (
-                SELECT doc_id, band,
-                       MIN((h31 * CASE band WHEN 0 THEN 1103515245
+                SELECT doc_id, perm,
+                       MIN((h31 * CASE perm WHEN 0 THEN 1103515245
                                             WHEN 1 THEN 1583458089
                                             WHEN 2 THEN 784588716
-                                            ELSE 999999937 END
-                            + CASE band WHEN 0 THEN 12345
+                                            WHEN 3 THEN 999999937
+                                            WHEN 4 THEN 1804289383
+                                            WHEN 5 THEN 846930886
+                                            WHEN 6 THEN 1681692777
+                                            ELSE 1714636915 END
+                            + CASE perm WHEN 0 THEN 12345
                                         WHEN 1 THEN 54321
                                         WHEN 2 THEN 98765
-                                        ELSE 24680 END) % 2147483647) AS minhash
-                FROM hashed CROSS JOIN bands
-                GROUP BY doc_id, band
+                                        WHEN 3 THEN 24680
+                                        WHEN 4 THEN 424242
+                                        WHEN 5 THEN 131313
+                                        WHEN 6 THEN 777777
+                                        ELSE 909090 END) % 2147483647) AS minhash
+                FROM hashed CROSS JOIN perms
+                GROUP BY doc_id, perm
+            ),
+            sig AS (
+                SELECT doc_id, perm // 2 AS band,
+                       MAX(CASE WHEN perm % 2 = 0 THEN minhash END) AS m0,
+                       MAX(CASE WHEN perm % 2 = 1 THEN minhash END) AS m1
+                FROM minhashes
+                GROUP BY doc_id, perm // 2
             ),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM minhashes a
-                JOIN minhashes b ON a.band = b.band AND a.minhash = b.minhash
-                                AND a.doc_id < b.doc_id
+                FROM sig a
+                JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+                          AND a.doc_id < b.doc_id
             ),
             shingles AS (
-                SELECT DISTINCT doc_id, SUBSTRING(text, i, 5) AS shingle FROM pos
+                SELECT DISTINCT doc_id, shingle FROM grams
             ),
             sizes AS (
                 SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
