@@ -250,6 +250,52 @@ def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the gaps-and-islands stateful pattern (the
+    batch analog of a session window): per user, a new session starts
+    whenever the gap to the previous event exceeds 30 minutes
+    (lag + conditional cumulative sum over an event-time window);
+    output is per-user session stats.  One shuffle on user_id; the
+    window sort is within user partitions only."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff is timezone-free on TIMESTAMP_NTZ (matches DuckDB
+    # EPOCH arithmetic on naive timestamps; a cast-to-long would pull
+    # the session timezone in)
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(SECOND, prev_ts, ts)") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("timestampdiff(SECOND, min(ts), max(ts))").alias("duration_sec"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("duration_sec").alias("max_session_sec"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+        )
+    )
+
+
 # --------------------------------- training-data ops: dedup / text / ANN
 
 def q_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "first_orders": q_first_orders,
         "event_hourly": q_event_hourly,
+        "event_sessions": q_event_sessions,
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -1068,6 +1115,42 @@ _ORACLE_SQL = {
                    ROUND(SUM(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts, value,
+                       -- FLOOR matches Spark timestampdiff(SECOND, ..)
+                       -- truncation semantics
+                       CASE WHEN FLOOR(EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                                > 1800
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM gaps
+            ),
+            per_session AS (
+                SELECT user_id, session_no,
+                       COUNT(*) AS n_events,
+                       CAST(FLOOR(MAX(EPOCH(ts)) - MIN(EPOCH(ts))) AS BIGINT) AS duration_sec,
+                       ROUND(SUM(value), 4) AS sum_value
+                FROM sess GROUP BY user_id, session_no
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_sessions,
+                   CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+                   MAX(duration_sec) AS max_session_sec,
+                   ROUND(CAST(SUM(sum_value) AS DOUBLE), 4) AS total_value
+            FROM per_session
+            GROUP BY user_id
         """,
         "char_bigrams": """
             WITH pos AS (

@@ -33,6 +33,7 @@ RELATIONAL = [
     "customers_without_orders",
     "first_orders",
     "event_hourly",
+    "event_sessions",
     "char_bigrams",
     "dedup_exact",
     "minhash_bands",
