@@ -144,11 +144,11 @@ def main() -> None:
     timings["transcribe_spans"] = round(decode_sec, 3)
 
     for name in RELATIONAL:
-        df = qs[name](spark, SF_DIR)
-        df.count()  # warm plan/scan
-        # best-of-2: this host's CPU/memory bandwidth jitters up to
-        # 10-25x under co-tenant load (see BASELINE.md §4); min-of-2
-        # shields the headline from transient throttling windows
+        # best-of-2 with the first run doubling as the warm-up: this
+        # host's CPU/memory bandwidth jitters up to 10-25x under
+        # co-tenant load (see BASELINE.md §6); min-of-2 shields the
+        # headline from transient throttling windows at the same total
+        # execution count as a warm+timed protocol
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
