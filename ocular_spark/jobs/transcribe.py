@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--fail-if-empty", action="store_true",
+                    help="raise NoDocumentsToProcess when nothing remains after the resume filter")
     ap.add_argument("--beam-size", type=int, default=10)
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
@@ -60,6 +62,7 @@ def main() -> None:
         docs, media, bundle_bc, char_strs,
         num_partitions=args.num_partitions,
         skip_already_transcribed=skip,
+        fail_if_empty=args.fail_if_empty,
     )
     writer = out.write.mode("append" if skip is not None else "overwrite")
     if args.format == "iceberg":

@@ -221,6 +221,11 @@ DECODED_SCHEMA = (
 )
 
 
+class NoDocumentsToProcessError(RuntimeError):
+    """main/NoDocumentsToProcessException.java — every input document
+    was filtered away (e.g. the resume anti-join covered them all)."""
+
+
 def transcribe(
     docs: "DataFrame",
     media: "DataFrame",
@@ -228,17 +233,25 @@ def transcribe(
     char_strs: List[str],
     num_partitions: Optional[int] = None,
     skip_already_transcribed: Optional["DataFrame"] = None,
+    fail_if_empty: bool = False,
 ) -> "DataFrame":
     """The full serving pipeline; returns docs-shaped output
     (doc_id, spans) with media spans replaced by decoded text.
 
     skip_already_transcribed: an existing output table; docs present
     there are dropped via LEFT ANTI join (resumability filter F2,
-    main/Transcribe.java:83-100)."""
+    main/Transcribe.java:83-100).
+    fail_if_empty: raise NoDocumentsToProcessError when no documents
+    remain after the resume filter (F3; the reference throws rather
+    than silently writing an empty output)."""
     spark = docs.sparkSession
     if skip_already_transcribed is not None:
         docs = docs.join(
             skip_already_transcribed.select("doc_id"), "doc_id", "left_anti"
+        )
+    if fail_if_empty and docs.limit(1).count() == 0:
+        raise NoDocumentsToProcessError(
+            "no documents to process (all filtered or input empty)"
         )
 
     exploded = docs.select(

@@ -174,3 +174,25 @@ def test_markov_offset_spark_path(spark, sf_dir):
         decoded_lines = [l.strip() for l in media_text.split("\n")]
         src_lines = [l.strip() for l in r.src_text.split("\n")]
         assert decoded_lines == src_lines, (r.media_ref, decoded_lines, src_lines)
+
+
+def test_fail_if_empty_raises_when_resume_covers_everything(spark, small_fixture):
+    """F3: the reference throws NoDocumentsToProcessException instead
+    of silently writing an empty output (main/Transcribe.java)."""
+    from ocular_spark.pipeline import NoDocumentsToProcessError
+
+    docs, media, bundle, char_strs = small_fixture
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    done = docs_df.select("doc_id")  # everything already transcribed
+    with pytest.raises(NoDocumentsToProcessError):
+        transcribe(
+            docs_df, media_df, bundle_bc, char_strs,
+            skip_already_transcribed=done, fail_if_empty=True,
+        )
+    # without the flag: empty result, no raise (round-1 behavior)
+    out = transcribe(
+        docs_df, media_df, bundle_bc, char_strs, skip_already_transcribed=done
+    )
+    assert out.count() == 0
