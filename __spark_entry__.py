@@ -1119,11 +1119,13 @@ _ORACLE_SQL = {
         "event_sessions": """
             WITH gaps AS (
                 SELECT user_id, event_id, ts, value,
-                       -- FLOOR matches Spark timestampdiff(SECOND, ..)
-                       -- truncation semantics
-                       CASE WHEN FLOOR(EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+                       -- exact integer microsecond arithmetic (// is
+                       -- BIGINT floor division) matches Spark
+                       -- timestampdiff(SECOND, ..) truncation with no
+                       -- double-rounding at the 1800 s boundary
+                       CASE WHEN (EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id))
-                                > 1800
+                                // 1000000 > 1800
                             OR LAG(ts) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id)
                                 IS NULL
@@ -1140,7 +1142,7 @@ _ORACLE_SQL = {
             per_session AS (
                 SELECT user_id, session_no,
                        COUNT(*) AS n_events,
-                       CAST(FLOOR(MAX(EPOCH(ts)) - MIN(EPOCH(ts))) AS BIGINT) AS duration_sec,
+                       CAST((MAX(EPOCH_US(ts)) - MIN(EPOCH_US(ts))) // 1000000 AS BIGINT) AS duration_sec,
                        ROUND(SUM(value), 4) AS sum_value
                 FROM sess GROUP BY user_id, session_no
             )

@@ -360,7 +360,12 @@ def reestimate_cslm(cslm, counts: CountsBundle, interp_weight: float = 0.5):
         tables = counts.lang_token_tables.get(lang)
         total = sum(tables[0].values()) if tables else 0
         if total > 0:
-            dbs = derive_count_db(tables)
+            # lang tables are counted at the GLOBAL max order; the
+            # reference counts each language at its own base LM's
+            # ngramLength (FontTrainer.java:357) — truncate so the
+            # interpolated model keeps the base's order even when
+            # per-language orders differ
+            dbs = derive_count_db(tables[: base.get_max_order()])
             new_lm = NgramLanguageModel(
                 ci, dbs, base.get_active_characters(), KNESER_NEY, base.lm_power
             )
@@ -437,6 +442,10 @@ def _lm_path(out_dir: str, it: int, batch: int) -> str:
     return os.path.join(out_dir, "lm_iter-%02d_batch-%02d.pkl" % (it, batch))
 
 
+def _gsm_path(out_dir: str, it: int, batch: int) -> str:
+    return os.path.join(out_dir, "gsm_iter-%02d_batch-%02d.pkl" % (it, batch))
+
+
 def find_last_complete_iteration(out_dir: str, num_iters: int) -> int:
     """TrainingRestarter.getRestartModels scan (:28-87, simplified to
     whole-iteration granularity: resume from the newest iter whose
@@ -496,6 +505,13 @@ def train_font(
             if os.path.exists(lm_file):
                 with open(lm_file, "rb") as f:
                     lm = pickle.load(f)
+            # a resumed multilingual run must not restart from the
+            # initial GSM (the reference's TrainingRestarter reloads
+            # all three models)
+            gsm_file = _gsm_path(out_dir, start_iter, 0) + ".final"
+            if os.path.exists(gsm_file):
+                with open(gsm_file, "rb") as f:
+                    gsm = pickle.load(f)
 
     history: List[float] = []
     # deterministic batch assignment by doc order (reference processes
@@ -513,7 +529,20 @@ def train_font(
     # variants (DecoderEM.constructTransitionModel :134-162); the
     # default is the monolingual dense model.
     if tm_factory is None:
-        tm_factory = lambda _lm, _gsm: CompiledTransitionModel(_lm)
+        # pick the factory by model type (DecoderEM.constructTransitionModel
+        # :134-162 does likewise): a code-switch LM or a GSM needs the
+        # code-switch transition model; CompiledTransitionModel would
+        # silently drop the GSM / fail on a cslm
+        from ocular_spark.lm import BasicCodeSwitchLanguageModel
+
+        if isinstance(lm, BasicCodeSwitchLanguageModel) or gsm is not None or gsm_factory is not None:
+            from ocular_spark.cstransition import CodeSwitchTransitionModel
+
+            tm_factory = lambda _lm, _gsm: CodeSwitchTransitionModel(
+                _lm, gsm=_gsm, allow_glyph_substitution=_gsm is not None
+            )
+        else:
+            tm_factory = lambda _lm, _gsm: CompiledTransitionModel(_lm)
     tm = tm_factory(lm, gsm)
     for it in range(start_iter + 1, num_em_iters + 1):
         iter_log_prob = 0.0
@@ -553,4 +582,10 @@ def train_font(
             font.save_npz(_font_path(out_dir, it, 0) + ".final")
             with open(_lm_path(out_dir, it, 0) + ".final", "wb") as f:
                 pickle.dump(lm, f)
-    return font, lm, history
+            if gsm is not None:
+                with open(_gsm_path(out_dir, it, 0) + ".final", "wb") as f:
+                    pickle.dump(gsm, f)
+    # the reference's trainFont returns (font, lm, gsm)
+    # (train/FontTrainer.java:56-134) — dropping the trained GSM would
+    # silently restart multilingual decoding from the initial one
+    return font, lm, gsm, history

@@ -47,7 +47,7 @@ def main() -> None:
     char_strs = lm.get_character_indexer().get_objects()
 
     pages = spark.read.parquet(args.pages)
-    trained_font, trained_lm, history = train_font(
+    trained_font, trained_lm, trained_gsm, history = train_font(
         spark, pages, font, lm, char_strs,
         num_em_iters=args.iters,
         update_doc_batch_size=args.batch_size,
@@ -58,7 +58,7 @@ def main() -> None:
         num_partitions=args.num_partitions,
     )
     with open(os.path.join(args.out_dir, "models_final.pkl"), "wb") as f:
-        pickle.dump((trained_font.to_bytes(), trained_lm), f)
+        pickle.dump((trained_font.to_bytes(), trained_lm, trained_gsm), f)
     print("avg joint log prob per iteration:", history)
     spark.stop()
 

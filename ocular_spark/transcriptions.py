@@ -41,7 +41,7 @@ class Transcriptions(NamedTuple):
     # normalized_running — the ModelTranscriptions charLang tuples
     # (eval/ModelTranscriptions.java:84,93) that
     # separateTranscriptionsByLanguage consumes
-    normalized_running_langs: List[int] = []
+    normalized_running_langs: Sequence[int] = ()
 
 
 def assemble(

@@ -134,7 +134,7 @@ def test_em_improves_joint_log_prob(spark, em_fixture):
             t._log_prob_cache = {}
 
     pages_df = spark.createDataFrame(pages)
-    trained_font, trained_lm, history = train_font(
+    trained_font, trained_lm, trained_gsm, history = train_font(
         spark,
         pages_df,
         font,
@@ -162,12 +162,12 @@ def test_checkpoint_resume(spark, em_fixture, tmp_path):
     font = Font.from_bytes(bundle.font_bytes)
     pages_df = spark.createDataFrame(pages.head(2))
     out_dir = str(tmp_path / "ckpt")
-    f1, lm1, h1 = train_font(
+    f1, lm1, _g1, h1 = train_font(
         spark, pages_df, font, bundle.lm, char_strs,
         num_em_iters=1, out_dir=out_dir, num_partitions=2,
     )
     # resume skips the completed iteration entirely
-    f2, lm2, h2 = train_font(
+    f2, lm2, _g2, h2 = train_font(
         spark, pages_df, Font.from_bytes(bundle.font_bytes), bundle.lm, char_strs,
         num_em_iters=1, out_dir=out_dir, num_partitions=2,
         continue_from_last_complete_iteration=True,
@@ -298,7 +298,7 @@ def test_multilingual_em_reestimates_per_language_lms(spark, sf_dir, tmp_path):
         )
 
     font = Font.from_bytes(bundle.font_bytes)
-    trained_font, trained_lm, history = train_font(
+    trained_font, trained_lm, trained_gsm, history = train_font(
         spark, pages_df, font, cslm, char_strs,
         num_em_iters=2, beam_size=20,
         reestimate_lm_too=True,
@@ -316,3 +316,7 @@ def test_multilingual_em_reestimates_per_language_lms(spark, sf_dir, tmp_path):
     p0, p1 = trained_lm.language_priors
     assert 0.0 < p0 < 1.0 and 0.0 < p1 < 1.0
     assert abs(p0 - 0.6) > 1e-6 or abs(p1 - 0.4) > 1e-6
+    # the trained GSM must be returned (not silently dropped): it was
+    # re-estimated from Viterbi counts, so it differs from the uniform
+    # initialization (ADVICE r2: trainFont returns the gsm too)
+    assert trained_gsm is not None
