@@ -410,26 +410,64 @@ def num_batches(n_docs: int, update_doc_batch_size: int) -> int:
 
 def assign_batches(pages_df, update_doc_batch_size: int, n_docs: int):
     """Materialize a ``batch_id`` column reproducing the reference's
-    contiguous-slice batch semantics WITHOUT collecting keys to the
-    driver (the round-1 implementation collected every (doc_id,
-    media_ref) and filtered with a giant IN-list — a driver OOM at
-    10^12 docs).
+    contiguous-slice batch semantics (FontTrainer.java:272-285: n//b
+    slices, remainder lumped into the last) with NO single-task stage.
 
-    The global row_number runs over a keys-only projection (two narrow
-    string columns, never the image payload); the result joins back on
-    the page key, which Catalyst plans as a broadcast join for small
-    key sets and a co-partitioned shuffle join otherwise."""
+    Distributed global ranking (the zipWithIndex pattern, expressed in
+    DataFrame ops):
+      1. range-partition the keys-only projection on (doc_id,
+         media_ref) — a distributed sort, every partition holds a
+         contiguous key range;
+      2. rank WITHIN each partition (window partitioned by
+         spark_partition_id — parallel, never Exchange SinglePartition);
+      3. collect only the per-partition COUNTS (<= num_partitions rows),
+         prefix-sum them on the driver, and broadcast-join the offsets
+         back: global rank = partition offset + local rank.
+
+    The round-1 implementation collected every key to the driver
+    (driver OOM at 10^12 docs); the round-2 one used a partitionBy-less
+    Window.orderBy (one task sorts every key).  This version's widest
+    per-task state is one partition's worth of (doc_id, media_ref)
+    pairs — never the image payload, never the whole key set."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     n_b = num_batches(n_docs, update_doc_batch_size)
-    w = Window.orderBy("doc_id", "media_ref")
-    keyed = pages_df.select("doc_id", "media_ref").withColumn(
-        "batch_id",
-        F.least(
-            F.floor((F.row_number().over(w) - 1) / update_doc_batch_size).cast("int"),
-            F.lit(n_b - 1),
-        ),
+    spark = pages_df.sparkSession
+    # explicit partition count: AQE must not re-coalesce between the
+    # offsets collect and the final join (pid values have to agree)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = (
+        pages_df.select("doc_id", "media_ref")
+        .repartitionByRange(n_parts, "doc_id", "media_ref")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id", "media_ref")
+    local = keys.withColumn("local_rank", F.row_number().over(w_local) - 1)
+    sizes = sorted(
+        (r["pid"], r["cnt"])
+        for r in local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, schema="pid int, pid_offset long")
+    )
+    keyed = (
+        local.join(off_df, "pid")
+        .withColumn(
+            "batch_id",
+            F.least(
+                F.floor(
+                    (F.col("pid_offset") + F.col("local_rank"))
+                    / update_doc_batch_size
+                ).cast("int"),
+                F.lit(n_b - 1),
+            ),
+        )
+        .select("doc_id", "media_ref", "batch_id")
     )
     return pages_df.join(keyed, ["doc_id", "media_ref"]), n_b
 

@@ -169,3 +169,21 @@ def test_heavy_tail_doc_pages_spread_across_partitions(spark, sf_dir):
     # balls-in-bins: 40 pages over 24 partitions -> expect ~19 distinct
     # bins; anything above nparts/2 proves the doc's cost is spread
     assert dist > nparts / 2, dist
+
+
+def test_assign_batches_has_no_single_partition_exchange(spark):
+    """EM batch assignment must be fully distributed: the round-2
+    implementation planned a partitionBy-less Window.orderBy, i.e.
+    Exchange SinglePartition -> one task sorts every page key (a
+    straggler wall at 10^12 docs).  The zipWithIndex-style version
+    (range partition + per-partition ranks + tiny offsets collect)
+    must plan with NO SinglePartition exchange anywhere."""
+    from ocular_spark.em import assign_batches
+
+    df = spark.createDataFrame(
+        [("doc-%03d" % i, "m-%03d" % i, "x") for i in range(97)],
+        "doc_id string, media_ref string, lines string",
+    )
+    got_df, _ = assign_batches(df, 10, 97)
+    plan = _plan(got_df)
+    assert "SinglePartition" not in plan, plan
