@@ -315,9 +315,24 @@ def q_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_injected_dup_docs(d: DataFrame) -> DataFrame:
+    """Deterministically inject exact-duplicate documents (docs with
+    doc_id % 100 == 7, cloned at doc_id + 10_000_000).  The synthetic
+    corpus has no exact duplicates at any SF, which made the dedup
+    driver row vacuously green (VERDICT r2); the oracle SQL applies
+    the identical injection."""
+    clones = d.filter(F.col("doc_id") % 100 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    return d.unionByName(clones)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate detection: hash-groupBy over text digests."""
-    d = _load(spark, sf_dir, "documents")
+    """Exact-duplicate detection: hash-groupBy over text digests —
+    one shuffle on the digest.  Duplicates are injected
+    deterministically (see _with_injected_dup_docs) so the driver row
+    asserts real group-collapse behavior."""
+    d = _with_injected_dup_docs(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(
@@ -524,11 +539,27 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_injected_dup_vecs(e: DataFrame) -> DataFrame:
+    """Deterministically inject exact-duplicate embeddings (vec_id < 5
+    cloned at vec_id + 1_000_000, identical vector -> cosine exactly
+    1.0).  The synthetic embeddings have no >0.8-cosine pairs at any
+    SF, which made the neighbor/near-dup driver rows vacuously green
+    (VERDICT r2); the oracle SQL applies the identical injection."""
+    clones = e.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return e.unionByName(clones)
+
+
 def q_embed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity search: for each probe vector
     (vec_id < 10), count neighbors above threshold.  JVM-side
-    F.aggregate/zip_with arithmetic — no Python UDF."""
-    e = _load(spark, sf_dir, "embeddings")
+    F.aggregate/zip_with arithmetic — no Python UDF.  Near-dup pairs
+    are injected deterministically (see _with_injected_dup_vecs) so
+    the driver row asserts non-empty neighbor counts."""
+    e = _with_injected_dup_vecs(
+        _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -621,6 +652,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids = np.asarray(tbl["vec_id"])
     mat = np.stack(tbl["embedding"].to_pandas().values).astype(np.float64)
+    # identical duplicate injection as _with_injected_dup_vecs (the
+    # comparison matrix and the streamed side must agree)
+    clone_mask = ids < 5
+    ids = np.concatenate([ids, ids[clone_mask] + 1_000_000])
+    mat = np.vstack([mat, mat[clone_mask]])
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def kernel(batches):
@@ -641,8 +677,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out, columns=["id_a", "n_near_dups", "first_match"])
 
-    e = _load_wide(spark, sf_dir, "embeddings")
-    return e.select("vec_id", "embedding").mapInPandas(
+    e = _with_injected_dup_vecs(
+        _load_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return e.mapInPandas(
         kernel, schema="id_a long, n_near_dups long, first_match long"
     )
 
@@ -1165,10 +1203,16 @@ _ORACLE_SQL = {
             GROUP BY 1
         """,
         "dedup_exact": """
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 100 = 7
+            )
             SELECT MD5(text) AS text_hash,
                    COUNT(*) AS n_dups,
                    MIN(doc_id) AS first_doc_id
-            FROM documents
+            FROM all_docs
             GROUP BY 1
             HAVING COUNT(*) > 1
         """,
@@ -1295,9 +1339,15 @@ _ORACLE_SQL = {
             FROM documents
         """,
         "embed_neighbors": """
+            WITH all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 5
+            )
             SELECT p.vec_id AS probe_id, COUNT(*) AS n_neighbors
-            FROM embeddings p
-            JOIN embeddings e ON p.vec_id != e.vec_id
+            FROM all_vecs p
+            JOIN all_vecs e ON p.vec_id != e.vec_id
             WHERE p.vec_id < 10
               AND LIST_DOT_PRODUCT(p.embedding, e.embedding)
                   / (SQRT(LIST_DOT_PRODUCT(p.embedding, p.embedding))
@@ -1357,11 +1407,17 @@ _ORACLE_SQL = {
             SELECT probe_id, vec_id, cos, rank FROM ranked WHERE rank <= 3
         """,
         "embed_neardup": """
+            WITH all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 5
+            )
             SELECT a.vec_id AS id_a,
                    COUNT(*) AS n_near_dups,
                    MIN(b.vec_id) AS first_match
-            FROM embeddings a
-            JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM all_vecs a
+            JOIN all_vecs b ON a.vec_id < b.vec_id
             WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) > 0.9
             GROUP BY 1
