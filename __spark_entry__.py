@@ -744,35 +744,116 @@ def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign_expr(cb) -> "F.Column":
+    """Map-side nearest-centroid argmax over the ``embedding`` column:
+    the codebook is inlined as literal arrays (K*d doubles — O(1) plan
+    size at any data scale, the Spark analog of FAISS's local coarse
+    quantization), so assignment is a pure PROJECTION — no join, no
+    aggregation, no sort, no shuffle.  First-occurrence-of-max with the
+    codebook sorted by cent_id breaks cdot ties toward the smallest
+    cent_id, matching the oracle's ORDER BY cdot DESC, cent_id ASC."""
+    cb = sorted(cb, key=lambda r: r["cent_id"])
+    dots = F.array(
+        *[
+            _dot64(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]),
+            )
+            for r in cb
+        ]
+    )
+    cids = F.array(*[F.lit(int(r["cent_id"])) for r in cb])
+    return F.element_at(cids, F.array_position(dots, F.array_max(dots)).cast("int"))
+
+
+def _ivf_train_codebook(spark: SparkSession, e: DataFrame, n_iters: int = 3):
+    """Distributed spherical k-means codebook for the IVF query: seed
+    with the first 16 vectors, then ``n_iters`` Lloyd iterations, each
+    fully distributed —
+      assign: map-side literal-codebook argmax (_ivf_assign_expr —
+              a projection: no shuffle, no sort);
+      M-step: posexplode to (cluster, dim) and ONE shuffle on the
+              (cluster, dim) key for the per-dimension mean (partial
+              aggregation map-side), K*d groups total;
+      re-center: L2-normalize (cosine -> spherical k-means) and round
+              to 6 dp so the codebook is bit-reproducible across
+              engines/partitionings (raw float means carry ~1e-16
+              sum-order jitter), then collect the K rows (O(K*d) to
+              the driver per iteration — constant at any data scale).
+    Empty clusters drop out (both engines drop them identically)."""
+    cb = (
+        e.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").cast("int").alias("cent_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cent_vec"),
+        )
+        .collect()
+    )
+    for _ in range(n_iters):
+        assigned = e.select(
+            _ivf_assign_expr(cb).alias("cluster"), "embedding"
+        )
+        norm = F.sqrt(
+            F.aggregate("raw_vec", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cluster").alias("cent_id"),
+                F.transform("pm", lambda s: s["m"]).alias("raw_vec"),
+            )
+            .select(
+                "cent_id",
+                F.transform("raw_vec", lambda x: F.round(x / norm, 6)).alias(
+                    "cent_vec"
+                ),
+            )
+        )
+        cb = means.collect()
+    return cb
+
+
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the coarse-quantizer scale path, complementing
-    hyperplane LSH): 16 deterministic centroids (vec_id < 16 — a fixed
-    seeding, standing in for a k-means codebook), every vector is
-    assigned to its nearest centroid (one broadcast of the 16-vector
-    codebook, no shuffle), probes search ONLY their top-2 clusters
-    (nprobe=2), then exact cosine top-3 within the candidate set.
-    At 100 TB: codebook broadcast is O(K*d), the cluster assignment is
-    a map-only pass, and per-probe work is bounded by the probed
-    clusters' sizes instead of N."""
+    """IVF ANN (the coarse-quantizer scale path, complementing
+    hyperplane LSH): a 16-centroid codebook TRAINED by 3 distributed
+    spherical-k-means Lloyd iterations (see _ivf_train_codebook;
+    seeded from the first 16 vectors), every vector assigned to its
+    nearest centroid by a map-side literal-codebook argmax projection
+    (no shuffle, no sort, no join — the round-2 row_number window
+    shuffled and sorted the N x 16 scored table), probes search ONLY their top-4
+    clusters (nprobe=4), then exact cosine top-3 within the candidate
+    set.  At 100 TB: codebook broadcast is O(K*d), cluster assignment
+    is a map-only pass, and per-probe work is bounded by the probed
+    clusters' sizes instead of N.
+    Measured recall vs brute-force cosine top-3 (q_embed_topk, probes
+    vec_id < 10, tools/ivf_recall.py): 0.967 at sf0.01 AND at sf0.1
+    (29/30 each).  nprobe=4 of K=16 is high because the synthetic
+    embeddings are near-uniform random unit vectors (worst case for a
+    coarse quantizer); real embedding corpora cluster far better, and
+    at scale K grows ~sqrt(N) so nprobe/K shrinks."""
     from pyspark.sql.window import Window
 
     e = _load(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    cb = _ivf_train_codebook(spark, e)
+    assigned = e.select(
+        "vec_id", "embedding", _ivf_assign_expr(cb).alias("cluster")
     )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "cdot", _dot64(F.col("embedding"), F.col("cent_vec"))
+    cent = F.broadcast(
+        spark.createDataFrame(cb, schema="cent_id int, cent_vec array<double>")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
-    )
     probes = (
-        scored.filter(F.col("vec_id") < 10)
+        e.filter(F.col("vec_id") < 10)  # tiny: the window sorts 10*K rows
+        .crossJoin(cent)
+        .withColumn("cdot", _dot64(F.col("embedding"), F.col("cent_vec")))
         .withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") <= 2)  # nprobe = 2
+        .filter(F.col("crank") <= 4)  # nprobe = 4
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("probe_vec"),
@@ -1495,9 +1576,94 @@ _ORACLE_SQL = {
             HAVING COUNT(*) > 1
         """,
         "embed_ivf_topk": """
-            WITH cent AS (
-                SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+            WITH cb0 AS (
+                SELECT CAST(vec_id AS INT) AS cent_id,
+                       CAST(embedding AS DOUBLE[]) AS cent_vec
                 FROM embeddings WHERE vec_id < 16
+            ),
+            -- 3 unrolled spherical-k-means Lloyd iterations (assign ->
+            -- per-dim mean -> L2-normalize -> ROUND 6dp), mirroring
+            -- _ivf_train_codebook exactly
+            s1 AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cb0 c
+            ),
+            a1 AS (
+                SELECT vec_id, emb, cent_id AS cluster FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                    FROM s1
+                ) WHERE rn = 1
+            ),
+            m1 AS (
+                SELECT cluster, pos, AVG(val) AS m FROM (
+                    SELECT cluster, UNNEST(emb) AS val,
+                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
+                    FROM a1
+                ) GROUP BY 1, 2
+            ),
+            r1 AS (
+                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m1 GROUP BY 1
+            ),
+            cb1 AS (
+                SELECT cent_id,
+                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
+                FROM r1
+            ),
+            s2 AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cb1 c
+            ),
+            a2 AS (
+                SELECT vec_id, emb, cent_id AS cluster FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                    FROM s2
+                ) WHERE rn = 1
+            ),
+            m2 AS (
+                SELECT cluster, pos, AVG(val) AS m FROM (
+                    SELECT cluster, UNNEST(emb) AS val,
+                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
+                    FROM a2
+                ) GROUP BY 1, 2
+            ),
+            r2 AS (
+                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m2 GROUP BY 1
+            ),
+            cb2 AS (
+                SELECT cent_id,
+                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
+                FROM r2
+            ),
+            s3 AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cb2 c
+            ),
+            a3 AS (
+                SELECT vec_id, emb, cent_id AS cluster FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                    FROM s3
+                ) WHERE rn = 1
+            ),
+            m3 AS (
+                SELECT cluster, pos, AVG(val) AS m FROM (
+                    SELECT cluster, UNNEST(emb) AS val,
+                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
+                    FROM a3
+                ) GROUP BY 1, 2
+            ),
+            r3 AS (
+                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m3 GROUP BY 1
+            ),
+            cent AS (
+                SELECT cent_id,
+                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
+                FROM r3
             ),
             scored AS (
                 SELECT e.vec_id, e.embedding, c.cent_id,
@@ -1514,7 +1680,7 @@ _ORACLE_SQL = {
             ),
             probes AS (
                 SELECT vec_id AS probe_id, embedding AS probe_vec, cent_id AS cluster
-                FROM ranked WHERE vec_id < 10 AND crank <= 2
+                FROM ranked WHERE vec_id < 10 AND crank <= 4
             ),
             cands AS (
                 SELECT p.probe_id, a.vec_id,

@@ -22,9 +22,16 @@ def test_doc_fingerprint_is_map_side_until_final_groupby(spark, sf_dir):
 
 def test_embed_ivf_topk_broadcasts_the_codebook(spark, sf_dir):
     """The 16-vector codebook and profile tables must move by
-    broadcast, never by shuffling the embeddings against them."""
+    broadcast, never by shuffling the embeddings against them; the
+    full-table cluster assignment must be a map-side projection
+    (literal-codebook argmax): the only Window/Sort operators allowed
+    are the two probe-side top-k windows (probes are 10 rows), and no
+    aggregate may sort."""
     plan = _plan(entry_mod.q_embed_ivf_topk(spark, sf_dir))
     assert "Broadcast" in plan
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(windows) == 2, plan
+    assert "SortAggregate" not in plan, plan
 
 
 def test_lang_id_ngram_broadcasts_profiles(spark, sf_dir):
