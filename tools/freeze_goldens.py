@@ -1,21 +1,30 @@
 #!/usr/bin/env python
 """Freeze driver-checkable goldens for the non-SQL-expressible queries.
 
-The OCR-core queries (transcribe_spans, transcribe_metrics,
+The OCR-core queries (transcribe_spans*, transcribe_metrics,
 em_font_counts, lm_perplexity) are beam semi-Markov Viterbi decodes —
 DuckDB cannot recompute them.  Their outputs ARE deterministic
-functions of the sf0.01 fixture (fixed 8-doc slice, deterministic
-rendering/decoding, integer-valued EM width counts), so we freeze the
-Spark results into `SELECT * FROM (VALUES ...)` oracles that the
-driver's rows/schema/value-hash gate can check like any other query.
+functions of the sf0.01 fixture, so we freeze expected results into
+`SELECT * FROM (VALUES ...)` oracles that the driver's
+rows/schema/value-hash gate can check like any other query.
+
+PROVENANCE (the point of this tool): every golden is computed by the
+IN-PROCESS single-machine oracle path — plain pandas/NumPy loops over
+`ocular_spark.fixtures.oracle_transcribe_pandas`, direct
+`Decoder.decode_document` calls, and `DensePplTables.score_batch` —
+with NO SparkSession anywhere in this file.  The driver gate therefore
+checks Spark-pipeline-vs-independent-execution-path, not
+Spark-vs-itself (round-2 versions of this tool collected the Spark
+query's own output, which made the driver rows regression pins only).
+The decoder/LM KERNELS are still shared between both paths (the
+reference jar is unbuildable, so no third implementation exists);
+kernel-level independence is covered one layer down by
+tests/test_micro_lattice.py (beam decoder == exact enumerable Viterbi)
+and the ported reference test vectors.
 
 Regenerate after any intentional decode-semantics change:
 
     python tools/freeze_goldens.py          # writes golden_oracles.py
-
-The goldens are pinned to sf0.01 (the driver's correctness scale);
-value-level Spark-vs-NumPy-oracle parity at other scales is covered by
-tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -23,29 +32,15 @@ from __future__ import annotations
 import math
 import os
 import sys
+from typing import List, Tuple
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.01")
-GOLDEN_QUERIES = [
-    "transcribe_spans",
-    "transcribe_spans_cs",
-    "transcribe_spans_offset",
-    "transcribe_metrics",
-    "em_font_counts",
-    "lm_perplexity",
-]
 
-# Spark simpleString -> DuckDB type
-_TYPES = {
-    "string": "VARCHAR",
-    "int": "INTEGER",
-    "bigint": "BIGINT",
-    "double": "DOUBLE",
-    "float": "FLOAT",
-    "boolean": "BOOLEAN",
-}
+SPAN_COLS = ["doc_id", "kind", "text", "media_ref", "offset"]
+SPAN_TYPES = ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "INTEGER"]
 
 
 def _sql_literal(v, duck_type: str) -> str:
@@ -66,15 +61,11 @@ def _sql_literal(v, duck_type: str) -> str:
     return f"CAST({v!r} AS {duck_type})"
 
 
-def freeze(spark, name: str, fn) -> str:
-    df = fn(spark, SF_DIR)
-    cols = df.columns
-    duck_types = [_TYPES[f.dataType.simpleString()] for f in df.schema.fields]
-    rows = df.collect()
+def _values_sql(cols: List[str], duck_types: List[str], rows: List[tuple]) -> str:
     if not rows:
-        raise RuntimeError(f"{name}: empty result, refusing to freeze")
+        raise RuntimeError("empty result, refusing to freeze")
     values = ",\n                ".join(
-        "(" + ", ".join(_sql_literal(row[i], duck_types[i]) for i in range(len(cols))) + ")"
+        "(" + ", ".join(_sql_literal(v, t) for v, t in zip(row, duck_types)) + ")"
         for row in rows
     )
     collist = ", ".join(f'"{c}"' for c in cols)  # "offset" etc. are reserved
@@ -84,30 +75,157 @@ def freeze(spark, name: str, fn) -> str:
     )
 
 
-def main() -> None:
-    from pyspark.sql import SparkSession
+def _flatten_spans(out_docs) -> List[tuple]:
+    rows = []
+    for r in out_docs.itertuples():
+        for s in r.spans:
+            rows.append(
+                (r.doc_id, s["kind"], s["text"], s["media_ref"], s["offset"])
+            )
+    return rows
 
-    import __spark_entry__ as entry_mod
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("freeze-goldens")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+def _documents():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+
+
+def freeze_transcribe_spans() -> Tuple[List[str], List[str], List[tuple]]:
+    from ocular_spark.fixtures import (
+        build_models,
+        derive_docs_and_media,
+        oracle_transcribe_pandas,
     )
-    qs = entry_mod.queries()
+
+    documents = _documents()
+    docs, media = derive_docs_and_media(documents, n_docs=8, max_pages_per_doc=2)
+    bundle, char_strs = build_models(documents)
+    out = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+    return SPAN_COLS, SPAN_TYPES, _flatten_spans(out)
+
+
+def freeze_transcribe_spans_cs() -> Tuple[List[str], List[str], List[tuple]]:
+    from ocular_spark.fixtures import (
+        build_models_cs,
+        derive_docs_and_media_cs,
+        oracle_transcribe_pandas,
+    )
+
+    documents = _documents()
+    docs, media = derive_docs_and_media_cs(documents, n_docs=3)
+    bundle, char_strs = build_models_cs(documents)
+    out = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+    return SPAN_COLS, SPAN_TYPES, _flatten_spans(out)
+
+
+def freeze_transcribe_spans_offset() -> Tuple[List[str], List[str], List[tuple]]:
+    from ocular_spark.fixtures import (
+        build_models_offset,
+        derive_docs_and_media_offset,
+        oracle_transcribe_pandas,
+    )
+
+    documents = _documents()
+    docs, media = derive_docs_and_media_offset(documents, n_docs=4)
+    bundle, char_strs = build_models_offset(documents)
+    out = oracle_transcribe_pandas(docs, media, bundle, char_strs)
+    return SPAN_COLS, SPAN_TYPES, _flatten_spans(out)
+
+
+def freeze_transcribe_metrics() -> Tuple[List[str], List[str], List[tuple]]:
+    """Lineage metrics projection: (doc_id, media_ref, offset, n_lines)
+    for every media span — derivable by a pandas join, no decode."""
+    from ocular_spark.fixtures import build_models, derive_docs_and_media
+
+    documents = _documents()
+    docs, media = derive_docs_and_media(documents, n_docs=8, max_pages_per_doc=2)
+    n_lines_by_ref = {r.media_ref: int(r.n_lines) for r in media.itertuples()}
+    rows = []
+    for r in docs.itertuples():
+        for s in r.spans:
+            if s["kind"] == "media":
+                rows.append(
+                    (r.doc_id, s["media_ref"], s["offset"],
+                     n_lines_by_ref[s["media_ref"]])
+                )
+    cols = ["doc_id", "media_ref", "offset", "n_lines"]
+    return cols, ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER"], rows
+
+
+def freeze_em_font_counts() -> Tuple[List[str], List[str], List[tuple]]:
+    """One E-step's per-character template width-count table, computed
+    by a plain Python loop over the fixture pages (decode + count), no
+    Spark, no treeAggregate."""
+    from ocular_spark.em import CountsBundle, accumulate_page_counts
+    from ocular_spark.fixtures import build_models, derive_docs_and_media
+    from ocular_spark.pipeline import get_decoder, unpack_line
+
+    documents = _documents()
+    docs, media = derive_docs_and_media(documents, n_docs=8, max_pages_per_doc=2)
+    bundle, char_strs = build_models(documents)
+    decoder = get_decoder(bundle)
+    space_idx = decoder.tm.space
+    counts = CountsBundle(bundle.lm.get_max_order())
+    media_by_ref = {r.media_ref: list(r.lines) for r in media.itertuples()}
+    for r in docs.itertuples():
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            imgs = [unpack_line(raw) for raw in media_by_ref[s["media_ref"]]]
+            decodes, _ = decoder.decode_document(imgs)
+            accumulate_page_counts(counts, decodes, imgs, space_idx)
+    rows = [
+        (char_strs[c], int(w), float(n))
+        for c, wd in sorted(counts.width.items())
+        for w, n in sorted(wd.items())
+    ]
+    return ["char", "template_width", "count"], ["VARCHAR", "BIGINT", "DOUBLE"], rows
+
+
+def freeze_lm_perplexity() -> Tuple[List[str], List[str], List[tuple]]:
+    import numpy as np
+
+    from ocular_spark.fixtures import build_models
+    from ocular_spark.lm import DensePplTables
+
+    documents = _documents()
+    bundle, _ = build_models(documents)
+    tables = DensePplTables(bundle.transition_model)
+    subset = documents[documents["doc_id"] < 100]
+    n_chars, ppl = tables.score_batch([str(t) for t in subset["text"]])
+    rows = [
+        (int(d), int(n), float(p))
+        for d, n, p in zip(subset["doc_id"], n_chars, np.round(ppl, 4))
+    ]
+    return ["doc_id", "n_scored", "perplexity"], ["BIGINT", "INTEGER", "DOUBLE"], rows
+
+
+FREEZERS = {
+    "transcribe_spans": freeze_transcribe_spans,
+    "transcribe_spans_cs": freeze_transcribe_spans_cs,
+    "transcribe_spans_offset": freeze_transcribe_spans_offset,
+    "transcribe_metrics": freeze_transcribe_metrics,
+    "em_font_counts": freeze_em_font_counts,
+    "lm_perplexity": freeze_lm_perplexity,
+}
+
+
+def main() -> None:
     out = {}
-    for name in GOLDEN_QUERIES:
-        out[name] = freeze(spark, name, qs[name])
-        print(f"froze {name}: {out[name].count(chr(10)) + 1} lines", file=sys.stderr)
-    spark.stop()
+    for name, fn in FREEZERS.items():
+        cols, types, rows = fn()
+        out[name] = _values_sql(cols, types, rows)
+        print(f"froze {name}: {len(rows)} rows", file=sys.stderr)
 
     path = os.path.join(REPO, "golden_oracles.py")
     with open(path, "w") as f:
         f.write('"""FROZEN golden oracles — generated by tools/freeze_goldens.py.\n\n')
         f.write("Deterministic expected outputs of the non-SQL-expressible\n")
         f.write(f"OCR-core queries at {SF_DIR}, as DuckDB VALUES selects.\n")
+        f.write("Computed by the IN-PROCESS pandas/NumPy oracle path (no\n")
+        f.write("SparkSession): the driver gate checks the Spark pipeline\n")
+        f.write("against an independent execution path, not against itself.\n")
         f.write('Do not edit by hand; regenerate via the tool."""\n\n')
         f.write("GOLDEN_ORACLES = {\n")
         for name, sql in out.items():
