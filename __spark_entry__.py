@@ -1019,6 +1019,65 @@ def q_em_font_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def q_train_font_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL distributed EM training iteration under the driver
+    gate (O15 loop + A4/A5 M-step; train/FontTrainer.java:137-269):
+    Spark E-step (page-salted decode -> treeAggregate count merge) ->
+    driver M-step (width-gaussian refit + LBFGS template refit) ->
+    the retrained font summarized as (char, width, width_lp, tw_sum).
+    The golden is frozen from an in-process SERIAL train step
+    (tools/freeze_goldens.py): the E-step counts are exact integers,
+    so the distributed treeAggregate merge must reproduce the serial
+    accumulation bit-for-bit, and the (driver-side, deterministic)
+    M-step then yields identical floats."""
+    import pandas as pd
+
+    from ocular_spark.em import train_font
+    from ocular_spark.font import Font
+
+    docs_df, media_df, bundle_bc, char_strs = _pipeline_frames(spark, sf_dir)
+    pages = (
+        docs_df.select("doc_id", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") == "media")
+        .select("doc_id", F.col("span.media_ref").alias("media_ref"))
+        .join(media_df, "media_ref")
+        .select("doc_id", "media_ref", "lines")
+    )
+    bundle = bundle_bc.value
+    font = Font.from_bytes(bundle.font_bytes)
+    trained, _lm, _gsm, _hist = train_font(
+        spark, pages, font, bundle.lm, char_strs,
+        num_em_iters=1, beam_size=bundle.beam_size,
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(font_summary_rows(trained, char_strs))
+    )
+
+
+def font_summary_rows(font, char_strs) -> list:
+    """(char, width, width_lp, tw_sum) rows pinning both halves of the
+    font M-step: the width-gaussian refit (width_lp per allowed width)
+    and the LBFGS template refit (tw_sum = template-weight sum)."""
+    rows = []
+    for c in char_strs:
+        t = font.get(c)
+        tw_sum = (
+            0.0
+            if t.is_space  # space has no template image, only widths
+            else round(float(t.template_weights.astype("float64").sum()), 3)
+        )
+        for w in t.allowed_widths():
+            rows.append(
+                {
+                    "char": c,
+                    "width": int(w),
+                    "width_lp": round(float(t.width_log_prob(w)), 6),
+                    "tw_sum": tw_sum,
+                }
+            )
+    return rows
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LM perplexity (O20) of the documents text under the
     fixture char-LM.  The broadcast carries only the DENSE scoring
@@ -1155,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "em_font_counts": q_em_font_counts,
+        "train_font_step": q_train_font_step,
         "lm_perplexity": q_lm_perplexity,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,

@@ -183,6 +183,43 @@ def freeze_em_font_counts() -> Tuple[List[str], List[str], List[tuple]]:
     return ["char", "template_width", "count"], ["VARCHAR", "BIGINT", "DOUBLE"], rows
 
 
+def freeze_train_font_step() -> Tuple[List[str], List[str], List[tuple]]:
+    """Serial single-machine EM iteration: decode every fixture page
+    in a plain loop, accumulate font counts, run the driver M-step —
+    no Spark.  Pins q_train_font_step's distributed E-step + M-step."""
+    from __spark_entry__ import font_summary_rows
+    from ocular_spark.em import (
+        CountsBundle,
+        accumulate_page_counts,
+        apply_font_mstep,
+    )
+    from ocular_spark.fixtures import build_models, derive_docs_and_media
+    from ocular_spark.font import Font
+    from ocular_spark.pipeline import get_decoder, unpack_line
+
+    documents = _documents()
+    docs, media = derive_docs_and_media(documents, n_docs=8, max_pages_per_doc=2)
+    bundle, char_strs = build_models(documents)
+    decoder = get_decoder(bundle)
+    counts = CountsBundle(bundle.lm.get_max_order())
+    media_by_ref = {r.media_ref: list(r.lines) for r in media.itertuples()}
+    for r in docs.itertuples():
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            imgs = [unpack_line(raw) for raw in media_by_ref[s["media_ref"]]]
+            decodes, _ = decoder.decode_document(imgs)
+            accumulate_page_counts(counts, decodes, imgs, decoder.tm.space)
+    font = Font.from_bytes(bundle.font_bytes)
+    trained = apply_font_mstep(font, counts, char_strs)
+    rows = [
+        (r["char"], r["width"], r["width_lp"], r["tw_sum"])
+        for r in font_summary_rows(trained, char_strs)
+    ]
+    cols = ["char", "width", "width_lp", "tw_sum"]
+    return cols, ["VARCHAR", "BIGINT", "DOUBLE", "DOUBLE"], rows
+
+
 def freeze_lm_perplexity() -> Tuple[List[str], List[str], List[tuple]]:
     import numpy as np
 
@@ -207,6 +244,7 @@ FREEZERS = {
     "transcribe_spans_offset": freeze_transcribe_spans_offset,
     "transcribe_metrics": freeze_transcribe_metrics,
     "em_font_counts": freeze_em_font_counts,
+    "train_font_step": freeze_train_font_step,
     "lm_perplexity": freeze_lm_perplexity,
 }
 
