@@ -392,11 +392,18 @@ class TemplateStack:
 
 
 class EmissionCache(NamedTuple):
+    """Max emission scores only.  The (exposure, offset, pad) argmaxes
+    are NOT materialized: the old (T, C, max_w+1) int8 argmax tables
+    cost an argmax + take_along_axis + masked scatter per (tw, pw)
+    pair for every line, yet the decoder only ever reads them for the
+    ~|path| entries of the final Viterbi trace.  They are recovered on
+    demand by recover_emission_args (same scores, same tie-breaks)
+    from the retained observation arrays."""
+
     log_probs: np.ndarray  # (T, C, max_w+1) float32, -inf where not allowed
-    # argmax recovery, parallel to log_probs:
-    best_exposure: np.ndarray  # int8
-    best_offset: np.ndarray  # int8 (actual offset, -MAX..MAX)
-    best_pad: np.ndarray  # int8
+    white_obs: np.ndarray  # (T, H) float32 — for trace-time arg recovery
+    black_obs: np.ndarray  # (T, H) float32
+    ws_cum: np.ndarray  # (T+1, E) float32 whitespace prefix sums
     T: int
 
 
@@ -404,12 +411,14 @@ class ExplicitOffsetEmissionCache(NamedTuple):
     """model/emission/CachingEmissionModelExplicitOffset.java: the
     offset axis stays explicit (max over exposures only); the decoder
     looks scores up at each state's own offset.  log_probs (the
-    offset-max) is retained for the coarse backward heuristic."""
+    offset-max) is retained for the coarse backward heuristic.
+    (exposure, pad) argmaxes recovered on demand like EmissionCache."""
 
     log_probs4: np.ndarray  # (T, C, max_w+1, n_off) float32
-    best_exposure4: np.ndarray  # int8
-    best_pad4: np.ndarray  # int8
     log_probs: np.ndarray  # (T, C, max_w+1) = max over offsets (betas)
+    white_obs: np.ndarray  # (T, H) float32
+    black_obs: np.ndarray  # (T, H) float32
+    ws_cum: np.ndarray  # (T+1, E) float32
     T: int
 
 
@@ -427,9 +436,6 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
 
     max_w = stack.max_w
     cache = np.full((T, C, max_w + 1), NEG_INF, dtype=np.float32)
-    best_e = np.zeros((T, C, max_w + 1), dtype=np.int8)
-    best_off = np.zeros((T, C, max_w + 1), dtype=np.int8)
-    best_pad = np.zeros((T, C, max_w + 1), dtype=np.int8)
 
     # whitespace column log-probs per (t, e), then prefix sums
     ws_col = white_obs @ stack.ws_white.T + black_obs @ stack.ws_black.T  # (T, E)
@@ -458,12 +464,7 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
         total = (ws_cum[t_idx + w] - ws_cum[t_idx]) + np.float32(
             sp_wlp[best_tw] + stack.pad_log_prob
         )  # (lim, E)
-        e_arg = total.argmax(axis=1)
-        val = np.take_along_axis(total, e_arg[:, None], axis=1)[:, 0]
-        cache[:lim, sp, w] = val
-        best_e[:lim, sp, w] = e_arg.astype(np.int8)
-        best_off[:lim, sp, w] = -MAX_OFFSET  # ties: first offset wins
-        best_pad[:lim, sp, w] = w - best_tw
+        cache[:lim, sp, w] = total.max(axis=1)
 
     # ---- all other chars: GEMM per template width, vectorized populate ----
     for tw in stack.widths:
@@ -487,9 +488,7 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
         scores = w_win @ whiteT + b_win @ blackT  # (nT, N)
         nc = len(chars_tw)
         sc = scores.reshape(nT, nc, N_EXPOSURES, n_off)
-        off_arg = sc.argmax(axis=3)  # (nT, nc, E)
-        tmpl_lp = np.take_along_axis(sc, off_arg[..., None], axis=3)[..., 0]
-        tmpl_lp = tmpl_lp + wlp[None, :, None]  # (nT, nc, E)
+        tmpl_lp = sc.max(axis=3) + wlp[None, :, None]  # (nT, nc, E)
         chars_arr = np.asarray(chars_tw)
         for pw in range(pad_min, pad_max + 1):
             w = tw + pw
@@ -500,21 +499,11 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
             pad_lp = (ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]) + np.float32(
                 stack.pad_log_prob
             )  # (lim, E)
-            total = tmpl_lp[:lim] + pad_lp[:, None, :]  # (lim, nc, E)
-            e_arg = total.argmax(axis=2)
-            val = np.take_along_axis(total, e_arg[..., None], axis=2)[..., 0]  # (lim, nc)
-            cur = cache[:lim, chars_arr, w]
-            better = val > cur
-            if better.any():
-                ti, ci = np.nonzero(better)
-                cc = chars_arr[ci]
-                cache[ti, cc, w] = val[ti, ci]
-                best_e[ti, cc, w] = e_arg[ti, ci].astype(np.int8)
-                best_off[ti, cc, w] = (
-                    off_arg[ti, ci, e_arg[ti, ci]].astype(np.int8) - MAX_OFFSET
-                )
-                best_pad[ti, cc, w] = pw
-    return EmissionCache(cache, best_e, best_off, best_pad, T)
+            val = (tmpl_lp[:lim] + pad_lp[:, None, :]).max(axis=2)  # (lim, nc)
+            tgt = cache[:lim, chars_arr, w]
+            np.maximum(tgt, val, out=tgt)
+            cache[:lim, chars_arr, w] = tgt
+    return EmissionCache(cache, white_obs, black_obs, ws_cum, T)
 
 
 def build_emission_cache_explicit(obs: np.ndarray, stack: TemplateStack):
@@ -530,8 +519,6 @@ def build_emission_cache_explicit(obs: np.ndarray, stack: TemplateStack):
     max_w = stack.max_w
     n_off = stack.n_offsets
     cache4 = np.full((T, C, max_w + 1, n_off), NEG_INF, dtype=np.float32)
-    best_e4 = np.zeros((T, C, max_w + 1, n_off), dtype=np.int8)
-    best_pad4 = np.zeros((T, C, max_w + 1, n_off), dtype=np.int8)
 
     ws_col = white_obs @ stack.ws_white.T + black_obs @ stack.ws_black.T
     ws_cum = np.vstack([np.zeros((1, N_EXPOSURES), np.float32), np.cumsum(ws_col, axis=0)])
@@ -555,11 +542,7 @@ def build_emission_cache_explicit(obs: np.ndarray, stack: TemplateStack):
         total = (ws_cum[t_idx + w] - ws_cum[t_idx]) + np.float32(
             sp_wlp[best_tw] + stack.pad_log_prob
         )
-        e_arg = total.argmax(axis=1)
-        val = np.take_along_axis(total, e_arg[:, None], axis=1)[:, 0]
-        cache4[:lim, sp, w, :] = val[:, None]
-        best_e4[:lim, sp, w, :] = e_arg.astype(np.int8)[:, None]
-        best_pad4[:lim, sp, w, :] = w - best_tw
+        cache4[:lim, sp, w, :] = total.max(axis=1)[:, None]
 
     for tw in stack.widths:
         if tw + pad_min > T:
@@ -590,18 +573,105 @@ def build_emission_cache_explicit(obs: np.ndarray, stack: TemplateStack):
             pad_lp = (ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]) + np.float32(
                 stack.pad_log_prob
             )  # (lim, E)
-            total = tmpl_lp[:lim] + pad_lp[:, None, :, None]  # (lim, nc, E, n_off)
-            e_arg = total.argmax(axis=2)  # (lim, nc, n_off)
-            val = np.take_along_axis(total, e_arg[:, :, None, :], axis=2)[:, :, 0, :]
-            cur = cache4[:lim, chars_arr, w, :]
-            better = val > cur
-            if better.any():
-                ti, ci, oi = np.nonzero(better)
-                cc = chars_arr[ci]
-                cache4[ti, cc, w, oi] = val[ti, ci, oi]
-                best_e4[ti, cc, w, oi] = e_arg[ti, ci, oi].astype(np.int8)
-                best_pad4[ti, cc, w, oi] = pw
-    return ExplicitOffsetEmissionCache(cache4, best_e4, best_pad4, cache4.max(axis=3), T)
+            val = (tmpl_lp[:lim] + pad_lp[:, None, :, None]).max(axis=2)  # (lim, nc, n_off)
+            tgt = cache4[:lim, chars_arr, w, :]
+            np.maximum(tgt, val, out=tgt)
+            cache4[:lim, chars_arr, w, :] = tgt
+    return ExplicitOffsetEmissionCache(
+        cache4, cache4.max(axis=3), white_obs, black_obs, ws_cum, T
+    )
+
+
+def _space_args(stack: TemplateStack, w: int, total_e: np.ndarray):
+    """Space-char argmax recovery: first allowed template width
+    ascending; offset tie goes to the first (-MAX_OFFSET)."""
+    best_tw = None
+    for tw in range(max(1, w - stack.pad_max), w - stack.pad_min + 1):
+        if tw in stack.space_allowed_tw:
+            best_tw = tw
+            break
+    return int(total_e.argmax()), -MAX_OFFSET, w - best_tw
+
+
+def recover_emission_args(
+    cache,
+    stack: TemplateStack,
+    start_cols: np.ndarray,
+    glyphs: np.ndarray,
+    widths: np.ndarray,
+    off_idx: Optional[np.ndarray] = None,
+):
+    """Trace-time recomputation of the (exposure, offset, pad)
+    argmaxes for decoded path entries — the retired per-(t,c,w) int8
+    argmax tables, restricted to the ~|path| entries actually read.
+    Replicates the populate loop's exact semantics and float32
+    association order so ties break identically: template widths tried
+    ascending with strictly-greater replacement (first tw wins ties);
+    per-exposure offset argmax on the RAW GEMM scores; exposure argmax
+    after the pad whitespace term.  When ``off_idx`` is given
+    (explicit-offset variant), the offset is fixed per entry and only
+    (exposure, pad) are recovered."""
+    E = N_EXPOSURES
+    n_off = stack.n_offsets
+    n = len(glyphs)
+    exposures = np.zeros(n, dtype=np.int8)
+    offsets = np.zeros(n, dtype=np.int8)
+    pads = np.zeros(n, dtype=np.int8)
+    sp = stack.space_idx
+    white_obs, black_obs, ws_cum = cache.white_obs, cache.black_obs, cache.ws_cum
+    pad_lp32 = np.float32(stack.pad_log_prob)
+    for i in range(n):
+        c = int(glyphs[i])
+        w = int(widths[i])
+        t0 = int(start_cols[i])
+        if c == sp:
+            total_e = ws_cum[t0 + w] - ws_cum[t0]  # + const: argmax unaffected
+            e, off, pad = _space_args(stack, w, total_e)
+            exposures[i], pads[i] = e, pad
+            offsets[i] = off if off_idx is None else int(off_idx[i]) - MAX_OFFSET
+            continue
+        best_val = None
+        for tw in stack.widths:  # ascending, as the populate loop ran
+            pw = w - tw
+            if pw < stack.pad_min or pw > stack.pad_max:
+                continue
+            stk = stack.stacks.get(tw)
+            if stk is None:
+                continue
+            whiteT, blackT, chars_tw, wlp = stk
+            try:
+                pos = chars_tw.index(c)
+            except ValueError:
+                continue
+            cols = slice(pos * E * n_off, (pos + 1) * E * n_off)
+            # same sgemm kernel as the cache build: 2D (1, tw*H) input
+            wrow = white_obs[t0 : t0 + tw].reshape(1, -1)
+            brow = black_obs[t0 : t0 + tw].reshape(1, -1)
+            sc = (
+                wrow @ np.ascontiguousarray(whiteT[:, cols])
+                + brow @ np.ascontiguousarray(blackT[:, cols])
+            ).reshape(E, n_off)
+            pad_term = (ws_cum[t0 + w] - ws_cum[t0 + tw]) + pad_lp32  # (E,)
+            if off_idx is None:
+                o_arg = sc.argmax(axis=1)  # per-e offset argmax on raw scores
+                tmpl = sc[np.arange(E), o_arg] + wlp[pos]
+                total_e = tmpl + pad_term
+            else:
+                o_col = int(off_idx[i])
+                tmpl = sc[:, o_col] + wlp[pos]
+                total_e = tmpl + pad_term
+            e = int(total_e.argmax())
+            val = total_e[e]
+            if best_val is None or val > best_val:  # strict: first tw wins
+                best_val = val
+                exposures[i] = e
+                offsets[i] = (
+                    int(o_arg[e]) - MAX_OFFSET
+                    if off_idx is None
+                    else o_col - MAX_OFFSET
+                )
+                pads[i] = pw
+    return exposures, offsets, pads
 
 
 def coarse_backward(cache: EmissionCache, stack: TemplateStack, bigram: DenseBigramModel):
@@ -623,6 +693,11 @@ def coarse_backward(cache: EmissionCache, stack: TemplateStack, bigram: DenseBig
         # betas[t][c] = max over nextC of fwd[c, nextC] + bwt[nextC]
         betas[t] = (fwd + bwt[None, :]).max(axis=1)
     return betas
+
+
+# finalize prefilter width: exact top-M-by-priority cut applied before
+# the per-column dedup sort (see decode_document); must be >> beam_size
+_PREFILTER_M = 64
 
 
 class LineDecode(NamedTuple):
@@ -683,9 +758,104 @@ class Decoder:
         self.explicit_offset = bool(getattr(self.tm, "explicit_offset", False))
         # per-state caches: transition lists fully crossed with the
         # target glyph's allowed widths (built lazily, reused across
-        # every column/line/document this decoder ever sees)
+        # every column/line/document this decoder ever sees).  Stored
+        # as ONE set of flat CSR buffers (state -> slice) so a whole
+        # beam's expansions gather in O(1) numpy calls instead of a
+        # per-state Python loop + concatenate (the column loop is
+        # Python-overhead-bound; see _gather_expansions)
         self._full_exp: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
         self._self_exp: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._exp_slot: Dict[int, int] = {}  # state -> slot
+        cap = 1024
+        self._exp_start = np.zeros(64, dtype=np.int64)
+        self._exp_len = np.zeros(64, dtype=np.int64)
+        self._exp_n_slots = 0
+        self._flat_used = 0
+        self._flat_ns = np.empty(cap, dtype=np.int64)
+        self._flat_glyph = np.empty(cap, dtype=np.int32)
+        self._flat_w = np.empty(cap, dtype=np.int32)
+        self._flat_lp = np.empty(cap, dtype=np.float64)
+        self._flat_off = np.empty(cap, dtype=np.int32)
+        # precomputed flat emission index per candidate: one int add at
+        # scatter time replaces a 3-/4-axis fancy gather per column
+        self._flat_emit = np.empty(cap, dtype=np.int64)
+        W = self.stack.max_w + 1
+        C = self.stack.n_chars
+        self._emit_stride = (
+            C * W * self.stack.n_offsets if self.explicit_offset else C * W
+        )
+
+    def _flat_append(self, ns, glyphs, widths, lps, offs) -> Tuple[int, int]:
+        n = len(ns)
+        need = self._flat_used + n
+        if need > len(self._flat_ns):
+            new_cap = max(need, 2 * len(self._flat_ns))
+            for name in ("_flat_ns", "_flat_glyph", "_flat_w", "_flat_lp", "_flat_off", "_flat_emit"):
+                old = getattr(self, name)
+                grown = np.empty(new_cap, dtype=old.dtype)
+                grown[: self._flat_used] = old[: self._flat_used]
+                setattr(self, name, grown)
+        a = self._flat_used
+        self._flat_ns[a:need] = ns
+        self._flat_glyph[a:need] = glyphs
+        self._flat_w[a:need] = widths
+        self._flat_lp[a:need] = lps
+        W = self.stack.max_w + 1
+        emit = glyphs.astype(np.int64) * W + widths
+        if offs is not None:
+            self._flat_off[a:need] = offs
+            emit = emit * self.stack.n_offsets + offs
+        self._flat_emit[a:need] = emit
+        self._flat_used = need
+        return a, n
+
+    def _ensure_slot(self, s: int) -> int:
+        slot = self._exp_slot.get(s)
+        if slot is None:
+            ns, lps = self.tm.forward_transitions(s)
+            glyphs = self.tm.glyph_char_of_states(ns)
+            idx, widths = _expand_by_widths(glyphs, self.stack.allowed_w_list)
+            if self.explicit_offset:
+                offs = (
+                    self.tm.offset_of_states(ns).astype(np.int32) + MAX_OFFSET
+                )[idx]
+            else:
+                offs = None
+            start, n = self._flat_append(ns[idx], glyphs[idx], widths, lps[idx], offs)
+            slot = self._exp_n_slots
+            if slot >= len(self._exp_start):
+                self._exp_start = np.concatenate(
+                    [self._exp_start, np.zeros(len(self._exp_start), dtype=np.int64)]
+                )
+                self._exp_len = np.concatenate(
+                    [self._exp_len, np.zeros(len(self._exp_len), dtype=np.int64)]
+                )
+            self._exp_start[slot] = start
+            self._exp_len[slot] = n
+            self._exp_n_slots += 1
+            self._exp_slot[s] = slot
+        return slot
+
+    def _gather_expansions(self, states_u: np.ndarray):
+        """Batched CSR gather of every beam state's pre-expanded
+        transitions: returns flat-buffer row indices plus per-state
+        expansion lengths (for np.repeat of scores/prev)."""
+        slot_map = self._exp_slot
+        slots = np.array(
+            [
+                slot_map[s] if s in slot_map else self._ensure_slot(s)
+                for s in map(int, states_u)
+            ],
+            dtype=np.int64,
+        )
+        starts = self._exp_start[slots]
+        lens = self._exp_len[slots]
+        n = int(lens.sum())
+        cum = np.cumsum(lens)
+        idx = np.arange(n, dtype=np.int64) - np.repeat(cum - lens, lens) + np.repeat(
+            starts, lens
+        )
+        return idx, lens
 
     def _full_expansion(self, s: int):
         """(next_states, glyphs, widths, trans_logps[, offset_idx]) for
@@ -744,12 +914,17 @@ class Decoder:
             buffers: List[List[Tuple[np.ndarray, ...]]] = [[] for _ in range(T + 1)]
             columns: List[dict] = [dict() for _ in range(T + 1)]
 
+            lp_flat = (
+                cache.log_probs4.reshape(-1)
+                if self.explicit_offset
+                else cache.log_probs.reshape(-1)
+            )
             if start_states is None or len(start_states[0]) == 0:
                 s0, lp0 = tm.start_states()
                 prev0 = np.full(len(s0), -1, dtype=np.int64)
                 start_states = (s0, lp0, prev0)
             s0, sc0, prev0 = start_states
-            self._expand_start(s0, sc0, prev0, buffers, cache, T)
+            self._expand_start(s0, sc0, prev0, buffers, lp_flat)
 
             for t in range(1, T + 1):
                 if not buffers[t]:
@@ -763,6 +938,30 @@ class Decoder:
                 )
                 prev_states = np.concatenate([b[3] for b in entries])
                 buffers[t] = []
+
+                # EXACT O(n) prefilter before the O(n log n) dedup sort:
+                # keep only candidates whose beam priority (score +
+                # coarse-backward bound) ties-or-beats the M-th largest.
+                # Instances of one state share its betas addend, so each
+                # surviving state keeps its max-score instance, and the
+                # >=kth mask (not argpartition's arbitrary tie subset)
+                # plus flatnonzero preserves original order — dedup/prune
+                # tie-breaking below is bit-identical.  If duplicates
+                # collapse the kept set under beam_size distinct states
+                # the prefilter could have dropped a needed state, so
+                # fall back to the full arrays.
+                n_cand = len(states)
+                if n_cand > 4 * _PREFILTER_M:
+                    glyphs_all = np.concatenate([b[4] for b in entries])
+                    prio_all = scores + betas[t, glyphs_all]
+                    kth = np.partition(prio_all, n_cand - _PREFILTER_M)[
+                        n_cand - _PREFILTER_M
+                    ]
+                    keep_idx = np.flatnonzero(prio_all >= kth)
+                    kept_states = states[keep_idx]
+                    if len(np.unique(kept_states)) >= beam_size:
+                        states, scores = kept_states, scores[keep_idx]
+                        prev_ts, prev_states = prev_ts[keep_idx], prev_states[keep_idx]
 
                 # dedup by state, keep max score (stable: lowest state id first)
                 order = np.lexsort((-scores, states))
@@ -789,7 +988,7 @@ class Decoder:
                     "prev_s": prev_s_u,
                 }
                 if t < T:
-                    self._expand_beam(t, states_u, scores_u, buffers, cache, T)
+                    self._expand_beam(t, states_u, scores_u, buffers, lp_flat)
 
             all_columns.append(columns)
             final_col = columns[T]
@@ -864,12 +1063,13 @@ class Decoder:
             if self.explicit_offset:
                 offsets = tm.offset_of_states(states)
                 oi = offsets.astype(np.int32) + MAX_OFFSET
-                exposures = cache.best_exposure4[start_cols, glyphs, widths, oi]
-                pads = cache.best_pad4[start_cols, glyphs, widths, oi]
+                exposures, _, pads = recover_emission_args(
+                    cache, self.stack, start_cols, glyphs, widths, off_idx=oi
+                )
             else:
-                exposures = cache.best_exposure[start_cols, glyphs, widths]
-                offsets = cache.best_offset[start_cols, glyphs, widths]
-                pads = cache.best_pad[start_cols, glyphs, widths]
+                exposures, offsets, pads = recover_emission_args(
+                    cache, self.stack, start_cols, glyphs, widths
+                )
             decodes.append(
                 LineDecode(
                     states, widths, start_cols, glyphs, lm_chars, types,
@@ -887,29 +1087,24 @@ class Decoder:
         cand_widths: np.ndarray,
         cand_scores: np.ndarray,
         cand_prev: np.ndarray,
+        cand_emit: np.ndarray,
         buffers: List[List[Tuple[np.ndarray, ...]]],
-        cache,
-        T: int,
-        cand_offs: Optional[np.ndarray] = None,
+        lp_flat: np.ndarray,
     ) -> None:
-        """Add emissions and append candidates to target-column buffers."""
-        ok = (t + cand_widths) <= T
-        if not ok.all():
-            cand_states, cand_glyphs = cand_states[ok], cand_glyphs[ok]
-            cand_widths, cand_scores, cand_prev = (
-                cand_widths[ok], cand_scores[ok], cand_prev[ok],
-            )
-            if cand_offs is not None:
-                cand_offs = cand_offs[ok]
-        if cand_offs is not None:  # explicit-offset emission lookup
-            emit = cache.log_probs4[t, cand_glyphs, cand_widths, cand_offs]
-        else:
-            emit = cache.log_probs[t, cand_glyphs, cand_widths]
+        """Add emissions and append candidates to target-column buffers.
+
+        No explicit (t + w) <= T bounds filter: the emission cache is
+        populated only for start columns where the glyph+pad fits
+        (lim = T - w + 1 in build_emission_cache), so any candidate
+        whose span would overrun the line scores NEG_INF and dies in
+        the single liveness mask below."""
+        emit = lp_flat[t * self._emit_stride + cand_emit]
         total = cand_scores + emit
         live = total > NEG_INF
         if not live.all():
             cand_states, cand_widths = cand_states[live], cand_widths[live]
             total, cand_prev = total[live], cand_prev[live]
+            cand_glyphs = cand_glyphs[live]
         if len(total) == 0:
             return
         order = np.argsort(cand_widths, kind="stable")
@@ -917,17 +1112,21 @@ class Decoder:
         s_states = cand_states[order]
         s_total = total[order]
         s_prev = cand_prev[order]
+        s_glyphs = cand_glyphs[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(sw)) + 1, [len(sw)]])
         for k in range(len(starts) - 1):
             a, b = int(starts[k]), int(starts[k + 1])
             tgt = t + int(sw[a])
             # prev_t is a scalar per buffer entry; expanded at finalize
-            buffers[tgt].append((s_states[a:b], s_total[a:b], t, s_prev[a:b]))
+            buffers[tgt].append(
+                (s_states[a:b], s_total[a:b], t, s_prev[a:b], s_glyphs[a:b])
+            )
 
-    def _expand_start(self, s0, sc0, prev0, buffers, cache, T) -> None:
+    def _expand_start(self, s0, sc0, prev0, buffers, lp_flat) -> None:
         """Line-start expansion: start states emit themselves
         (BeamingSemiMarkovDP.java:143-164)."""
-        parts_s, parts_g, parts_w, parts_sc, parts_p, parts_o = [], [], [], [], [], []
+        W = self.stack.max_w + 1
+        parts_s, parts_g, parts_w, parts_sc, parts_p, parts_e = [], [], [], [], [], []
         for k in range(len(s0)):
             if sc0[k] == NEG_INF:
                 continue
@@ -938,8 +1137,10 @@ class Decoder:
             parts_w.append(widths)
             parts_sc.append(np.full(n, sc0[k], dtype=np.float64))
             parts_p.append(np.full(n, prev0[k], dtype=np.int64))
+            emit = np.int64(g) * W + widths
             if self.explicit_offset:
-                parts_o.append(np.full(n, off, dtype=np.int32))
+                emit = emit * self.stack.n_offsets + off
+            parts_e.append(emit.astype(np.int64))
         if not parts_s:
             return
         self._scatter(
@@ -949,26 +1150,23 @@ class Decoder:
             np.concatenate(parts_w),
             np.concatenate(parts_sc),
             np.concatenate(parts_p),
+            np.concatenate(parts_e),
             buffers,
-            cache,
-            T,
-            np.concatenate(parts_o) if self.explicit_offset else None,
+            lp_flat,
         )
 
-    def _expand_beam(self, t, states_u, scores_u, buffers, cache, T) -> None:
-        parts = [self._full_expansion(int(s)) for s in states_u]
-        cand_states = np.concatenate([p[0] for p in parts])
-        cand_glyphs = np.concatenate([p[1] for p in parts])
-        cand_widths = np.concatenate([p[2] for p in parts])
-        lens = [len(p[0]) for p in parts]
-        cand_scores = np.repeat(scores_u, lens) + np.concatenate([p[3] for p in parts])
-        cand_prev = np.repeat(states_u, lens)
-        cand_offs = (
-            np.concatenate([p[4] for p in parts]) if self.explicit_offset else None
-        )
+    def _expand_beam(self, t, states_u, scores_u, buffers, lp_flat) -> None:
+        idx, lens = self._gather_expansions(states_u)
         self._scatter(
-            t, cand_states, cand_glyphs, cand_widths, cand_scores, cand_prev,
-            buffers, cache, T, cand_offs,
+            t,
+            self._flat_ns[idx],
+            self._flat_glyph[idx],
+            self._flat_w[idx],
+            np.repeat(scores_u, lens) + self._flat_lp[idx],
+            np.repeat(states_u, lens),
+            self._flat_emit[idx],
+            buffers,
+            lp_flat,
         )
 
 

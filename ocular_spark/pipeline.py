@@ -91,6 +91,14 @@ class ModelBundle:
                  preprocess_straighten: bool = True,
                  preprocess_crop: bool = False,
                  transition_model=None) -> None:
+        # construction-time unique identity: the worker-side decoder
+        # memo must NOT key on id(bundle) — a deserialized bundle can
+        # land at a recycled address in a reused python worker and
+        # silently return a STALE decoder for the wrong model
+        # generation (bit us between EM re-broadcasts)
+        import uuid
+
+        self.bundle_key = uuid.uuid4().hex
         self.font_bytes = font_bytes
         self.lm = lm
         # Optional PRE-COMPILED transition model (CompiledTransitionModel
@@ -120,7 +128,11 @@ _DECODER_CACHE: dict = {}
 
 
 def get_decoder(bundle: ModelBundle):
-    key = id(bundle)
+    # bundle_key is assigned once at construction on the driver and
+    # travels through the broadcast pickle, so it is collision-free
+    # across model generations (unlike id(), which a reused worker can
+    # recycle); fall back to id() for unpickled legacy bundles
+    key = getattr(bundle, "bundle_key", None) or id(bundle)
     dec = _DECODER_CACHE.get(key)
     if dec is None:
         from ocular_spark.font import Font
