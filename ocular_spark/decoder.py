@@ -490,18 +490,27 @@ def build_emission_cache(obs: np.ndarray, stack: TemplateStack) -> EmissionCache
         sc = scores.reshape(nT, nc, N_EXPOSURES, n_off)
         tmpl_lp = sc.max(axis=3) + wlp[None, :, None]  # (nT, nc, E)
         chars_arr = np.asarray(chars_tw)
-        for pw in range(pad_min, pad_max + 1):
-            w = tw + pw
-            lim = min(T - w + 1, T - tw - pad_min + 1, nT)
+        # all pad widths in ONE broadcast block: val_all[t, c, pw'] =
+        # max_e(tmpl_lp[t,c,e] + padws[t,pw',e]); per-pw writes remain
+        # (each pw targets a different combined width w)
+        pws = np.arange(pad_min, pad_max + 1)
+        lim0 = min(T - tw - pad_min + 1, nT)
+        if lim0 <= 0:
+            continue
+        t_idx0 = np.arange(lim0)
+        # padws[t, k, e] = ws span after the template for pad pws[k]
+        ends = np.minimum(t_idx0[:, None] + tw + pws[None, :], T)
+        padws = ws_cum[ends] - ws_cum[t_idx0 + tw][:, None, :] + np.float32(
+            stack.pad_log_prob
+        )  # (lim0, n_pads, E)
+        val_all = (tmpl_lp[:lim0, :, None, :] + padws[:, None, :, :]).max(axis=3)
+        for k, pw in enumerate(pws):
+            w = tw + int(pw)
+            lim = min(T - w + 1, lim0)
             if lim <= 0:
                 continue
-            t_idx = np.arange(lim)
-            pad_lp = (ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]) + np.float32(
-                stack.pad_log_prob
-            )  # (lim, E)
-            val = (tmpl_lp[:lim] + pad_lp[:, None, :]).max(axis=2)  # (lim, nc)
             tgt = cache[:lim, chars_arr, w]
-            np.maximum(tgt, val, out=tgt)
+            np.maximum(tgt, val_all[:lim, :, k], out=tgt)
             cache[:lim, chars_arr, w] = tgt
     return EmissionCache(cache, white_obs, black_obs, ws_cum, T)
 
@@ -952,7 +961,7 @@ class Decoder:
                 # fall back to the full arrays.
                 n_cand = len(states)
                 if n_cand > 4 * _PREFILTER_M:
-                    glyphs_all = np.concatenate([b[4] for b in entries])
+                    glyphs_all = tm.glyph_char_of_states(states)
                     prio_all = scores + betas[t, glyphs_all]
                     kth = np.partition(prio_all, n_cand - _PREFILTER_M)[
                         n_cand - _PREFILTER_M
@@ -1083,7 +1092,6 @@ class Decoder:
         self,
         t: int,
         cand_states: np.ndarray,
-        cand_glyphs: np.ndarray,
         cand_widths: np.ndarray,
         cand_scores: np.ndarray,
         cand_prev: np.ndarray,
@@ -1104,7 +1112,6 @@ class Decoder:
         if not live.all():
             cand_states, cand_widths = cand_states[live], cand_widths[live]
             total, cand_prev = total[live], cand_prev[live]
-            cand_glyphs = cand_glyphs[live]
         if len(total) == 0:
             return
         order = np.argsort(cand_widths, kind="stable")
@@ -1112,15 +1119,12 @@ class Decoder:
         s_states = cand_states[order]
         s_total = total[order]
         s_prev = cand_prev[order]
-        s_glyphs = cand_glyphs[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(sw)) + 1, [len(sw)]])
         for k in range(len(starts) - 1):
             a, b = int(starts[k]), int(starts[k + 1])
             tgt = t + int(sw[a])
             # prev_t is a scalar per buffer entry; expanded at finalize
-            buffers[tgt].append(
-                (s_states[a:b], s_total[a:b], t, s_prev[a:b], s_glyphs[a:b])
-            )
+            buffers[tgt].append((s_states[a:b], s_total[a:b], t, s_prev[a:b]))
 
     def _expand_start(self, s0, sc0, prev0, buffers, lp_flat) -> None:
         """Line-start expansion: start states emit themselves
@@ -1146,7 +1150,6 @@ class Decoder:
         self._scatter(
             0,
             np.concatenate(parts_s),
-            np.concatenate(parts_g),
             np.concatenate(parts_w),
             np.concatenate(parts_sc),
             np.concatenate(parts_p),
@@ -1160,7 +1163,6 @@ class Decoder:
         self._scatter(
             t,
             self._flat_ns[idx],
-            self._flat_glyph[idx],
             self._flat_w[idx],
             np.repeat(scores_u, lens) + self._flat_lp[idx],
             np.repeat(states_u, lens),

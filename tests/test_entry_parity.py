@@ -134,7 +134,8 @@ def test_every_query_has_an_oracle():
     assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
     assert set(GOLDEN_ORACLES) == {
         "transcribe_spans", "transcribe_spans_cs", "transcribe_spans_offset",
-        "transcribe_metrics", "em_font_counts", "lm_perplexity",
+        "transcribe_metrics", "em_font_counts", "train_font_step",
+        "lm_perplexity",
     }
 
 
