@@ -259,7 +259,17 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort is within user partitions only."""
     from pyspark.sql.window import Window
 
-    e = _load(spark, sf_dir, "events")
+    return _sessionize(_load(spark, sf_dir, "events"))
+
+
+def _sessionize(e: DataFrame) -> DataFrame:
+    """Gaps-and-islands over (user_id, ts): factored out so the
+    heavy-user skew test can drive it on a synthetic table.  Skew note:
+    per-user sessionization inherently serializes one user's events
+    onto one partition; a pathological user bounds that task's runtime
+    (tests/test_plan_shapes.py pins behavior at 10x-median skew)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # timestampdiff is timezone-free on TIMESTAMP_NTZ (matches DuckDB
     # EPOCH arithmetic on naive timestamps; a cast-to-long would pull

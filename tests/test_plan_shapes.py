@@ -194,3 +194,42 @@ def test_assign_batches_has_no_single_partition_exchange(spark):
     got_df, _ = assign_batches(df, 10, 97)
     plan = _plan(got_df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_event_sessions_tolerates_heavy_user_skew(spark):
+    """north_rule skew evidence for sessionization: one user with 10x
+    the median event count (the inherent worst case for a per-user
+    window — all their events serialize onto one partition) must still
+    produce exact session stats, and the window must not widen beyond
+    a single hash exchange on user_id."""
+    import datetime
+
+    import pandas as pd
+
+    from __spark_entry__ import _sessionize
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for u in range(20):  # 20 normal users, 10 events each
+        for k in range(10):
+            rows.append(("u%03d" % u, eid, base + datetime.timedelta(seconds=60 * k), 1.0))
+            eid += 1
+    # heavy user: 10x median, alternating 1s and 2000s gaps -> every
+    # 2000s gap (> 1800) opens a session: 50 sessions of 2 events
+    t = base
+    for k in range(100):
+        rows.append(("heavy", eid, t, 1.0))
+        eid += 1
+        t += datetime.timedelta(seconds=1 if k % 2 == 0 else 2000)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    )
+    out = {r.user_id: r for r in _sessionize(df).collect()}
+    assert out["heavy"].n_sessions == 50
+    assert out["heavy"].max_session_events == 2
+    assert out["u000"].n_sessions == 1
+    assert out["u000"].max_session_events == 10
+    plan = _plan(_sessionize(df))
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "SinglePartition" not in plan
