@@ -12,3 +12,10 @@ checkpoints, not Structured Streaming:
 """
 
 from ocular_spark.em import find_last_complete_iteration, train_font  # noqa: F401
+
+# genuine Structured Streaming jobs (added r3): incremental
+# transcription with checkpoint resume + native session windows
+from ocular_spark.streaming.jobs import (  # noqa: F401
+    sessionize_stream,
+    transcribe_pages_stream,
+)

@@ -1,0 +1,85 @@
+"""Structured Streaming surface.
+
+The reference is pure batch (SURVEY.md §2.8) — these jobs are the
+Spark-native streaming re-expression of its incremental semantics:
+
+* ``transcribe_pages_stream`` — incremental transcription over an
+  append-only page table (the streaming analog of the reference's
+  skip-already-transcribed resume scan, LazyRawImageDocument +
+  FonttrainTranscribeShared's output-exists check): new page files are
+  decoded exactly once, the streaming checkpoint IS the resume state
+  (no anti-join needed), and the decode kernel is the very same
+  Arrow-batched ``decode_pages_kernel`` the batch pipeline uses.
+
+* ``sessionize_stream`` — event sessionization as a NATIVE
+  session-window aggregation (``F.session_window`` + watermark),
+  the declarative Catalyst form of the batch gaps-and-islands query
+  (__spark_entry__._sessionize).  Boundary note: Spark's session
+  window opens a new session when the gap is >= the gap duration
+  (window is [start, end)), while the batch query's rule is gap >
+  1800 s; the two differ only for gaps of exactly 1800.000000 s.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import functions as F
+
+from ocular_spark.pipeline import DECODED_SCHEMA, decode_pages_kernel
+
+# stream input: one row per page (offset = span offset within the doc)
+PAGES_DDL = "doc_id string, media_ref string, offset int, lines array<binary>"
+
+
+def transcribe_pages_stream(
+    spark,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bundle_bc,
+    char_strs: List[str],
+    available_now: bool = True,
+):
+    """Incremental page transcription: readStream over an append-only
+    parquet directory of pages -> stateless Arrow decode kernel ->
+    parquet sink with checkpointing.  Each page is decoded exactly
+    once across restarts (file-source + checkpoint = the resume
+    semantics the north_rule asks for, with per-partition lineage
+    columns flowing through unchanged).  Returns the started query."""
+    pages = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+    decoded = pages.mapInPandas(
+        decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
+    )
+    writer = (
+        decoded.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_stream(events, gap: str = "30 minutes", watermark: str = "2 hours"):
+    """Streaming sessionization over an events stream with columns
+    (user_id, event_id, ts, value): native session windows (state
+    managed by Spark, merged incrementally, closed by the watermark).
+    Returns per-session rows (user_id, session_start, session_end,
+    n_events, sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
