@@ -11,7 +11,8 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 NAMES = sys.argv[1:] or ["minhash_bands", "events_json", "simhash", "embed_lsh_buckets"]
 
 spark = (
