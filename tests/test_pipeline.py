@@ -196,3 +196,31 @@ def test_fail_if_empty_raises_when_resume_covers_everything(spark, small_fixture
         docs_df, media_df, bundle_bc, char_strs, skip_already_transcribed=done
     )
     assert out.count() == 0
+
+
+def test_decoder_memo_keys_by_bundle_identity_not_address(sf_dir):
+    """Regression (r3): get_decoder memoized by id(bundle); a reused
+    python worker could recycle a freed bundle's address for a NEW
+    model generation and silently decode with the OLD model.  The memo
+    must key on the construction-time bundle_key, so (a) a pickle
+    round-trip of the SAME bundle hits the cache, while (b) a
+    different bundle misses it."""
+    import os
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import build_models
+    from ocular_spark.pipeline import get_decoder
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    bundle, _ = build_models(documents)
+    d1 = get_decoder(bundle)
+    clone = pickle.loads(pickle.dumps(bundle))
+    assert clone.bundle_key == bundle.bundle_key
+    assert get_decoder(clone) is d1  # same generation -> cache hit
+    from ocular_spark.pipeline import ModelBundle
+
+    other = ModelBundle(bundle.font_bytes, bundle.lm, beam_size=bundle.beam_size)
+    assert other.bundle_key != bundle.bundle_key
+    assert get_decoder(other) is not d1  # new generation -> fresh decoder
