@@ -619,7 +619,16 @@ def recover_emission_args(
     per-exposure offset argmax on the RAW GEMM scores; exposure argmax
     after the pad whitespace term.  When ``off_idx`` is given
     (explicit-offset variant), the offset is fixed per entry and only
-    (exposure, pad) are recovered."""
+    (exposure, pad) are recovered.
+
+    BITWISE parity requires recomputing the raw scores with the SAME
+    sgemm shape the cache build used — a full-width (rows, tw*H) @
+    (tw*H, N_all) product.  A per-entry skinny GEMV over one char's
+    column slice differs in the last ulp for ~2% of entries (flat
+    windows score identically at several offsets in exact arithmetic,
+    and kernel-dependent rounding breaks those ties differently) —
+    caught by tests/test_emission_recovery.py against an independent
+    naive reference."""
     E = N_EXPOSURES
     n_off = stack.n_offsets
     n = len(glyphs)
@@ -629,6 +638,33 @@ def recover_emission_args(
     sp = stack.space_idx
     white_obs, black_obs, ws_cum = cache.white_obs, cache.black_obs, cache.ws_cum
     pad_lp32 = np.float32(stack.pad_log_prob)
+
+    # one full-N GEMM per template width over all entries needing it
+    # (grouped): sc_by_tw[tw][row] = (nc, E, n_off) raw scores at that
+    # entry's start column, bit-identical to the cache build's rows
+    need: Dict[int, List[int]] = {}
+    for i in range(n):
+        c = int(glyphs[i])
+        if c == sp:
+            continue
+        w = int(widths[i])
+        for tw in stack.widths:
+            pw = w - tw
+            if stack.pad_min <= pw <= stack.pad_max and tw in stack.stacks:
+                need.setdefault(tw, []).append(i)
+    H = LINE_HEIGHT
+    sc_by_tw: Dict[int, Tuple[np.ndarray, Dict[int, int]]] = {}
+    for tw, idxs in need.items():
+        whiteT, blackT, chars_tw, wlp = stack.stacks[tw]
+        t0s = sorted({int(start_cols[i]) for i in idxs})
+        w_rows = np.stack([white_obs[t0 : t0 + tw].reshape(-1) for t0 in t0s])
+        b_rows = np.stack([black_obs[t0 : t0 + tw].reshape(-1) for t0 in t0s])
+        scores = w_rows @ whiteT + b_rows @ blackT  # (rows, N_all)
+        sc_by_tw[tw] = (
+            scores.reshape(len(t0s), len(chars_tw), E, n_off),
+            {t0: r for r, t0 in enumerate(t0s)},
+        )
+
     for i in range(n):
         c = int(glyphs[i])
         w = int(widths[i])
@@ -652,14 +688,8 @@ def recover_emission_args(
                 pos = chars_tw.index(c)
             except ValueError:
                 continue
-            cols = slice(pos * E * n_off, (pos + 1) * E * n_off)
-            # same sgemm kernel as the cache build: 2D (1, tw*H) input
-            wrow = white_obs[t0 : t0 + tw].reshape(1, -1)
-            brow = black_obs[t0 : t0 + tw].reshape(1, -1)
-            sc = (
-                wrow @ np.ascontiguousarray(whiteT[:, cols])
-                + brow @ np.ascontiguousarray(blackT[:, cols])
-            ).reshape(E, n_off)
+            sc_all, row_of = sc_by_tw[tw]
+            sc = sc_all[row_of[t0], pos]  # (E, n_off)
             pad_term = (ws_cum[t0 + w] - ws_cum[t0 + tw]) + pad_lp32  # (E,)
             if off_idx is None:
                 o_arg = sc.argmax(axis=1)  # per-e offset argmax on raw scores
