@@ -573,18 +573,28 @@ def build_emission_cache_explicit(obs: np.ndarray, stack: TemplateStack):
         sc = scores.reshape(nT, nc, N_EXPOSURES, n_off)
         tmpl_lp = sc + wlp[None, :, None, None]  # (nT, nc, E, n_off)
         chars_arr = np.asarray(chars_tw)
-        for pw in range(pad_min, pad_max + 1):
-            w = tw + pw
-            lim = min(T - w + 1, T - tw - pad_min + 1, nT)
+        # all pad widths in ONE broadcast block (same shape as the
+        # non-offset builder); per-pw writes target disjoint widths
+        pws = np.arange(pad_min, pad_max + 1)
+        lim0 = min(T - tw - pad_min + 1, nT)
+        if lim0 <= 0:
+            continue
+        t_idx0 = np.arange(lim0)
+        ends = np.minimum(t_idx0[:, None] + tw + pws[None, :], T)
+        padws = ws_cum[ends] - ws_cum[t_idx0 + tw][:, None, :] + np.float32(
+            stack.pad_log_prob
+        )  # (lim0, n_pads, E)
+        # val_all[t, c, k, off] = max_e(tmpl + padws)
+        val_all = (
+            tmpl_lp[:lim0, :, None, :, :] + padws[:, None, :, :, None]
+        ).max(axis=3)  # (lim0, nc, n_pads, n_off)
+        for k, pw in enumerate(pws):
+            w = tw + int(pw)
+            lim = min(T - w + 1, lim0)
             if lim <= 0:
                 continue
-            t_idx = np.arange(lim)
-            pad_lp = (ws_cum[t_idx + tw + pw] - ws_cum[t_idx + tw]) + np.float32(
-                stack.pad_log_prob
-            )  # (lim, E)
-            val = (tmpl_lp[:lim] + pad_lp[:, None, :, None]).max(axis=2)  # (lim, nc, n_off)
             tgt = cache4[:lim, chars_arr, w, :]
-            np.maximum(tgt, val, out=tgt)
+            np.maximum(tgt, val_all[:lim, :, k, :], out=tgt)
             cache4[:lim, chars_arr, w, :] = tgt
     return ExplicitOffsetEmissionCache(
         cache4, cache4.max(axis=3), white_obs, black_obs, ws_cum, T
