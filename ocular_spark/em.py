@@ -408,10 +408,15 @@ def num_batches(n_docs: int, update_doc_batch_size: int) -> int:
     return n_docs // update_doc_batch_size
 
 
-def assign_batches(pages_df, update_doc_batch_size: int, n_docs: int):
+def assign_batches(pages_df, update_doc_batch_size: "Optional[int]"):
     """Materialize a ``batch_id`` column reproducing the reference's
     contiguous-slice batch semantics (FontTrainer.java:272-285: n//b
     slices, remainder lumped into the last) with NO single-task stage.
+    Returns ``(pages_with_batch_id, n_batches, n_docs)`` — the total
+    row count falls out of the offsets prefix-sum for free, so callers
+    (train_font) never run a separate ``count()`` job.
+    ``update_doc_batch_size=None`` means "one batch over everything"
+    (the reference's default when updateDocBatchSize is unset).
 
     Distributed global ranking (the zipWithIndex pattern, expressed in
     DataFrame ops):
@@ -432,7 +437,6 @@ def assign_batches(pages_df, update_doc_batch_size: int, n_docs: int):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    n_b = num_batches(n_docs, update_doc_batch_size)
     spark = pages_df.sparkSession
     # explicit partition count: AQE must not re-coalesce between the
     # offsets collect and the final join (pid values have to agree)
@@ -452,6 +456,10 @@ def assign_batches(pages_df, update_doc_batch_size: int, n_docs: int):
     for pid, cnt in sizes:
         offsets.append((pid, acc))
         acc += cnt
+    n_docs = acc  # the prefix-sum total IS the row count: no extra job
+    if update_doc_batch_size is None or update_doc_batch_size <= 0:
+        update_doc_batch_size = max(n_docs, 1)
+    n_b = num_batches(n_docs, update_doc_batch_size)
     off_df = F.broadcast(
         spark.createDataFrame(offsets, schema="pid int, pid_offset long")
     )
@@ -469,7 +477,7 @@ def assign_batches(pages_df, update_doc_batch_size: int, n_docs: int):
         )
         .select("doc_id", "media_ref", "batch_id")
     )
-    return pages_df.join(keyed, ["doc_id", "media_ref"]), n_b
+    return pages_df.join(keyed, ["doc_id", "media_ref"]), n_b, n_docs
 
 
 def _font_path(out_dir: str, it: int, batch: int) -> str:
@@ -523,9 +531,6 @@ def train_font(
     E-step job -> treeAggregate -> driver M-step -> re-broadcast ->
     checkpoint artifact (the Iceberg-snapshot analog: atomic files
     keyed by (iter, batch))."""
-    n_docs = pages_df.count()
-    if update_doc_batch_size is None:
-        update_doc_batch_size = n_docs
     max_order = (
         lm.get_max_order()
         if hasattr(lm, "get_max_order")
@@ -559,7 +564,9 @@ def train_font(
 
     from ocular_spark.decoder import CompiledTransitionModel
 
-    pages_b, n_batches = assign_batches(pages_df, update_doc_batch_size, n_docs)
+    # one job: batch assignment's offsets prefix-sum also yields n_docs
+    # (the round-3 code ran a separate pages_df.count() first)
+    pages_b, n_batches, n_docs = assign_batches(pages_df, update_doc_batch_size)
 
     # compile the transition model once per (LM, GSM) generation on
     # the driver (re-broadcast ships tables, workers skip the compile).

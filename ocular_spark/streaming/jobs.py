@@ -14,10 +14,15 @@ Spark-native streaming re-expression of its incremental semantics:
 * ``sessionize_stream`` — event sessionization as a NATIVE
   session-window aggregation (``F.session_window`` + watermark),
   the declarative Catalyst form of the batch gaps-and-islands query
-  (__spark_entry__._sessionize).  Boundary note: Spark's session
-  window opens a new session when the gap is >= the gap duration
-  (window is [start, end)), while the batch query's rule is gap >
-  1800 s; the two differ only for gaps of exactly 1800.000000 s.
+  (__spark_entry__._sessionize).  Boundary alignment: the batch rule
+  is ``timestampdiff(SECOND, prev, ts) > 1800`` — second-TRUNCATED,
+  so a new session starts iff the true gap is >= 1801.000000 s.
+  Spark MERGES touching session windows (an event landing exactly on
+  a window's end extends it — end-inclusive merge), so the exact
+  streaming equivalent is a gap of 1800999999 microseconds: merge iff
+  gap <= 1800.999999 s ⟺ split iff gap >= 1801.000000 s.  Both paths
+  agree at microsecond resolution for EVERY input (pinned by
+  tests/test_streaming.py::test_session_gap_boundary).
 """
 
 from __future__ import annotations
@@ -62,10 +67,17 @@ def transcribe_pages_stream(
     return writer.start()
 
 
-def sessionize_stream(events, gap: str = "30 minutes", watermark: str = "2 hours"):
+def sessionize_stream(
+    events, gap: str = "1800999999 microseconds", watermark: str = "2 hours"
+):
     """Streaming sessionization over an events stream with columns
     (user_id, event_id, ts, value): native session windows (state
     managed by Spark, merged incrementally, closed by the watermark).
+    The default gap is 1800.999999 s, NOT 1800: the batch query's rule
+    ``timestampdiff(SECOND, prev, ts) > 1800`` truncates to whole
+    seconds (splits iff the true gap >= 1801.000000 s), and Spark's
+    session windows merge end-INCLUSIVELY, so gap = 1800999999 us is
+    the exact streaming equivalent (see module docstring).
     Returns per-session rows (user_id, session_start, session_end,
     n_events, sum_value)."""
     return (

@@ -65,9 +65,10 @@ def test_assign_batches_matches_reference_loop(spark):
         df = spark.createDataFrame(
             [(d, m, "x") for d, m in keys], "doc_id string, media_ref string, lines string"
         )
-        got_df, n_b = assign_batches(df, batch, n)
+        got_df, n_b, n_docs = assign_batches(df, batch)
         got = {(r.doc_id, r.media_ref): r.batch_id for r in got_df.collect()}
         assert n_b == len(ref_batches), (n, batch)
+        assert n_docs == n, (n, batch)
         assert got == want, (n, batch)
 
 

@@ -191,7 +191,7 @@ def test_assign_batches_has_no_single_partition_exchange(spark):
         [("doc-%03d" % i, "m-%03d" % i, "x") for i in range(97)],
         "doc_id string, media_ref string, lines string",
     )
-    got_df, _ = assign_batches(df, 10, 97)
+    got_df, _, _ = assign_batches(df, 10)
     plan = _plan(got_df)
     assert "SinglePartition" not in plan, plan
 

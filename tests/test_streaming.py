@@ -128,7 +128,69 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     want_df = _sessionize(spark.createDataFrame(epd)).toPandas()
     want = want_df.set_index("user_id")["n_sessions"].to_dict()
-    # boundary caveat: gap == exactly 1800.000000s differs by design;
-    # the synthetic events have microsecond-random timestamps, so the
-    # two rules agree exactly here
+    # the 1801-second session-window gap is the exact streaming
+    # equivalent of the batch second-truncated `> 1800` rule, so the
+    # two paths agree for EVERY input (test_session_gap_boundary pins
+    # the boundary microseconds)
     assert got == want
+
+
+def test_session_gap_boundary(spark, tmp_path):
+    """Pin the batch/streaming agreement at the session boundary.
+
+    The batch rule `timestampdiff(SECOND, prev, ts) > 1800` truncates
+    to whole seconds: a new session starts iff the true gap is
+    >= 1801.000000 s.  The streaming session window [start, start+gap)
+    with gap = 1801 s splits at exactly the same microsecond.  Three
+    crafted users, one event pair each:
+      u1 gap 1800.000000 s  -> one session on both paths
+      u2 gap 1800.999999 s  -> one session on both paths (truncation!)
+      u3 gap 1801.000000 s  -> two sessions on both paths
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _sessionize
+    from ocular_spark.streaming.jobs import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for uid, gap_us in [(1, 1_800_000_000), (2, 1_800_999_999), (3, 1_801_000_000)]:
+        rows.append((uid, uid * 10, t0, 1.0))
+        rows.append((uid, uid * 10 + 1, t0 + dt.timedelta(microseconds=gap_us), 1.0))
+    ddl = "user_id long, event_id long, ts timestamp_ntz, value double"
+    events = spark.createDataFrame(rows, ddl)
+    want = {1: 1, 2: 1, 3: 2}
+
+    batch = {
+        r.user_id: r.n_sessions for r in _sessionize(events).collect()
+    }
+    assert batch == want, batch
+
+    src = str(tmp_path / "boundary_events")
+    events.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ddl)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_boundary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_got = (
+        spark.table("sess_boundary")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .astype(int)
+        .to_dict()
+    )
+    assert stream_got == want, stream_got
