@@ -134,3 +134,170 @@ def test_recovery_matches_naive_tables_everywhere(stack_and_lines):
         np.testing.assert_array_equal(e_got, b_e[ts, cs, ws])
         np.testing.assert_array_equal(off_got, b_off[ts, cs, ws])
         np.testing.assert_array_equal(pad_got, b_pad[ts, cs, ws])
+
+
+def _path_shaped_subset(best):
+    """Greedy left-to-right walk mimicking a decode path: at each start
+    column take the WIDEST finite span (raw-logprob argmax favors the
+    narrowest span — fewer columns, larger sum — which is not what a
+    real path looks like) and the best char at that width.  Yields a
+    SMALL set of entries with few distinct start columns — the
+    production shape recover_emission_args sees (the full-triple test
+    above uses ~every column, i.e. the same GEMM row count as the
+    cache build, and so cannot catch an M-dependent BLAS kernel
+    change)."""
+    T = best.shape[0]
+    ts, cs, ws = [], [], []
+    t = 0
+    while t < T:
+        finite_w = np.nonzero(np.isfinite(best[t]).any(axis=0))[0]
+        if len(finite_w) == 0:
+            t += 1
+            continue
+        w = int(finite_w[-1])
+        c = int(np.argmax(best[t, :, w]))
+        ts.append(t)
+        cs.append(c)
+        ws.append(w)
+        t += max(w, 1)
+    return (
+        np.asarray(ts, dtype=np.int32),
+        np.asarray(cs, dtype=np.int32),
+        np.asarray(ws, dtype=np.int32),
+    )
+
+
+def test_recovery_on_path_shaped_sparse_subset(stack_and_lines):
+    """ADVICE r3: the production recovery runs GEMMs whose row count is
+    the ~|path| distinct start columns, far smaller than the cache
+    build's nT rows.  Bitwise parity must hold at THAT shape too (a
+    BLAS that picks a different kernel by M could flip ulp-ties)."""
+    stack, lines = stack_and_lines
+    for obs in lines:
+        cache = build_emission_cache(obs, stack)
+        best, b_e, b_off, b_pad = _naive_tables(obs, stack)
+        ts, cs, ws = _path_shaped_subset(best)
+        assert 1 <= len(ts) < best.shape[0] // 2  # genuinely sparse
+        e_got, off_got, pad_got = recover_emission_args(cache, stack, ts, cs, ws)
+        np.testing.assert_array_equal(e_got, b_e[ts, cs, ws])
+        np.testing.assert_array_equal(off_got, b_off[ts, cs, ws])
+        np.testing.assert_array_equal(pad_got, b_pad[ts, cs, ws])
+        # ... and a scattered every-7th-finite-triple subset (small M,
+        # multiple chars/widths per start column)
+        fts, fcs, fws = np.nonzero(best > NEG_INF)
+        sel = np.arange(0, len(fts), 7)
+        ts2, cs2, ws2 = (
+            fts[sel].astype(np.int32),
+            fcs[sel].astype(np.int32),
+            fws[sel].astype(np.int32),
+        )
+        e2, o2, p2 = recover_emission_args(cache, stack, ts2, cs2, ws2)
+        np.testing.assert_array_equal(e2, b_e[ts2, cs2, ws2])
+        np.testing.assert_array_equal(o2, b_off[ts2, cs2, ws2])
+        np.testing.assert_array_equal(p2, b_pad[ts2, cs2, ws2])
+
+
+def _naive_tables_explicit(obs, stack):
+    """Independent reference for the EXPLICIT-OFFSET cache
+    (build_emission_cache_explicit) and its (exposure, pad) argmaxes:
+    per-offset populate loops in the same order (template widths
+    ascending, strictly-greater replacement), float32 association
+    preserved."""
+    T = obs.shape[0]
+    C = stack.n_chars
+    from ocular_spark.decoder import BLACK, WHITE
+
+    white = (obs == WHITE).astype(np.float32)
+    black = (obs == BLACK).astype(np.float32)
+    ws_col = white @ stack.ws_white.T + black @ stack.ws_black.T
+    ws_cum = np.vstack(
+        [np.zeros((1, N_EXPOSURES), np.float32), np.cumsum(ws_col, axis=0)]
+    )
+
+    W = stack.max_w + 1
+    n_off = stack.n_offsets
+    best4 = np.full((T, C, W, n_off), NEG_INF, dtype=np.float32)
+    be4 = np.zeros((T, C, W, n_off), dtype=np.int8)
+    bpad4 = np.zeros((T, C, W, n_off), dtype=np.int8)
+    sp = stack.space_idx
+    plp = np.float32(stack.pad_log_prob)
+
+    sp_wlp = stack.width_log_probs[sp]
+    for w in range(1 + stack.pad_min, W):
+        best_tw = None
+        for tw in range(max(1, w - stack.pad_max), w - stack.pad_min + 1):
+            if tw in stack.space_allowed_tw:
+                best_tw = tw
+                break
+        if best_tw is None:
+            continue
+        lim = min(T - w + 1, T - best_tw - stack.pad_min + 1)
+        for t in range(max(0, lim)):
+            tot = (ws_cum[t + w] - ws_cum[t]) + np.float32(
+                sp_wlp[best_tw] + stack.pad_log_prob
+            )
+            e = int(tot.argmax())
+            best4[t, sp, w, :] = tot[e]
+            be4[t, sp, w, :] = e
+            bpad4[t, sp, w, :] = w - best_tw
+
+    for tw in stack.widths:
+        if tw + stack.pad_min > T:
+            continue
+        whiteT, blackT, chars_tw, wlp = stack.stacks[tw]
+        nT = T - tw + 1
+        w_win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(white, (tw, LINE_HEIGHT))[:, 0]
+            .reshape(nT, tw * LINE_HEIGHT)
+        )
+        b_win = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(black, (tw, LINE_HEIGHT))[:, 0]
+            .reshape(nT, tw * LINE_HEIGHT)
+        )
+        scores = w_win @ whiteT + b_win @ blackT
+        sc = scores.reshape(nT, len(chars_tw), N_EXPOSURES, n_off)
+        for pw in range(stack.pad_min, stack.pad_max + 1):
+            w = tw + pw
+            lim = min(T - w + 1, T - tw - stack.pad_min + 1, nT)
+            for t in range(max(0, lim)):
+                pad_lp = (ws_cum[t + tw + pw] - ws_cum[t + tw]) + plp  # (E,)
+                for ci, c in enumerate(chars_tw):
+                    tot = sc[t, ci] + wlp[ci] + pad_lp[:, None]  # (E, n_off)
+                    for off in range(n_off):
+                        e = int(tot[:, off].argmax())
+                        val = tot[e, off]
+                        if val > best4[t, c, w, off]:
+                            best4[t, c, w, off] = val
+                            be4[t, c, w, off] = e
+                            bpad4[t, c, w, off] = pw
+    return best4, be4, bpad4
+
+
+def test_explicit_offset_recovery_vs_naive(stack_and_lines):
+    """ADVICE r3: the off_idx recovery path (markov-offset decoding)
+    had no naive-reference coverage.  Check the 4-D cache values AND
+    the recovered (exposure, pad) at fixed offsets against an
+    independent per-offset populate, on a sparse subset (small-M GEMM
+    shape, like production)."""
+    from ocular_spark.decoder import build_emission_cache_explicit
+
+    stack, lines = stack_and_lines
+    for obs in lines:
+        cache = build_emission_cache_explicit(obs, stack)
+        best4, be4, bpad4 = _naive_tables_explicit(obs, stack)
+        np.testing.assert_array_equal(cache.log_probs4, best4)
+        np.testing.assert_array_equal(cache.log_probs, best4.max(axis=3))
+        fts, fcs, fws, foffs = np.nonzero(best4 > NEG_INF)
+        sel = np.arange(0, len(fts), 23)  # sparse, deterministic
+        ts, cs, ws, offs = (
+            fts[sel].astype(np.int32),
+            fcs[sel].astype(np.int32),
+            fws[sel].astype(np.int32),
+            foffs[sel].astype(np.int32),
+        )
+        e_got, off_got, pad_got = recover_emission_args(
+            cache, stack, ts, cs, ws, off_idx=offs
+        )
+        np.testing.assert_array_equal(e_got, be4[ts, cs, ws, offs])
+        np.testing.assert_array_equal(pad_got, bpad4[ts, cs, ws, offs])
+        np.testing.assert_array_equal(off_got, offs - MAX_OFFSET)
