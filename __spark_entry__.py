@@ -442,67 +442,88 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         per-band collision probability is the Jaccard SQUARED, so
         unrelated docs rarely collide while 4 bands keep recall high
         at the 0.5 threshold.
-    |A∩B| comes from one join of distinct shingle sets restricted to
-    candidate pairs; |A∪B| = |A|+|B|-|A∩B|."""
+
+    SINGLE-PASS shape (round-4 rework of the triple scan+explode):
+    ONE scan hashes each doc's distinct shingles to int64 INSIDE an
+    array expression (the shingle strings never leave the projection,
+    never shuffle), giving a compact per-doc hash-set column that is
+    persisted for the query's lifetime — at 100 TB that cache is
+    ~1 KB/doc vs 3 full re-scans of the corpus.  Everything downstream
+    is arrays: per-band (m0, m1) signatures are array_min projections
+    (no explode+groupBy), |A∩B| is array_intersect on the two cached
+    hash sets (no pair×shingle explode join), |A∪B| = |A|+|B|-|A∩B|.
+    Shingle identity is the 60-bit md5 prefix mod 2^31-1, identically
+    in the DuckDB oracle, so a hash collision (p ~ n_shingles²/2³¹
+    per doc pair) merges the same shingles in both engines."""
     d = _load_wide(spark, sf_dir, "documents")
-    shingles = d.select(
-        "doc_id",
-        F.explode(F.expr(f"array_distinct({WORD_TRIGRAMS})")).alias("shingle"),
-    )
-    hashed = shingles.select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-            % F.lit(MINHASH_P)
-        ).alias("h31"),
-    )
-    a_case = "CASE perm %s END" % " ".join(
-        f"WHEN {i} THEN {a}L" for i, a in enumerate(MINHASH_A[:8])
-    )
-    c_case = "CASE perm %s END" % " ".join(
-        f"WHEN {i} THEN {c}L" for i, c in enumerate(MINHASH_C[:8])
-    )
-    perms = (
-        hashed.select(
-            "doc_id", "h31", F.explode(F.expr("sequence(0, 7)")).alias("perm")
+    base = (
+        d.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform({WORD_TRIGRAMS},"
+                f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                f" % {MINHASH_P}))"
+            ).alias("hs"),
         )
-        .withColumn("v", F.expr(f"(h31 * {a_case} + {c_case}) % {MINHASH_P}"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("v").alias("minhash"))
+        .withColumn("n_shingles", F.size("hs").cast("long"))
+        .persist()
     )
-    sig = (
-        perms.withColumn("band", F.expr("perm div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.max(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).alias("m0"),
-            F.max(F.when(F.col("perm") % 2 == 1, F.col("minhash"))).alias("m1"),
+
+    def minh(perm: int):
+        a, c = MINHASH_A[perm], MINHASH_C[perm]
+        return F.array_min(
+            F.transform(
+                "hs", lambda h: (h * F.lit(a) + F.lit(c)) % F.lit(MINHASH_P)
+            )
         )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                minh(2 * b).alias("m0"),
+                minh(2 * b + 1).alias("m1"),
+            )
+            for b in range(4)
+        ]
+    )
+    sigx = base.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", "s.band", "s.m0", "s.m1"
     )
     pairs = (
-        sig.alias("a")
-        .join(sig.alias("b"), ["band", "m0", "m1"])
+        sigx.alias("a")
+        .join(sigx.alias("b"), ["band", "m0", "m1"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # count shared shingles via a (pair x shingle) join
-    shared = (
-        pairs.join(shingles.withColumnRenamed("doc_id", "id_a"), "id_a")
+    # candidate pairs are few (LSH-bounded): broadcast them so the two
+    # hash-set lookups against the cached base are map-side joins
+    cand = (
+        F.broadcast(pairs)
         .join(
-            shingles.select(
-                F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle")
+            base.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("n_shingles").alias("n_a"),
             ),
-            ["id_b", "shingle"],
+            "id_a",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(
+            base.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("n_shingles").alias("n_b"),
+            ),
+            "id_b",
+        )
     )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        cand.withColumn(
+            "n_shared", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4),
@@ -1408,76 +1429,67 @@ _ORACLE_SQL = {
             HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": """
-            WITH grams AS (
+            -- mirrors the single-pass Spark shape: per-doc distinct
+            -- shingle-HASH sets (60-bit md5 prefix mod 2^31-1), band
+            -- signatures as list_min projections, |A∩B| via
+            -- list_intersect on the hash sets
+            WITH base AS (
                 SELECT doc_id,
-                       UNNEST(LIST_TRANSFORM(
-                           GENERATE_SERIES(1, GREATEST(
-                               LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
-                           i -> ARRAY_TO_STRING(
-                               STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           LIST_TRANSFORM(
+                               GENERATE_SERIES(1, GREATEST(
+                                   LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+                               i -> ARRAY_TO_STRING(
+                                   STRING_SPLIT(text, ' ')[i:i+2], ' ')),
+                           s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15))::UBIGINT
+                                     AS BIGINT) % 2147483647)) AS hs
                 FROM documents
             ),
-            hashed AS (
-                SELECT doc_id,
-                       CAST(('0x' || SUBSTRING(MD5(shingle), 1, 15))::UBIGINT
-                            AS BIGINT) % 2147483647 AS h31
-                FROM grams
+            sized AS (
+                SELECT doc_id, hs, CAST(LEN(hs) AS BIGINT) AS n_shingles
+                FROM base
             ),
-            perms AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS perm),
-            minhashes AS (
-                SELECT doc_id, perm,
-                       MIN((h31 * CASE perm WHEN 0 THEN 1103515245
-                                            WHEN 1 THEN 1583458089
-                                            WHEN 2 THEN 784588716
-                                            WHEN 3 THEN 999999937
-                                            WHEN 4 THEN 1804289383
-                                            WHEN 5 THEN 846930886
-                                            WHEN 6 THEN 1681692777
-                                            ELSE 1714636915 END
-                            + CASE perm WHEN 0 THEN 12345
-                                        WHEN 1 THEN 54321
-                                        WHEN 2 THEN 98765
-                                        WHEN 3 THEN 24680
-                                        WHEN 4 THEN 424242
-                                        WHEN 5 THEN 131313
-                                        WHEN 6 THEN 777777
-                                        ELSE 909090 END) % 2147483647) AS minhash
-                FROM hashed CROSS JOIN perms
-                GROUP BY doc_id, perm
-            ),
-            sig AS (
-                SELECT doc_id, perm // 2 AS band,
-                       MAX(CASE WHEN perm % 2 = 0 THEN minhash END) AS m0,
-                       MAX(CASE WHEN perm % 2 = 1 THEN minhash END) AS m1
-                FROM minhashes
-                GROUP BY doc_id, perm // 2
+            sigx AS (
+                SELECT doc_id, band,
+                       LIST_MIN(LIST_TRANSFORM(hs, h ->
+                           (h * CASE band WHEN 0 THEN 1103515245
+                                          WHEN 1 THEN 784588716
+                                          WHEN 2 THEN 1804289383
+                                          ELSE 1681692777 END
+                              + CASE band WHEN 0 THEN 12345
+                                          WHEN 1 THEN 98765
+                                          WHEN 2 THEN 424242
+                                          ELSE 777777 END) % 2147483647)) AS m0,
+                       LIST_MIN(LIST_TRANSFORM(hs, h ->
+                           (h * CASE band WHEN 0 THEN 1583458089
+                                          WHEN 1 THEN 999999937
+                                          WHEN 2 THEN 846930886
+                                          ELSE 1714636915 END
+                              + CASE band WHEN 0 THEN 54321
+                                          WHEN 1 THEN 24680
+                                          WHEN 2 THEN 131313
+                                          ELSE 909090 END) % 2147483647)) AS m1
+                FROM sized
+                CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band)
             ),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sig a
-                JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-                          AND a.doc_id < b.doc_id
+                FROM sigx a
+                JOIN sigx b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+                           AND a.doc_id < b.doc_id
             ),
-            shingles AS (
-                SELECT DISTINCT doc_id, shingle FROM grams
-            ),
-            sizes AS (
-                SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
-            ),
-            shared AS (
-                SELECT p.id_a, p.id_b, COUNT(*) AS n_shared
+            cand AS (
+                SELECT p.id_a, p.id_b,
+                       CAST(LEN(LIST_INTERSECT(za.hs, zb.hs)) AS BIGINT) AS n_shared,
+                       za.n_shingles AS n_a, zb.n_shingles AS n_b
                 FROM pairs p
-                JOIN shingles sa ON sa.doc_id = p.id_a
-                JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
-                GROUP BY p.id_a, p.id_b
+                JOIN sized za ON za.doc_id = p.id_a
+                JOIN sized zb ON zb.doc_id = p.id_b
             )
-            SELECT s.id_a, s.id_b, CAST(s.n_shared AS BIGINT) AS n_shared,
-                   ROUND(s.n_shared * 1.0 / (za.n_shingles + zb.n_shingles - s.n_shared), 4) AS jaccard
-            FROM shared s
-            JOIN sizes za ON za.doc_id = s.id_a
-            JOIN sizes zb ON zb.doc_id = s.id_b
-            WHERE ROUND(s.n_shared * 1.0 /
-                        (za.n_shingles + zb.n_shingles - s.n_shared), 4) >= 0.5
+            SELECT id_a, id_b, n_shared,
+                   ROUND(n_shared * 1.0 / (n_a + n_b - n_shared), 4) AS jaccard
+            FROM cand
+            WHERE ROUND(n_shared * 1.0 / (n_a + n_b - n_shared), 4) >= 0.5
         """,
         "text_stats": """
             SELECT doc_id,
