@@ -143,6 +143,47 @@ def q_transcribe_spans_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_spans(transcribe(docs_df, media_df, bundle_bc, char_strs))
 
 
+def q_transcribe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Structured Streaming transcription UNDER THE DRIVER GATE
+    (round-4 punch list #3): the same 8-doc page fixture as
+    transcribe_spans is written as a parquet stream source, decoded
+    incrementally by transcribe_pages_stream (availableNow trigger,
+    fresh checkpoint each call — the checkpoint IS the exactly-once
+    resume state; restart semantics are pinned by
+    tests/test_streaming.py), and the sink's media spans are returned.
+    Deterministic: the streaming path runs the very same Arrow decode
+    kernel, so its output must equal the media rows of the FROZEN
+    transcribe_spans golden (the no-Spark NumPy oracle path)."""
+    import tempfile
+
+    from ocular_spark.streaming.jobs import transcribe_pages_stream
+
+    docs_df, media_df, bundle_bc, char_strs = _pipeline_frames(spark, sf_dir)
+    pages = (
+        docs_df.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .join(media_df, "media_ref")
+        .select("doc_id", "media_ref", "offset", "lines")
+    )
+    root = tempfile.mkdtemp(prefix="ocular_stream_")
+    pages_dir = os.path.join(root, "pages")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    pages.write.parquet(pages_dir)
+    q = transcribe_pages_stream(
+        spark, pages_dir, out_dir, ckpt, bundle_bc, char_strs
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "media_ref", "offset", "text"
+    )
+
+
 def q_transcribe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page decode lineage metrics (resume/monitoring table)."""
     from ocular_spark.pipeline import decode_metrics
@@ -1338,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcribe_spans": q_transcribe_spans,
         "transcribe_spans_cs": q_transcribe_spans_cs,
         "transcribe_spans_offset": q_transcribe_spans_offset,
+        "transcribe_stream": q_transcribe_stream,
         "transcribe_metrics": q_transcribe_metrics,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -1380,6 +1422,14 @@ def oracle_sql() -> dict[str, str]:
         from golden_oracles import GOLDEN_ORACLES
 
         out.update(GOLDEN_ORACLES)
+        # the streaming transcription sink must equal the media rows
+        # of the batch golden (same kernel, same fixture) — derive its
+        # oracle rather than freezing a duplicate
+        out["transcribe_stream"] = (
+            'SELECT doc_id, media_ref, "offset", text FROM ('
+            + GOLDEN_ORACLES["transcribe_spans"]
+            + ") AS g WHERE kind = 'media'"
+        )
     except ImportError:
         pass
     return out
