@@ -143,6 +143,31 @@ def q_transcribe_spans_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_spans(transcribe(docs_df, media_df, bundle_bc, char_strs))
 
 
+def q_transcribe_spans_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-crop transcription (O4 on the SPARK path, round-4 punch
+    list #7): whole-page PNGs wrapped in book-scan margins + dark edge
+    bands (fixtures.add_page_margins) run the FULL preprocessing chain
+    inside the decode kernel — straighten -> Cropper.crop (ON; it is
+    off for the clean-page fixtures) -> binarize -> line extraction ->
+    resample -> decode.  Without crop the dark bands are extracted and
+    decoded as characters (tests/test_preprocess.py pins the
+    contrast); with crop the clean-page tokens come back.  Golden
+    frozen from the in-process no-Spark oracle like the other OCR
+    rows (reference: Cropper.java:254-273, LazyRawImageDocument:80-92)."""
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import build_models_crop, derive_docs_and_media_crop
+    from ocular_spark.pipeline import DOCS_DDL, transcribe
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, pages = derive_docs_and_media_crop(documents, n_docs=2)
+    bundle, char_strs = build_models_crop(documents)
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(pages[["media_ref", "n_lines", "page_png"]])
+    bundle_bc = spark.sparkContext.broadcast(bundle)
+    return _flatten_spans(transcribe(docs_df, media_df, bundle_bc, char_strs))
+
+
 def q_transcribe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Structured Streaming transcription UNDER THE DRIVER GATE
     (round-4 punch list #3): the same 8-doc page fixture as
@@ -1379,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcribe_spans": q_transcribe_spans,
         "transcribe_spans_cs": q_transcribe_spans_cs,
         "transcribe_spans_offset": q_transcribe_spans_offset,
+        "transcribe_spans_crop": q_transcribe_spans_crop,
         "transcribe_stream": q_transcribe_stream,
         "transcribe_metrics": q_transcribe_metrics,
         "pricing_summary": q_pricing_summary,

@@ -207,6 +207,67 @@ def media_lines_to_page_pngs(media: pd.DataFrame, skew: bool = False) -> pd.Data
     return pd.DataFrame(rows)
 
 
+def add_page_margins(
+    png_bytes: bytes,
+    margin_ratio: float = 0.14,
+    dark_band: int = 6,
+    dark_level: int = 30,
+) -> bytes:
+    """Wrap a page PNG in book-scan margins: ~margin_ratio white border
+    per side (content stays above the cropper's 60% center-segment
+    minimum) plus a dark scan-edge band at the outer rim — the exact
+    artifact Cropper.java (:254-273) exists to remove.  With crop OFF
+    the bands are extracted and decoded as characters; with crop ON
+    the clean-page tokens come back (tests/test_preprocess.py,
+    driver row transcribe_spans_crop)."""
+    import numpy as np
+
+    from ocular_spark.functions.png import decode_gray_png, encode_gray_png
+
+    img = decode_gray_png(bytes(png_bytes))  # (H, W), rows = y
+    h, w = img.shape
+    mh = int(margin_ratio * h) + 8
+    mw = int(margin_ratio * w) + 8
+    out = np.full((h + 2 * (mh + dark_band), w + 2 * (mw + dark_band)), 255, np.uint8)
+    out[:dark_band, :] = dark_level
+    out[-dark_band:, :] = dark_level
+    out[:, :dark_band] = dark_level
+    out[:, -dark_band:] = dark_level
+    out[mh + dark_band : mh + dark_band + h, mw + dark_band : mw + dark_band + w] = img
+    return encode_gray_png(out)
+
+
+def derive_docs_and_media_crop(
+    documents: pd.DataFrame, n_docs: int = 2
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Crop-variant fixture (O4 on the Spark path): whole-page PNGs
+    with book-scan margins + dark edge bands; media carries page_png,
+    so transcribe() runs the full preprocessing chain per page."""
+    docs, media = derive_docs_and_media(
+        documents, n_docs=n_docs, max_pages_per_doc=1, noise_levels=(0.0,)
+    )
+    pages = media_lines_to_page_pngs(media, skew=False)
+    pages["page_png"] = pages["page_png"].map(add_page_margins)
+    return docs, pages
+
+
+def build_models_crop(documents: pd.DataFrame) -> Tuple[ModelBundle, List[str]]:
+    """Models for the crop driver query: same LM/font as the flagship,
+    but a bundle with preprocess_crop=True (Cropper ON) and reduced
+    line-extraction restarts (the margin pages are clean, 20 restarts
+    converge; 100 would quintuple the query's preprocessing cost)."""
+    base, char_strs = build_models(documents)
+    bundle = ModelBundle(
+        base.font_bytes,
+        base.lm,
+        beam_size=10,
+        preprocess_em_restarts=20,
+        preprocess_crop=True,
+        transition_model=base.transition_model,
+    )
+    return bundle, char_strs
+
+
 def build_models(
     documents: pd.DataFrame,
     order: int = 3,
@@ -257,20 +318,44 @@ def oracle_transcribe_pandas(
     docs: pd.DataFrame, media: pd.DataFrame, bundle: ModelBundle, char_strs: List[str]
 ) -> pd.DataFrame:
     """Single-process oracle: same kernels, no Spark.  Returns the
-    docs-shaped output the pipeline must match span-for-span."""
+    docs-shaped output the pipeline must match span-for-span.
+    Media may carry pre-extracted ``lines`` or a whole-page
+    ``page_png`` (run through the same prepare_page chain with the
+    bundle's straighten/crop flags, mirroring decode_pages_kernel)."""
     from ocular_spark.pipeline import get_decoder, unpack_line
     from ocular_spark.transcriptions import diplomatic_text
 
     decoder = get_decoder(bundle)
-    media_by_ref: Dict[str, List[bytes]] = {
-        r.media_ref: list(r.lines) for r in media.itertuples()
+    use_lines = "lines" in media.columns
+    media_by_ref: Dict[str, object] = {
+        r.media_ref: (list(r.lines) if use_lines else r.page_png)
+        for r in media.itertuples()
     }
+
+    def _page_imgs(payload):
+        if use_lines:
+            return [unpack_line(raw) for raw in payload]
+        import numpy as np
+
+        from ocular_spark.functions.png import decode_gray_png
+        from ocular_spark.preprocess import prepare_page
+
+        page = decode_gray_png(bytes(payload)).T.astype(np.float64)
+        return prepare_page(
+            page,
+            binarize_threshold=bundle.binarize_threshold,
+            do_straighten=bundle.preprocess_straighten,
+            do_crop=bundle.preprocess_crop,
+            num_em_iters=bundle.preprocess_em_iters,
+            num_em_restarts=bundle.preprocess_em_restarts,
+        )
+
     out_rows = []
     for r in docs.itertuples():
         spans = []
         for s in r.spans:
             if s["kind"] == "media":
-                imgs = [unpack_line(raw) for raw in media_by_ref[s["media_ref"]]]
+                imgs = _page_imgs(media_by_ref[s["media_ref"]])
                 decodes, _ = decoder.decode_document(imgs)
                 text = diplomatic_text(decodes, char_strs)
                 spans.append(

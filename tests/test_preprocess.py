@@ -128,3 +128,51 @@ def test_crop_keeps_content_on_margin_page():
     assert black_after >= 0.95 * black_before
     # and the crop actually removed some margin
     assert cropped.size < page.size
+
+
+def test_crop_recovers_margin_page_tokens(sf_dir):
+    """O4 integration (round-4 punch #7): a page wrapped in book-scan
+    margins + dark edge bands (fixtures.add_page_margins) decodes to
+    the pre-extracted-lines tokens ONLY with the cropper on; with crop
+    off the bands reach line extraction and corrupt the decode."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocular_spark.fixtures import (
+        add_page_margins,
+        build_models,
+        derive_docs_and_media,
+        media_lines_to_page_pngs,
+    )
+    from ocular_spark.functions.png import decode_gray_png
+    from ocular_spark.pipeline import ModelBundle, get_decoder, unpack_line
+    from ocular_spark.preprocess import prepare_page
+    from ocular_spark.transcriptions import diplomatic_text
+
+    documents = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet")
+    ).to_pandas()
+    docs, media = derive_docs_and_media(
+        documents, n_docs=1, max_pages_per_doc=1, noise_levels=(0.0,)
+    )
+    pages = media_lines_to_page_pngs(media, skew=False)
+    bundle, char_strs = build_models(documents)
+    decoder = get_decoder(ModelBundle(bundle.font_bytes, bundle.lm, beam_size=10,
+                                      transition_model=bundle.transition_model))
+
+    r = next(media.itertuples())
+    want = diplomatic_text(
+        decoder.decode_document([unpack_line(raw) for raw in r.lines])[0],
+        char_strs,
+    ).split()
+
+    png = add_page_margins(next(pages.itertuples()).page_png)
+    page = decode_gray_png(png).T.astype(float)
+    on = prepare_page(page, do_crop=True, num_em_restarts=20)
+    got_on = diplomatic_text(decoder.decode_document(on)[0], char_strs).split()
+    assert got_on == want, (got_on, want)
+
+    off = prepare_page(page, do_crop=False, num_em_restarts=20)
+    got_off = diplomatic_text(decoder.decode_document(off)[0], char_strs).split()
+    assert got_off != want  # the dark bands corrupt the un-cropped decode

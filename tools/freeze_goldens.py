@@ -238,8 +238,23 @@ def freeze_lm_perplexity() -> Tuple[List[str], List[str], List[tuple]]:
     return ["doc_id", "n_scored", "perplexity"], ["BIGINT", "INTEGER", "DOUBLE"], rows
 
 
+def freeze_transcribe_spans_crop() -> Tuple[List[str], List[str], List[tuple]]:
+    from ocular_spark.fixtures import (
+        build_models_crop,
+        derive_docs_and_media_crop,
+        oracle_transcribe_pandas,
+    )
+
+    documents = _documents()
+    docs, pages = derive_docs_and_media_crop(documents, n_docs=2)
+    bundle, char_strs = build_models_crop(documents)
+    out = oracle_transcribe_pandas(docs, pages, bundle, char_strs)
+    return SPAN_COLS, SPAN_TYPES, _flatten_spans(out)
+
+
 FREEZERS = {
     "transcribe_spans": freeze_transcribe_spans,
+    "transcribe_spans_crop": freeze_transcribe_spans_crop,
     "transcribe_spans_cs": freeze_transcribe_spans_cs,
     "transcribe_spans_offset": freeze_transcribe_spans_offset,
     "transcribe_metrics": freeze_transcribe_metrics,
