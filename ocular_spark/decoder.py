@@ -139,14 +139,19 @@ class CompiledTransitionModel:
         """Rendered (template) char per state: TMPL -> last context char
         (or space for empty context); margins -> space;
         RMRGN_HPHN_INIT -> hyphen (CharacterNgramTransitionState:159-170,
-        338-341)."""
-        stype = states % N_TYPES
-        ctx = states // N_TYPES
-        out = np.full(len(states), self.space, dtype=np.int32)
-        tmpl = stype == TMPL
-        out[tmpl] = self.ctx_last[ctx[tmpl]]
-        out[stype == RMRGN_HPHN_INIT] = self.hyphen
-        return out
+        338-341).  Served from a dense per-state LUT: this is called
+        twice per beam column on the full candidate set, and one take()
+        beats the masked 7-op recompute (~6% of decode CPU).  Built
+        lazily so unpickled pre-LUT instances (fixture model caches)
+        keep working."""
+        lut = getattr(self, "_glyph_lut", None)
+        if lut is None:
+            lut = np.full(self.n_ctx * N_TYPES, self.space, dtype=np.int32)
+            base = np.arange(self.n_ctx, dtype=np.int64) * N_TYPES
+            lut[base + TMPL] = self.ctx_last
+            lut[base + RMRGN_HPHN_INIT] = self.hyphen
+            self._glyph_lut = lut
+        return lut[states]
 
     def lm_char_of_states(self, states: np.ndarray) -> np.ndarray:
         # identical to glyph char in the monolingual model
@@ -828,6 +833,7 @@ class Decoder:
         # precomputed flat emission index per candidate: one int add at
         # scatter time replaces a 3-/4-axis fancy gather per column
         self._flat_emit = np.empty(cap, dtype=np.int64)
+        self._iota = np.arange(cap, dtype=np.int64)  # 0..n ramp scratch
         W = self.stack.max_w + 1
         C = self.stack.n_chars
         self._emit_stride = (
@@ -901,9 +907,13 @@ class Decoder:
         lens = self._exp_len[slots]
         n = int(lens.sum())
         cum = np.cumsum(lens)
-        idx = np.arange(n, dtype=np.int64) - np.repeat(cum - lens, lens) + np.repeat(
-            starts, lens
-        )
+        # one fused repeat of (start - block_offset) instead of two
+        # (r4): idx[i] = i + repeat(starts - cum + lens)[i], and the
+        # 0..n ramp comes from a grown-once scratch buffer rather
+        # than a fresh arange every column
+        if n > len(self._iota):
+            self._iota = np.arange(max(n, 2 * len(self._iota)), dtype=np.int64)
+        idx = self._iota[:n] + np.repeat(starts - cum + lens, lens)
         return idx, lens
 
     def _full_expansion(self, s: int):
@@ -1021,14 +1031,27 @@ class Decoder:
                 states_u, scores_u = states[sel], scores[sel]
                 prev_t_u, prev_s_u = prev_ts[sel], prev_states[sel]
 
-                # beam prune by score + coarse-backward heuristic
+                # beam prune by score + coarse-backward heuristic.
+                # O(n) exact top-k replacing lexsort((states_u,-prio))
+                # [:k] + argsort (r4 fusion): states_u is sorted
+                # ascending & unique (dedup emits it that way), so
+                # "all strictly above the k-th priority, plus the
+                # first `need` ties in index order" is EXACTLY the
+                # lexsort set (ties at the boundary go to smallest
+                # state), and a boolean mask keeps state order — the
+                # re-sort for searchsorted falls away too.
                 if len(states_u) > beam_size:
                     glyphs_u = tm.glyph_char_of_states(states_u)
                     prio = scores_u + betas[t, glyphs_u]
-                    keep = np.lexsort((states_u, -prio))[:beam_size]
-                    keep = keep[np.argsort(states_u[keep])]  # keep sorted for searchsorted
-                    states_u, scores_u = states_u[keep], scores_u[keep]
-                    prev_t_u, prev_s_u = prev_t_u[keep], prev_s_u[keep]
+                    kth = np.partition(prio, len(prio) - beam_size)[
+                        len(prio) - beam_size
+                    ]
+                    greater = prio > kth
+                    need = beam_size - int(np.count_nonzero(greater))
+                    tie = prio == kth
+                    keep_mask = greater | (tie & (np.cumsum(tie) <= need))
+                    states_u, scores_u = states_u[keep_mask], scores_u[keep_mask]
+                    prev_t_u, prev_s_u = prev_t_u[keep_mask], prev_s_u[keep_mask]
 
                 columns[t] = {
                     "states": states_u,
