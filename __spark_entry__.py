@@ -1085,6 +1085,102 @@ def q_embed_ivf_topk(
     )
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (north_rule: HTML boilerplate strip +
+    DOM heuristics) — EXPRESSION path: each document's text is wrapped
+    in a deterministic boilerplate page (nav + ad links + <p> content
+    tiling + share/like clusters + footer; ocular_spark/functions/
+    html.py), then the jusText/boilerpipe-style block heuristic
+    (text_len >= 20, link_density < 0.5 by integer cross-multiply)
+    strips the boilerplate back out — all as JVM regex/array
+    expressions: a pure projection over the scan, no shuffle, no
+    Python, whole-stage-codegen'd.  At 100 TB this is the map-side
+    hot path; the DuckDB oracle mirrors it string-for-string."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_boilerplate_spark()).alias("html")
+    )
+    df = wrapped.withColumn(
+        "blocks", F.expr(H.blocks_expr_spark("html"))
+    ).withColumn("stats", F.expr(H.stats_expr_spark("blocks")))
+    keep = f"filter(stats, s -> {H.keep_pred_spark()})"
+    return df.select(
+        "doc_id",
+        F.size("blocks").cast("long").alias("n_blocks"),
+        F.expr(f"size({keep})").cast("long").alias("n_kept"),
+        F.expr(f"array_join(transform({keep}, s -> s.txt), ' ')").alias(
+            "main_text"
+        ),
+    )
+
+
+def q_html_main_content_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction — DOM path: the SAME pages parsed by a
+    real stdlib html.parser tag walk inside an Arrow-batched
+    mapInPandas kernel (functions/html.py extract_main_content_dom),
+    applying the same block heuristic.  Checked against the SAME
+    DuckDB oracle as the expression path: two genuinely independent
+    implementations (regex pipeline vs DOM walk) against one oracle,
+    plus tests/test_html.py pinning them equal block-for-block."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_boilerplate_spark()).alias("html")
+    )
+    return wrapped.mapInPandas(
+        H.main_content_kernel(), schema=H.MAIN_CONTENT_SCHEMA
+    )
+
+
+def q_strip_spans_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level main-content extraction over the INTERLEAVED table
+    shape (north_rule input_hint: (doc_id, spans array<struct<kind,
+    text, media_ref, offset>>)): each doc becomes [text(html page),
+    media(ref), text(appendix page)], the extractor rewrites ONLY the
+    text spans (media spans pass through untouched), and the output
+    preserves exact (kind, text, media_ref, offset) span order — the
+    north_rule's per-row invariant, here for the boilerplate-strip
+    operator.  The whole transform is one projection (transform() over
+    the spans array); the explode below exists only to give the driver
+    a flat hashable shape."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    spans = F.expr(
+        "array("
+        "named_struct('kind', 'text', 'text', "
+        + H.wrap_boilerplate_spark()
+        + ", 'media_ref', cast(null as string), 'offset', 0), "
+        "named_struct('kind', 'media', 'text', cast(null as string),"
+        " 'media_ref', concat('m-', doc_id), 'offset', 1), "
+        f"named_struct('kind', 'text', 'text', '{H.APPENDIX_HTML}',"
+        " 'media_ref', cast(null as string), 'offset', 2))"
+    )
+    stripped = F.expr(
+        "transform(spans, sp -> named_struct("
+        "'kind', sp.kind, "
+        "'text', case when sp.kind = 'text' then "
+        + H.main_text_expr_spark("sp.text")
+        + " else sp.text end, "
+        "'media_ref', sp.media_ref, 'offset', sp.offset))"
+    )
+    return (
+        d.select("doc_id", spans.alias("spans"))
+        .select("doc_id", stripped.alias("spans"))
+        .select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -1436,6 +1532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
+        "html_main_content": q_html_main_content,
+        "html_main_content_dom": q_html_main_content_dom,
+        "strip_spans_html": q_strip_spans_html,
     }
 
 
@@ -2053,3 +2152,37 @@ _ORACLE_SQL = {
             HAVING COUNT(*) > 1
         """,
     }
+
+
+# main-content extraction oracles are assembled from the same
+# expression fragments the Spark queries use (functions/html.py), so
+# synthesizer and heuristic stay mirrored by construction; the DOM
+# query shares the expression oracle (independent impl, one oracle)
+def _install_html_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    wrapped = "(" + _H.wrap_boilerplate_duckdb("text", "doc_id") + ")"
+    _ORACLE_SQL["html_main_content"] = (
+        "SELECT doc_id, "
+        + _H.main_content_sql_duckdb(wrapped)
+        + " FROM documents"
+    )
+    _ORACLE_SQL["html_main_content_dom"] = _ORACLE_SQL["html_main_content"]
+    appendix = "'" + _H.APPENDIX_HTML + "'"
+    _ORACLE_SQL["strip_spans_html"] = (
+        "WITH spans AS ("
+        "SELECT doc_id, 'text' AS kind, " + wrapped + " AS raw, "
+        "CAST(NULL AS VARCHAR) AS media_ref, 0 AS off FROM documents "
+        "UNION ALL SELECT doc_id, 'media', CAST(NULL AS VARCHAR), "
+        "'m-' || doc_id, 1 FROM documents "
+        "UNION ALL SELECT doc_id, 'text', " + appendix + ", "
+        "CAST(NULL AS VARCHAR), 2 FROM documents) "
+        "SELECT doc_id, kind, "
+        "CASE WHEN kind = 'text' THEN ("
+        + _H.main_text_expr_duckdb("raw")
+        + ") ELSE raw END AS text, media_ref, "
+        'CAST(off AS INTEGER) AS "offset" FROM spans'
+    )
+
+
+_install_html_oracles()
