@@ -1538,6 +1538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# queries whose oracle is DERIVED from the sf0.01-pinned frozen
+# goldens (so, like the goldens themselves, they are only checkable
+# at sf0.01 — tests/test_entry_parity.py routes them to the sf0.01
+# golden gate instead of the sf0.001 recomputable gate)
+GOLDEN_DERIVED = frozenset({"transcribe_stream"})
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLE_SQL)
     # frozen VALUES-goldens for the non-SQL-expressible OCR-core

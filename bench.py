@@ -53,6 +53,9 @@ RELATIONAL = [
     "embed_ivf_topk",
     "lang_id",
     "lang_id_ngram",
+    "html_main_content",
+    "html_main_content_dom",
+    "strip_spans_html",
 ]
 
 

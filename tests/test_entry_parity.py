@@ -56,7 +56,11 @@ try:
 except ImportError:
     GOLDEN_ORACLES = {}
 
-RECOMPUTABLE = sorted(set(entry_mod.oracle_sql()) - set(GOLDEN_ORACLES))
+RECOMPUTABLE = sorted(
+    set(entry_mod.oracle_sql())
+    - set(GOLDEN_ORACLES)
+    - entry_mod.GOLDEN_DERIVED  # golden-derived oracles are sf0.01-pinned
+)
 
 
 @pytest.mark.parametrize("name", RECOMPUTABLE)
@@ -134,8 +138,8 @@ def test_every_query_has_an_oracle():
     assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
     assert set(GOLDEN_ORACLES) == {
         "transcribe_spans", "transcribe_spans_cs", "transcribe_spans_offset",
-        "transcribe_metrics", "em_font_counts", "train_font_step",
-        "lm_perplexity",
+        "transcribe_spans_crop", "transcribe_metrics", "em_font_counts",
+        "train_font_step", "lm_perplexity",
     }
 
 
@@ -145,11 +149,12 @@ def test_golden_queries_match_frozen_oracles_at_sf001(spark):
     order-insensitive values must match the VALUES-select exactly."""
     sf_dir = os.path.join(TESTDATA, "sf0.01")
     con = _duck_con(sf_dir)
-    for name in sorted(GOLDEN_ORACLES):
+    all_sql = entry_mod.oracle_sql()
+    for name in sorted(set(GOLDEN_ORACLES) | entry_mod.GOLDEN_DERIVED):
         sdf = entry_mod.queries()[name](spark, sf_dir)
         spark_cols = sdf.columns
         spark_rows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(GOLDEN_ORACLES[name])
+        res = con.execute(all_sql[name])
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
         assert sorted(spark_cols) == sorted(duck_cols), name
