@@ -5,7 +5,7 @@ This box throttles 10-25x under co-tenant load (BASELINE.md §6); a
 single bench shot lands wherever the scheduler happens to be.  The
 watcher polls the fixed-workload witness and fires a full bench run
 only when the host is responsive, saving the best decode-throughput
-record to BENCH/bench_sf0.1_r3.json.
+record to BENCH/bench_sf0.1_r4.json.
 
     python tools/bench_watch.py [max_rounds] [witness_threshold_sec]
 """
@@ -19,7 +19,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r3.json")
+OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r4.json")
 MAX_ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 THRESH = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
 SLEEP = 180
