@@ -226,8 +226,11 @@ def add_page_margins(
 
     img = decode_gray_png(bytes(png_bytes))  # (H, W), rows = y
     h, w = img.shape
-    mh = int(margin_ratio * h) + 8
-    mw = int(margin_ratio * w) + 8
+    # cap total per-side margin (white + band) at 30% of the dimension
+    # so content stays >= ~62% of each axis — above the cropper's 60%
+    # center-segment minimum even for small pages
+    mh = max(0, min(int(margin_ratio * h) + 8, int(0.30 * h) - dark_band))
+    mw = max(0, min(int(margin_ratio * w) + 8, int(0.30 * w) - dark_band))
     out = np.full((h + 2 * (mh + dark_band), w + 2 * (mw + dark_band)), 255, np.uint8)
     out[:dark_band, :] = dark_level
     out[-dark_band:, :] = dark_level

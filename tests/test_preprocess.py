@@ -176,3 +176,26 @@ def test_crop_recovers_margin_page_tokens(sf_dir):
     off = prepare_page(page, do_crop=False, num_em_restarts=20)
     got_off = diplomatic_text(decoder.decode_document(off)[0], char_strs).split()
     assert got_off != want  # the dark bands corrupt the un-cropped decode
+
+
+def test_add_page_margins_respects_cropper_center_bound():
+    """The margin fixture must keep content >= 60% of each dimension
+    (HORIZ/VERT_MIN_CENTER_SEG_RATIO): larger margins would make the
+    cropper's single-column segment search reject the content segment
+    and the crop driver row would decode garbage."""
+    import numpy as np
+
+    from ocular_spark.fixtures import add_page_margins
+    from ocular_spark.functions.png import decode_gray_png, encode_gray_png
+
+    rng = np.random.RandomState(3)
+    for h, w in [(120, 400), (60, 900), (300, 300)]:
+        img = (rng.rand(h, w) * 255).astype(np.uint8)
+        out = decode_gray_png(add_page_margins(encode_gray_png(img)))
+        oh, ow = out.shape
+        assert h / oh >= 0.6 and w / ow >= 0.6, (h, w, oh, ow)
+        # dark bands present at the rim, content centered and intact
+        assert (out[:6] <= 30).all() and (out[:, :6] <= 30).all()
+        mh = (oh - h) // 2
+        mw = (ow - w) // 2
+        np.testing.assert_array_equal(out[mh : mh + h, mw : mw + w], img)
