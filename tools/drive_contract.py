@@ -13,7 +13,7 @@ from pyspark.sql import SparkSession
 
 import os
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-NAMES = sys.argv[1:] or ["minhash_bands", "events_json", "simhash", "embed_lsh_buckets"]
+NAMES = sys.argv[1:] or ["minhash_bands", "events_json", "simhash", "embed_lsh_buckets", "html_main_content"]
 
 spark = (
     SparkSession.builder.master("local[8]")
