@@ -43,7 +43,11 @@ def _bench_best() -> float:
 def _scale_quality(rec) -> tuple:
     hw = rec.get("hardware_control", {}).get("hardware_efficiency", 0.0)
     eff = min(rec.get("scaling_efficiency", 0.0), 1.0)
-    return (hw >= 0.7, eff if hw >= 0.7 else eff * hw)
+    # clean = control scaled NEAR-linearly in BOTH directions: hw >> 1
+    # (super-linear) means the low and high phases ran in different
+    # co-tenant windows, which distorts eff just as badly as hw << 1
+    clean = 0.7 <= hw <= 1.3
+    return (clean, eff if clean else eff * min(hw, 1.0 / max(hw, 1e-9)))
 
 
 def _run_json(args):
@@ -86,8 +90,8 @@ def main() -> None:
                             json.dump(prev, f, indent=2)
                     else:
                         prev = rec
-                    if (prev["scaling_efficiency"] >= 0.8
-                            and prev["hardware_control"]["hardware_efficiency"] >= 0.7):
+                    if (prev["scaling_efficiency"] >= 0.8 and 0.7 <=
+                            prev["hardware_control"]["hardware_efficiency"] <= 1.3):
                         scale_done = True
                         print("[recwatch] clean scaling record landed", flush=True)
         time.sleep(SLEEP)

@@ -36,7 +36,11 @@ def _quality(rec) -> tuple:
     jitter (the low level ran in a worse window), not real scaling."""
     hw = rec.get("hardware_control", {}).get("hardware_efficiency", 0.0)
     eff = min(rec.get("scaling_efficiency", 0.0), 1.0)
-    return (hw >= 0.7, eff if hw >= 0.7 else eff * hw)
+    # clean = control scaled NEAR-linearly in BOTH directions: hw >> 1
+    # (super-linear) means the low and high phases ran in different
+    # co-tenant windows, which distorts eff just as badly as hw << 1
+    clean = 0.7 <= hw <= 1.3
+    return (clean, eff if clean else eff * min(hw, 1.0 / max(hw, 1e-9)))
 
 
 def best_eff() -> float:
@@ -73,8 +77,8 @@ def main() -> None:
                 with open(OUT, "w") as f:  # keep the better record
                     json.dump(prev, f, indent=2)
             best = rec if prev is None or _quality(rec) >= _quality(prev) else prev
-            if (best["scaling_efficiency"] >= 0.8
-                    and best["hardware_control"]["hardware_efficiency"] >= 0.7):
+            if (best["scaling_efficiency"] >= 0.8 and 0.7 <=
+                    best["hardware_control"]["hardware_efficiency"] <= 1.3):
                 print("[scalewatch] clean-window target met, stopping", flush=True)
                 return
         time.sleep(SLEEP)
