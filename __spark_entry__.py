@@ -179,10 +179,12 @@ def q_transcribe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: the streaming path runs the very same Arrow decode
     kernel, so its output must equal the media rows of the FROZEN
     transcribe_spans golden (the no-Spark NumPy oracle path)."""
+    import shutil
     import tempfile
 
     from ocular_spark.streaming.jobs import transcribe_pages_stream
 
+    global _STREAM_TMP_ROOT
     docs_df, media_df, bundle_bc, char_strs = _pipeline_frames(spark, sf_dir)
     pages = (
         docs_df.select("doc_id", F.explode("spans").alias("s"))
@@ -195,7 +197,12 @@ def q_transcribe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(media_df, "media_ref")
         .select("doc_id", "media_ref", "offset", "lines")
     )
+    # one scratch tree per session, recycled per call (repeated driver /
+    # bench invocations must not accumulate pages/out/ckpt trees)
+    if _STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_STREAM_TMP_ROOT, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="ocular_stream_")
+    _STREAM_TMP_ROOT = root
     pages_dir = os.path.join(root, "pages")
     out_dir = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
@@ -203,7 +210,11 @@ def q_transcribe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = transcribe_pages_stream(
         spark, pages_dir, out_dir, ckpt, bundle_bc, char_strs
     )
-    q.awaitTermination(600)
+    # awaitTermination returns False on timeout — a partially written
+    # sink must fail loudly, not hash-mismatch three stages later
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming transcription did not finish in 600s")
     return spark.read.parquet(out_dir).select(
         "doc_id", "media_ref", "offset", "text"
     )
@@ -524,6 +535,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingle identity is the 60-bit md5 prefix mod 2^31-1, identically
     in the DuckDB oracle, so a hash collision (p ~ n_shingles²/2³¹
     per doc pair) merges the same shingles in both engines."""
+    global _NGRAM_BASE_PREV
+    if _NGRAM_BASE_PREV is not None:  # previous call's cache, now idle
+        _NGRAM_BASE_PREV.unpersist(blocking=False)
     d = _load_wide(spark, sf_dir, "documents")
     base = (
         d.select(
@@ -537,6 +551,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_shingles", F.size("hs").cast("long"))
         .persist()
     )
+    _NGRAM_BASE_PREV = base
 
     def minh(perm: int):
         a, c = MINHASH_A[perm], MINHASH_C[perm]
@@ -851,6 +866,20 @@ def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clear_ivf_cache() for harnesses that rewrite data in-process
 _IVF_CB_CACHE: dict = {}
 
+# scratch tree of the last q_transcribe_stream call (recycled per call)
+_STREAM_TMP_ROOT = None
+
+# last persisted per-doc hash-set DataFrame from q_ngram_jaccard: kept
+# alive until the NEXT invocation (the returned DataFrame is lazy — the
+# caller materializes it after we return), then unpersisted so repeated
+# bench/driver loops hold at most one cached copy
+_NGRAM_BASE_PREV = None
+
+# kernel-path codebook broadcasts still owned by a live serving plan;
+# unpersisted (executor copies dropped, handle stays re-usable) at the
+# next q_embed_ivf_topk call — same one-live-copy scope as above
+_IVF_SERVING_BC: list = []
+
 # above this K the literal-projection assignment grows the plan by
 # O(K*d) expression nodes — a driver/codegen wall at the K ~ sqrt(N) a
 # 100 TB corpus needs (K=10^4, d=64 -> multi-hundred-MB expression
@@ -905,7 +934,7 @@ def _ivf_assign_expr(cb) -> "F.Column":
     return F.element_at(cids, F.array_position(dots, F.array_max(dots)).cast("int"))
 
 
-def _ivf_assign_col(spark: SparkSession, cb) -> "F.Column":
+def _ivf_assign_col(spark: SparkSession, cb, bc_out: list = None) -> "F.Column":
     """Nearest-centroid ``cluster`` column, switching implementation on
     codebook size (both are pure projections — no join, no sort, no
     shuffle; plan-pinned by tests/test_ivf.py):
@@ -930,6 +959,8 @@ def _ivf_assign_col(spark: SparkSession, cb) -> "F.Column":
     mat = np.asarray([r["cent_vec"] for r in cb_sorted], dtype=np.float64)
     cids = np.asarray([int(r["cent_id"]) for r in cb_sorted], dtype=np.int32)
     cb_bc = spark.sparkContext.broadcast((mat, cids))
+    if bc_out is not None:  # caller owns the broadcast's lifetime
+        bc_out.append(cb_bc)
 
     @pandas_udf("int")
     def _assign(emb: pd.Series) -> pd.Series:
@@ -977,8 +1008,10 @@ def _ivf_train_codebook(
         .collect()
     )
     for _ in range(n_iters):
+        iter_bc: list = []
         assigned = e.select(
-            _ivf_assign_col(spark, cb).alias("cluster"), "embedding"
+            _ivf_assign_col(spark, cb, bc_out=iter_bc).alias("cluster"),
+            "embedding",
         )
         norm = F.sqrt(
             F.aggregate("raw_vec", F.lit(0.0), lambda acc, x: acc + x * x)
@@ -1009,6 +1042,8 @@ def _ivf_train_codebook(
             )
         )
         cb = means.collect()
+        for bc in iter_bc:  # this iteration's plan is fully materialized
+            bc.destroy()
     return cb
 
 
@@ -1053,8 +1088,12 @@ def q_embed_ivf_topk(
     if cb is None:
         cb = _ivf_train_codebook(spark, e, k=k)
         _IVF_CB_CACHE[cache_key] = cb
+    while _IVF_SERVING_BC:  # drop executor copies of prior calls' codebooks
+        _IVF_SERVING_BC.pop().unpersist(blocking=False)
     assigned = e.select(
-        "vec_id", "embedding", _ivf_assign_col(spark, cb).alias("cluster")
+        "vec_id",
+        "embedding",
+        _ivf_assign_col(spark, cb, bc_out=_IVF_SERVING_BC).alias("cluster"),
     )
     cent = F.broadcast(
         spark.createDataFrame(cb, schema="cent_id int, cent_vec array<double>")
@@ -1072,8 +1111,11 @@ def q_embed_ivf_topk(
             F.col("cent_id").alias("cluster"),
         )
     )
+    # probes is <= 10*nprobe rows; `assigned` is N rows at scale — the
+    # candidate join MUST broadcast probes (a silent AQE fallback to a
+    # shuffle-hash join would shuffle the whole corpus on `cluster`)
     cands = (
-        probes.join(assigned, "cluster")
+        F.broadcast(probes).join(assigned, "cluster")
         .filter(F.col("probe_id") != F.col("vec_id"))
         .withColumn("cos", F.round(_dot64(F.col("probe_vec"), F.col("embedding")), 5))
     )

@@ -93,6 +93,22 @@ def test_assignment_plan_is_projection_both_paths(spark, sf_dir):
     assert "ArrowEvalPython" in plan_ker  # Arrow-batched, not row-at-a-time
 
 
+def test_serving_candidate_join_broadcasts_probes(spark, sf_dir):
+    """Round-4 VERDICT #2: the serving-side probes-to-assigned join is
+    PLAN-PINNED to a broadcast of the tiny probes side — at 100 TB
+    `assigned` is N rows, and a silent AQE fallback to a shuffle-hash
+    join would shuffle the whole corpus on `cluster`."""
+    plan = _plan(entry_mod.q_embed_ivf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no hash-partitioned exchange of the corpus on the join key: the
+    # only exchanges allowed are broadcasts, the probe window's tiny
+    # hashpartitioning(probe_id/vec_id ...), and AQE readers
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "cluster" in line:
+            raise AssertionError(f"corpus shuffled on cluster: {line}")
+
+
 def test_codebook_cache_keys_on_data_fingerprint(spark, tmp_path):
     """r3 ADVICE: regenerated fixture bytes under the same path must
     invalidate the codebook memo."""

@@ -128,10 +128,11 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     want_df = _sessionize(spark.createDataFrame(epd)).toPandas()
     want = want_df.set_index("user_id")["n_sessions"].to_dict()
-    # the 1801-second session-window gap is the exact streaming
-    # equivalent of the batch second-truncated `> 1800` rule, so the
-    # two paths agree for EVERY input (test_session_gap_boundary pins
-    # the boundary microseconds)
+    # the 1800999999-microsecond session-window gap is the exact
+    # streaming equivalent of the batch second-truncated `> 1800` rule
+    # under Spark's end-INCLUSIVE window merging, so the two paths
+    # agree for EVERY input (test_session_gap_boundary pins the
+    # boundary microseconds; rationale in ocular_spark/streaming/jobs.py)
     assert got == want
 
 
@@ -140,9 +141,13 @@ def test_session_gap_boundary(spark, tmp_path):
 
     The batch rule `timestampdiff(SECOND, prev, ts) > 1800` truncates
     to whole seconds: a new session starts iff the true gap is
-    >= 1801.000000 s.  The streaming session window [start, start+gap)
-    with gap = 1801 s splits at exactly the same microsecond.  Three
-    crafted users, one event pair each:
+    >= 1801.000000 s.  Spark's streaming session windows merge
+    end-INCLUSIVELY (an event landing exactly ON a window's end
+    extends it), so the equivalent streaming gap is 1800999999
+    MICROSECONDS: merge iff gap <= 1800.999999 s ⟺ split iff
+    gap >= 1801.000000 s — the same microsecond as the batch rule
+    (rationale: ocular_spark/streaming/jobs.py sessionize_stream).
+    Three crafted users, one event pair each:
       u1 gap 1800.000000 s  -> one session on both paths
       u2 gap 1800.999999 s  -> one session on both paths (truncation!)
       u3 gap 1801.000000 s  -> two sessions on both paths
