@@ -1144,17 +1144,12 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapped = d.select(
         "doc_id", F.expr(H.wrap_boilerplate_spark()).alias("html")
     )
-    df = wrapped.withColumn(
-        "blocks", F.expr(H.blocks_expr_spark("html"))
-    ).withColumn("stats", F.expr(H.stats_expr_spark("blocks")))
-    keep = f"filter(stats, s -> {H.keep_pred_spark()})"
-    return df.select(
+    cols = H.main_content_cols_spark("html")
+    return wrapped.select(
         "doc_id",
-        F.size("blocks").cast("long").alias("n_blocks"),
-        F.expr(f"size({keep})").cast("long").alias("n_kept"),
-        F.expr(f"array_join(transform({keep}, s -> s.txt), ' ')").alias(
-            "main_text"
-        ),
+        F.expr(cols["n_blocks"]).cast("long").alias("n_blocks"),
+        F.expr(cols["n_kept"]).cast("long").alias("n_kept"),
+        F.expr(cols["main_text"]).alias("main_text"),
     )
 
 
@@ -1171,6 +1166,47 @@ def q_html_main_content_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load_wide(spark, sf_dir, "documents")
     wrapped = d.select(
         "doc_id", F.expr(H.wrap_boilerplate_spark()).alias("html")
+    )
+    return wrapped.mapInPandas(
+        H.main_content_kernel(), schema=H.MAIN_CONTENT_SCHEMA
+    )
+
+
+def q_html_main_content_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over the ADVERSARIAL nested/entity
+    pages (round-4 weak flag): mixed-case block tags with attributes,
+    three-deep div nesting with content text at every depth, a <link>
+    head element (tag-prefix trap for '<li'), a multiline script, an
+    entity-bearing heading and anchors, and a comment containing '>'.
+    The atomic-text-block segmentation (split at every block-tag
+    boundary — boilerpipe's own block model) is EXACT under this
+    nesting, as a pure JVM regex/array projection; the DuckDB oracle
+    mirrors it string-for-string."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_nested_spark()).alias("html")
+    )
+    cols = H.main_content_cols_spark("html")
+    return wrapped.select(
+        "doc_id",
+        F.expr(cols["n_blocks"]).cast("long").alias("n_blocks"),
+        F.expr(cols["n_kept"]).cast("long").alias("n_kept"),
+        F.expr(cols["main_text"]).alias("main_text"),
+    )
+
+
+def q_html_main_content_nested_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME adversarial nested/entity pages through the DOM walk
+    kernel, against the SAME DuckDB oracle — the two-implementation
+    gate now proves agreement on nested + entity-bearing pages, not
+    just the flat fixture."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_nested_spark()).alias("html")
     )
     return wrapped.mapInPandas(
         H.main_content_kernel(), schema=H.MAIN_CONTENT_SCHEMA
@@ -1576,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
+        "html_main_content_nested": q_html_main_content_nested,
+        "html_main_content_nested_dom": q_html_main_content_nested_dom,
         "strip_spans_html": q_strip_spans_html,
     }
 
@@ -2217,6 +2255,15 @@ def _install_html_oracles() -> None:
         + " FROM documents"
     )
     _ORACLE_SQL["html_main_content_dom"] = _ORACLE_SQL["html_main_content"]
+    nested = "(" + _H.wrap_nested_duckdb("text", "doc_id") + ")"
+    _ORACLE_SQL["html_main_content_nested"] = (
+        "SELECT doc_id, "
+        + _H.main_content_sql_duckdb(nested)
+        + " FROM documents"
+    )
+    _ORACLE_SQL["html_main_content_nested_dom"] = _ORACLE_SQL[
+        "html_main_content_nested"
+    ]
     appendix = "'" + _H.APPENDIX_HTML + "'"
     _ORACLE_SQL["strip_spans_html"] = (
         "WITH spans AS ("

@@ -55,6 +55,8 @@ RELATIONAL = [
     "lang_id_ngram",
     "html_main_content",
     "html_main_content_dom",
+    "html_main_content_nested",
+    "html_main_content_nested_dom",
     "strip_spans_html",
 ]
 

@@ -3,41 +3,74 @@ heuristics (the north_rule's extraction surface), Spark-first.
 
 One deterministic heuristic, two independent implementations:
 
-* EXPRESSION path (``blocks_expr`` / ``main_content_cols``): pure JVM
-  regex + array expressions — whole-stage-codegen'd, shuffle-free (a
-  projection over the scan), DuckDB-mirrorable for the driver oracle.
-  This is the 100 TB hot path: boilerplate stripping is per-row
-  map-side work, so it scales embarrassingly with executors.
+* EXPRESSION path (``segments_expr_*`` / ``main_content_cols_spark``):
+  pure JVM regex + array expressions — whole-stage-codegen'd,
+  shuffle-free (a projection over the scan), DuckDB-mirrorable for the
+  driver oracle.  This is the 100 TB hot path: boilerplate stripping
+  is per-row map-side work, so it scales embarrassingly with
+  executors.
 * DOM path (``main_content_kernel``): a real stdlib ``html.parser``
   tag walk inside an Arrow-batched ``mapInPandas`` kernel — the
-  extensible form for tag soup, attribute heuristics, or per-tag-path
-  rules that regexes can't express.  tests/test_html.py pins it
-  block-for-block equal to the expression path, and the driver gate
-  checks BOTH against the same DuckDB SQL oracle (two genuinely
-  independent implementations against one oracle).
+  extensible form for tag soup, exotic character references, or
+  per-tag-path rules that regexes can't express.  tests/test_html.py
+  pins it block-for-block equal to the expression path on flat,
+  nested, and adversarial pages, and the driver gate checks BOTH
+  against the same DuckDB SQL oracle (two genuinely independent
+  implementations against one oracle).
 
 Heuristic (the public jusText / boilerpipe family — Pomikálek 2011,
 Kohlschütter et al. WSDM 2010 — reduced to its deterministic core):
-split the page into block-level segments (p, div, nav, footer, li,
-h1), strip <script>/<style> outright, per block compute the
-tag-stripped whitespace-collapsed text and its LINK LENGTH (total
-anchor-text chars), and KEEP blocks with
+segment the page into ATOMIC TEXT BLOCKS — the maximal text runs
+between consecutive block-level tag boundaries (open OR close of
+p/div/nav/footer/li/h1, any case, with or without attributes).  This
+is boilerpipe's own block model and, unlike "inner HTML of a block
+element", it is EXACT under arbitrary nesting: <div>intro<p>inner</p>
+outer</div> yields the blocks [intro, inner, outer] from a regex
+split and from a DOM walk alike (round-4 weak flag: the old
+first-close regex truncated nested blocks; the DOM walk merged them —
+the paths agreed only on flat pages).  <script>/<style> elements and
+comments are stripped outright (→ one space), remaining non-block
+tags inside a segment contribute a space, entities are unescaped, and
+whitespace is collapsed.  Per block compute its text and its LINK
+LENGTH (total anchor-text chars of anchors closed within the block)
+and KEEP blocks with
 
     text_len >= MIN_TEXT_LEN  and  3 * link_len < text_len
 
 (integer cross-multiplication for link_density < 1/3 — no float
 compare to drift between engines).  Survivors join in document order.
-Nested block elements split at the first block close — fine for the
-flat fixture pages; the DOM kernel is the extension point for deep
-nesting.
 
-The fixture synthesizer (``wrap_boilerplate_*``) wraps each document's
-text in a deterministic page: nav + ad-link <div> boilerplate, the
-text tiled into <p> paragraphs (6 words each) with a share/like link
-cluster after every 3rd paragraph, and a link-heavy footer — so the
-extractor provably has to drop the link-dense blocks and keep the
-content tiling.  Fixture text is plain lowercase words (no </&<
-escaping needed; real pages would html-unescape after stripping).
+Tag-name matching is ANCHORED (round-4 ADVICE: '<li' must not match
+'<link ...>', '<p' must not match '<pre>'): a tag matches only when
+the name is followed by '>' or a separator ([^a-zA-Z0-9>] — space,
+tab, newline, or '/'), case-insensitively in both engines.
+
+Entity handling: the expression path unescapes the five standard
+XML/HTML entities (&lt; &gt; &quot; &#39;/&apos; &amp;, with &amp;
+LAST so double-escaped text resolves one level, matching Python);
+the DOM path inherits html.parser's convert_charrefs and therefore
+handles the FULL named/numeric reference set — a documented
+superset.  Route pages with exotic charrefs to the DOM kernel, or
+extend the replace chain.
+
+Known, documented divergences of the expression path on genuinely
+malformed input (the DOM kernel mirrors the regex semantics where it
+can): CDATA sections or comments containing '>' inside attribute-less
+text are handled identically (comments are stripped with an explicit
+(?s)<!--.*?--> pass), but a block-level tag opened INSIDE an anchor
+voids that anchor's link accounting on both paths (an anchor counts
+only if its open/close pair is segment-local — mirrored in the DOM
+walk by discarding uncommitted anchor text at a block flush).
+
+The fixture synthesizer (``wrap_boilerplate_*``) wraps each
+document's text in a deterministic flat page: nav + ad-link <div>
+boilerplate, the text tiled into <p> paragraphs (6 words each) with a
+share/like link cluster after every 3rd paragraph, and a link-heavy
+footer.  ``wrap_nested_*`` builds the adversarial variant the round-4
+weak flag asked for: mixed-case block tags, three-deep div nesting
+with text at every depth, a <link> head element (the tag-prefix
+trap), a multi-part heading with entities, an entity-bearing anchor
+in a link-dense sidebar, and a comment containing '>'.
 """
 
 from __future__ import annotations
@@ -47,8 +80,31 @@ from typing import Iterator, List
 MIN_TEXT_LEN = 20
 BLOCK_TAGS = ("p", "div", "nav", "footer", "li", "h1")
 
-_BLOCK_PAT = r"<(?:p|div|nav|footer|li|h1)[^>]*>(.*?)</(?:p|div|nav|footer|li|h1)>"
-_ANCHOR_PAT = r"<a[^>]*>(.*?)</a>"
+# a tag NAME is anchored by '>' or a separator char (space/tab/
+# newline//); written as an explicit negated class so the (?i) flag
+# only case-folds the tag names, identically in Java regex and RE2
+_SEP = "[^a-zA-Z0-9>]"
+_ALT = "|".join(BLOCK_TAGS)
+_BOUNDARY_PAT = f"(?i)</?(?:{_ALT})(?:>|{_SEP}[^>]*>)"
+_SCRIPT_PAT = f"(?is)<script(?:>|{_SEP}[^>]*>).*?</script *>"
+_STYLE_PAT = f"(?is)<style(?:>|{_SEP}[^>]*>).*?</style *>"
+_COMMENT_PAT = "(?s)<!--.*?-->"
+_TAG_PAT = "<[^>]*>"
+_ANCHOR_PAT = f"(?is)<a(?:>|{_SEP}[^>]*>)(.*?)</a *>"
+# real tab/newline/carriage-return characters embedded in the class —
+# Spark SQL string literals eat single backslashes, so '\\s' is not
+# portable between the Spark and DuckDB pattern literals
+_WS_PAT = "[ \t\n\r]+"
+
+# (&amp; LAST: '&amp;lt;' must become '&lt;', not '<')
+ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
 
 _NAV = (
     '<nav><a href="/">home</a> <a href="/a">about</a>'
@@ -65,10 +121,146 @@ _FOOTER = (
 )
 
 
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _unescape_sql(x: str) -> str:
+    """Entity unescape as a replace() chain — identical syntax and
+    semantics in Spark SQL and DuckDB."""
+    for ent, rep in ENTITIES:
+        x = f"replace({x}, '{_sql_quote(ent)}', '{_sql_quote(rep)}')"
+    return x
+
+
+def _g(duck: bool) -> str:
+    return ", 'g'" if duck else ""
+
+
+def _cleaned_expr(html_col: str, duck: bool) -> str:
+    """Strip <script>/<style> elements and comments (→ one space)
+    before segmentation."""
+    x = html_col
+    for pat in (_SCRIPT_PAT, _STYLE_PAT, _COMMENT_PAT):
+        x = f"regexp_replace({x}, '{pat}', ' '{_g(duck)})"
+    return x
+
+
+def segments_expr_spark(html_col: str) -> str:
+    """Atomic text blocks: split the cleaned page at every block-tag
+    boundary — one regex split, exact under arbitrary nesting."""
+    return f"split({_cleaned_expr(html_col, False)}, '{_BOUNDARY_PAT}')"
+
+
+def segments_expr_duckdb(html_col: str) -> str:
+    return (
+        f"regexp_split_to_array({_cleaned_expr(html_col, True)},"
+        f" '{_BOUNDARY_PAT}')"
+    )
+
+
+def _txt_frag(duck: bool, var: str = "b") -> str:
+    """Segment text: remaining (non-block) tags → space, unescape the
+    standard entities, collapse whitespace, trim."""
+    x = f"regexp_replace({var}, '{_TAG_PAT}', ' '{_g(duck)})"
+    x = _unescape_sql(x)
+    return f"trim(regexp_replace({x}, '{_WS_PAT}', ' '{_g(duck)}))"
+
+
+def _link_frag(duck: bool, var: str = "b") -> str:
+    """Anchor-text length: captures of segment-local <a>…</a> pairs,
+    inline tags dropped (no space — they are markup, not link text),
+    entities unescaped so '&amp;' counts 1 char as in the DOM walk."""
+    if duck:
+        # DuckDB's array_to_string of an EMPTY extract list is NULL
+        # (Spark's array_join gives ''), and a NULL link_len would
+        # NULL the keep predicate and drop every anchor-free block
+        cap = (
+            f"coalesce(array_to_string("
+            f"regexp_extract_all({var}, '{_ANCHOR_PAT}', 1), ''), '')"
+        )
+    else:
+        cap = f"array_join(regexp_extract_all({var}, '{_ANCHOR_PAT}', 1), '')"
+    cap = f"regexp_replace({cap}, '{_TAG_PAT}', ''{_g(duck)})"
+    return f"length({_unescape_sql(cap)})"
+
+
+def stats_expr_spark(segments_col: str) -> str:
+    """(txt, link_len) struct per NON-EMPTY segment — empty runs
+    between adjacent tags are not blocks."""
+    return (
+        f"filter(transform({segments_col}, b -> struct("
+        f"{_txt_frag(False)} as txt, {_link_frag(False)} as link_len)),"
+        f" s -> s.txt != '')"
+    )
+
+
+def stats_expr_duckdb(segments_col: str) -> str:
+    return (
+        f"list_filter(list_transform({segments_col},"
+        f" b -> {{'txt': {_txt_frag(True)}, 'link_len': {_link_frag(True)}}}),"
+        f" s -> s.txt != '')"
+    )
+
+
+def keep_pred_spark(s: str = "s") -> str:
+    return f"length({s}.txt) >= {MIN_TEXT_LEN} and 3 * {s}.link_len < length({s}.txt)"
+
+
+def main_content_cols_spark(html_expr: str) -> dict:
+    """The three output expressions (n_blocks, n_kept, main_text) for
+    a Spark select over an html expression."""
+    stats = stats_expr_spark(segments_expr_spark(html_expr))
+    keep = f"filter({stats}, s -> {keep_pred_spark()})"
+    return {
+        "n_blocks": f"size({stats})",
+        "n_kept": f"size({keep})",
+        "main_text": f"array_join(transform({keep}, s -> s.txt), ' ')",
+    }
+
+
+def main_content_sql_duckdb(html_expr: str) -> str:
+    """DuckDB SELECT fragment computing (n_blocks, n_kept, main_text)
+    from an html expression — the oracle for BOTH Spark paths."""
+    stats = stats_expr_duckdb(segments_expr_duckdb(html_expr))
+    keep = (
+        f"list_filter({stats}, s -> length(s.txt) >= {MIN_TEXT_LEN}"
+        f" and 3 * s.link_len < length(s.txt))"
+    )
+    return (
+        f"CAST(len({stats}) AS BIGINT) AS n_blocks, "
+        f"CAST(len({keep}) AS BIGINT) AS n_kept, "
+        # coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+        # (Spark's array_join gives '') — a zero-kept page must yield
+        # '' in both engines
+        f"coalesce(array_to_string(list_transform({keep}, s -> s.txt), ' '), '')"
+        f" AS main_text"
+    )
+
+
+def main_text_expr_spark(html_expr: str) -> str:
+    """Full extraction as ONE Spark SQL scalar expression (usable
+    inside an outer lambda, e.g. over each span of a spans array)."""
+    return main_content_cols_spark(html_expr)["main_text"]
+
+
+def main_text_expr_duckdb(html_expr: str) -> str:
+    stats = stats_expr_duckdb(segments_expr_duckdb(html_expr))
+    keep = (
+        f"list_filter({stats}, s -> length(s.txt) >= {MIN_TEXT_LEN}"
+        f" and 3 * s.link_len < length(s.txt))"
+    )
+    return (
+        f"coalesce(array_to_string(list_transform({keep}, s -> s.txt), ' '), '')"
+    )
+
+
+# ------------------------------------------------- fixture synthesizers
+
 def wrap_boilerplate_spark(text_col: str = "text", id_col: str = "doc_id") -> str:
-    """Spark SQL expression string: deterministic boilerplate page for
-    a document (see module docstring).  Mirrored character-for-
-    character by wrap_boilerplate_duckdb."""
+    """Spark SQL expression string: deterministic flat boilerplate
+    page for a document (see module docstring).  Mirrored character-
+    for-character by wrap_boilerplate_duckdb."""
     words = f"split({text_col}, ' ')"
     paras = (
         f"array_join(transform(sequence(1, greatest((size({words}) + 5) div 6, 1)),"
@@ -98,91 +290,63 @@ def wrap_boilerplate_duckdb(text_col: str = "text", id_col: str = "doc_id") -> s
     )
 
 
-def blocks_expr_spark(html_col: str) -> str:
-    """Block-level segmentation as a Spark SQL expression: strip
-    script/style, then extract block inner-HTML in document order
-    (single alternation regex — one pass, no per-tag re-scan)."""
-    cleaned = (
-        f"regexp_replace(regexp_replace({html_col},"
-        f" '<script[^>]*>.*?</script>', ' '), '<style[^>]*>.*?</style>', ' ')"
-    )
-    return f"regexp_extract_all({cleaned}, '{_BLOCK_PAT}', 1)"
-
-
-def blocks_expr_duckdb(html_col: str) -> str:
-    cleaned = (
-        f"regexp_replace(regexp_replace({html_col},"
-        f" '<script[^>]*>.*?</script>', ' ', 'g'), '<style[^>]*>.*?</style>', ' ', 'g')"
-    )
-    return f"regexp_extract_all({cleaned}, '{_BLOCK_PAT}', 1)"
-
-
-_TXT_SPARK = "trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), ' +', ' '))"
-_LINK_SPARK = f"length(array_join(regexp_extract_all(b, '{_ANCHOR_PAT}', 1), ''))"
-_TXT_DUCK = (
-    "trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+# adversarial page parts (round-4 weak flag): mixed-case + attribute
+# block tags, a <link> head element (tag-prefix trap for '<li'), a
+# multiline script, entities in heading and anchor text, a comment
+# containing '>', and three-deep block nesting with text at every
+# depth — all deterministic per (doc_id, text)
+_NESTED_HEAD = (
+    '<head><link rel="stylesheet" href="/s.css">'
+    "<style>p{color:red}</style>"
+    "<script>\nvar y = 2;\nif (y > 1) { y = 0; }\n</script></head>"
 )
-# COALESCE: DuckDB's array_to_string of an EMPTY extract list is NULL
-# (Spark's array_join gives ''), and a NULL link_len would NULL the
-# keep predicate and silently drop every anchor-free content block
-_LINK_DUCK = (
-    f"coalesce(length(array_to_string("
-    f"regexp_extract_all(b, '{_ANCHOR_PAT}', 1), '')), 0)"
+_NESTED_SIDEBAR = (
+    '<DIV class="sidebar"><li><a href="/x">tom &amp; jerry</a></li>'
+    '<li><a href="/y">more &#39;links&#39;</a></li></DIV>'
 )
+_NESTED_COMMENT = "<!-- sidebar ends > main resumes -->"
 
 
-def stats_expr_spark(blocks_col: str) -> str:
-    """(txt, link_len) struct per block."""
-    return (
-        f"transform({blocks_col}, b -> struct({_TXT_SPARK} as txt,"
-        f" {_LINK_SPARK} as link_len))"
-    )
-
-
-def keep_pred_spark(s: str = "s") -> str:
-    return f"length({s}.txt) >= {MIN_TEXT_LEN} and 3 * {s}.link_len < length({s}.txt)"
-
-
-def main_content_sql_duckdb(html_expr: str) -> str:
-    """DuckDB SELECT fragment computing (n_blocks, n_kept, main_text)
-    from an html expression — the oracle for BOTH Spark paths."""
-    blocks = blocks_expr_duckdb(html_expr)
-    stats = (
-        f"list_transform({blocks}, b -> {{'txt': {_TXT_DUCK},"
-        f" 'link_len': {_LINK_DUCK}}})"
-    )
-    keep = (
-        f"list_filter({stats}, s -> length(s.txt) >= {MIN_TEXT_LEN}"
-        f" and 3 * s.link_len < length(s.txt))"
+def wrap_nested_spark(text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Adversarial nested/entity page: the document text tiled into
+    <p> paragraphs INSIDE a three-deep mixed-case div structure with
+    intro/outro text at the outer depths, an entity-bearing heading,
+    a link-dense sidebar, and comment/script/tag-prefix traps."""
+    words = f"split({text_col}, ' ')"
+    paras = (
+        f"array_join(transform(sequence(1, greatest((size({words}) + 5) div 6, 1)),"
+        f" i -> concat('<p>', array_join(slice({words}, (i-1)*6+1, 6), ' '), '</p>')), '')"
     )
     return (
-        f"CAST(len({blocks}) AS BIGINT) AS n_blocks, "
-        f"CAST(len({keep}) AS BIGINT) AS n_kept, "
-        f"array_to_string(list_transform({keep}, s -> s.txt), ' ') AS main_text"
+        f"concat('<html>{_sql_quote(_NESTED_HEAD)}<body>"
+        f"<DIV class=\"article\">"
+        f"<h1>heading &lt;no. ', {id_col}, '&gt; tom &amp; jerry</h1>"
+        f"article intro text at depth one"
+        f"<div class=\"bd\">body preamble at depth two<Div id=\"inner\">', "
+        f"{paras}, "
+        f"'</Div>body postscript at depth two</div>"
+        f"{_sql_quote(_NESTED_SIDEBAR)}{_sql_quote(_NESTED_COMMENT)}"
+        f"</DIV>{_sql_quote(_FOOTER)}</body></html>')"
     )
 
 
-def main_text_expr_spark(html_expr: str) -> str:
-    """Full extraction as ONE Spark SQL scalar expression (usable
-    inside an outer lambda, e.g. over each span of a spans array)."""
-    stats = stats_expr_spark(blocks_expr_spark(html_expr))
+def wrap_nested_duckdb(text_col: str = "text", id_col: str = "doc_id") -> str:
+    words = f"string_split({text_col}, ' ')"
+    paras = (
+        f"array_to_string(list_transform(generate_series(1, greatest((len({words}) + 5) // 6, 1)),"
+        f" i -> '<p>' || array_to_string({words}[(i-1)*6+1 : (i-1)*6+6], ' ') || '</p>'), '')"
+    )
     return (
-        f"array_join(transform(filter({stats}, s -> {keep_pred_spark()}),"
-        f" s -> s.txt), ' ')"
+        f"'<html>{_sql_quote(_NESTED_HEAD)}<body>"
+        f"<DIV class=\"article\">"
+        f"<h1>heading &lt;no. ' || {id_col} || '&gt; tom &amp; jerry</h1>"
+        f"article intro text at depth one"
+        f"<div class=\"bd\">body preamble at depth two<Div id=\"inner\">' || "
+        f"{paras} || "
+        f"'</Div>body postscript at depth two</div>"
+        f"{_sql_quote(_NESTED_SIDEBAR)}{_sql_quote(_NESTED_COMMENT)}"
+        f"</DIV>{_sql_quote(_FOOTER)}</body></html>'"
     )
-
-
-def main_text_expr_duckdb(html_expr: str) -> str:
-    blocks = blocks_expr_duckdb(html_expr)
-    stats = (
-        f"list_transform({blocks}, b -> {{'txt': {_TXT_DUCK},"
-        f" 'link_len': {_LINK_DUCK}}})"
-    )
-    keep = (
-        f"list_filter({stats}, s -> length(s.txt) >= {MIN_TEXT_LEN}"
-        f" and 3 * s.link_len < length(s.txt))"
-    )
-    return f"array_to_string(list_transform({keep}, s -> s.txt), ' ')"
 
 
 # fixed second text span for the interleaved strip_spans_html query:
@@ -196,10 +360,18 @@ APPENDIX_HTML = (
 # ----------------------------------------------------------- DOM kernel
 
 def extract_main_content_dom(html: str) -> tuple:
-    """(n_blocks, n_kept, main_text) via a real html.parser DOM walk —
-    same heuristic, independent implementation.  Tag boundaries inside
-    a block contribute a space (mirroring the expression path's
-    tag -> ' ' replacement) before whitespace collapse."""
+    """(n_blocks, n_kept, main_text) via a real html.parser walk —
+    same atomic-text-block heuristic, independent implementation.
+
+    Semantics mirrored from the expression path (see module
+    docstring): every block-tag boundary flushes the current text run
+    as a block; script/style/comment/decl each contribute one space;
+    other tags inside a run contribute a space; anchor text counts
+    toward link_len only when the anchor CLOSES within the same block
+    (uncommitted anchor text is discarded at a flush).  Entities are
+    unescaped by the parser itself (convert_charrefs — the full
+    charref set, a documented superset of the expression path's five
+    standard entities)."""
     import re
     from html.parser import HTMLParser
 
@@ -207,31 +379,46 @@ def extract_main_content_dom(html: str) -> tuple:
 
     class _P(HTMLParser):
         def __init__(self) -> None:
-            super().__init__()
-            self.blocks: List[tuple] = []  # (raw_text, link_len)
-            self._depth = 0  # nesting depth inside a block
+            super().__init__(convert_charrefs=True)
+            self.segs: List[tuple] = []  # (raw_text, link_len)
             self._buf: List[str] = []
             self._link_len = 0
+            self._pending: List[str] = []  # anchor text awaiting </a>
             self._in_anchor = 0
             self._skip = 0  # inside script/style
 
+        def _flush(self) -> None:
+            self.segs.append(("".join(self._buf), self._link_len))
+            self._buf, self._link_len = [], 0
+            # a block boundary inside an anchor voids the pair
+            # (mirrors the regex: pairs must be segment-local)
+            self._pending, self._in_anchor = [], 0
+
+        def _gap(self) -> None:
+            """script/style/comment/decl → one space (they were
+            replaced by ' ' BEFORE segmentation in the expression
+            path, so inside an anchor they count as link text)."""
+            self._buf.append(" ")
+            if self._in_anchor:
+                self._pending.append(" ")
+
         def handle_starttag(self, tag, attrs):
             if tag in ("script", "style"):
+                if not self._skip:
+                    self._gap()
                 self._skip += 1
                 return
             if self._skip:
                 return
             if tag in block_tags:
-                if self._depth == 0:
-                    self._buf, self._link_len = [], 0
-                else:
-                    self._buf.append(" ")
-                self._depth += 1
+                self._flush()
                 return
-            if self._depth:
-                self._buf.append(" ")
-                if tag == "a":
-                    self._in_anchor += 1
+            self._buf.append(" ")
+            # a nested '<a>' inside an open anchor is just a stripped
+            # tag (the regex captures first-open .. first-close)
+            if tag == "a" and not self._in_anchor:
+                self._in_anchor = 1
+                self._pending = []
 
         def handle_endtag(self, tag):
             if tag in ("script", "style"):
@@ -240,35 +427,54 @@ def extract_main_content_dom(html: str) -> tuple:
             if self._skip:
                 return
             if tag in block_tags:
-                if self._depth:
-                    self._depth -= 1
-                    if self._depth == 0:
-                        self.blocks.append(("".join(self._buf), self._link_len))
-                    else:
-                        self._buf.append(" ")
+                self._flush()
                 return
-            if self._depth:
-                self._buf.append(" ")
-                if tag == "a":
-                    self._in_anchor = max(0, self._in_anchor - 1)
+            self._buf.append(" ")
+            # first '</a>' commits (regex: first-open .. first-close);
+            # a stray close with no open commits nothing
+            if tag == "a" and self._in_anchor:
+                self._in_anchor = 0
+                self._link_len += len("".join(self._pending))
+                self._pending = []
 
         def handle_data(self, data):
             if self._skip:
                 return
-            if self._depth:
-                self._buf.append(data)
-                if self._in_anchor:
-                    self._link_len += len(data)
+            self._buf.append(data)
+            if self._in_anchor:
+                self._pending.append(data)
+
+        def handle_comment(self, data):
+            if not self._skip:
+                self._gap()
+
+        def handle_decl(self, decl):
+            if not self._skip:
+                self._gap()
+
+        def handle_pi(self, data):
+            if not self._skip:
+                self._gap()
+
+        def unknown_decl(self, data):
+            if not self._skip:
+                self._gap()
 
     p = _P()
     p.feed(html)
     p.close()
-    kept = []
-    for raw, link_len in p.blocks:
-        txt = re.sub(" +", " ", raw).strip()
-        if len(txt) >= MIN_TEXT_LEN and 3 * link_len < len(txt):
-            kept.append(txt)
-    return len(p.blocks), len(kept), " ".join(kept)
+    p._flush()  # trailing run
+    blocks = []
+    for raw, link_len in p.segs:
+        txt = re.sub(r"[ \t\n\r]+", " ", raw).strip()
+        if txt:
+            blocks.append((txt, link_len))
+    kept = [
+        txt
+        for txt, link_len in blocks
+        if len(txt) >= MIN_TEXT_LEN and 3 * link_len < len(txt)
+    ]
+    return len(blocks), len(kept), " ".join(kept)
 
 
 def main_content_kernel(html_col: str = "html", id_col: str = "doc_id"):

@@ -85,6 +85,156 @@ def test_strip_spans_preserves_interleaved_order(spark, sf_dir):
             assert "<" not in (r.text or "")
 
 
+def test_nested_fixture_paths_agree(spark, sf_dir):
+    """Round-4 weak flag: the two-implementation gate must hold on
+    NESTED + ENTITY-BEARING pages, not just the flat fixture — block
+    counts, kept counts, and text byte-for-byte on the adversarial
+    wrap_nested_* pages (mixed-case tags, 3-deep nesting, <link>
+    trap, entities, comment containing '>')."""
+    expr = {
+        r.doc_id: r
+        for r in entry_mod.q_html_main_content_nested(spark, sf_dir).collect()
+    }
+    dom = {
+        r.doc_id: r
+        for r in entry_mod.q_html_main_content_nested_dom(spark, sf_dir).collect()
+    }
+    assert set(expr) == set(dom) and len(expr) == 500
+    for did in expr:
+        e, d = expr[did], dom[did]
+        assert (e.n_blocks, e.n_kept, e.main_text) == (
+            d.n_blocks,
+            d.n_kept,
+            d.main_text,
+        ), did
+    # the nested page's depth-one/-two content and unescaped heading
+    # survive; sidebar links, footer, script and comment do not
+    some = expr[min(expr)]
+    assert "tom & jerry" in some.main_text  # &amp; unescaped, h1 kept
+    assert "article intro text at depth one" in some.main_text
+    assert "body preamble at depth two" in some.main_text
+    assert "body postscript at depth two" in some.main_text
+    for boiler in ("more 'links'", "terms", "privacy", "var y", "sidebar ends"):
+        assert boiler not in some.main_text
+
+
+# hand-pinned adversarial cases: (html, n_blocks, n_kept, main_text).
+# Each exercises one divergence class the round-4 flat fixture never
+# reached; expectations computed BY HAND from the documented
+# atomic-text-block semantics, then asserted identical across the
+# DOM walk, the Spark expression path, and the DuckDB oracle fragment.
+ADVERSARIAL_CASES = [
+    # nesting: text at every depth becomes its own block
+    (
+        "<div>intro text at depth one<p>inner paragraph body text</p>"
+        "outer closing remark text</div>",
+        3, 3,
+        "intro text at depth one inner paragraph body text"
+        " outer closing remark text",
+    ),
+    # tag-prefix traps: <link> is not <li..., <pre> is not <p...
+    (
+        '<body><link rel="x"><pre>not a paragraph trap</pre>'
+        "<p>a real paragraph of text</p></body>",
+        2, 2,
+        "not a paragraph trap a real paragraph of text",
+    ),
+    # mixed-case block tags with attributes
+    (
+        '<DIV CLASS="a">mixed case block tags work</DIV>',
+        1, 1,
+        "mixed case block tags work",
+    ),
+    # entities incl. the double-escape one-level rule
+    (
+        "<p>tom &amp; jerry &lt;3 &amp;lt;escaped&amp;gt;"
+        " &quot;q&quot; &#39;s&#39;</p>",
+        1, 1,
+        'tom & jerry <3 &lt;escaped&gt; "q" \'s\'',
+    ),
+    # link-density drop: long anchor vs short tail
+    (
+        '<p><a href="/x">a much longer link text</a> tail</p>',
+        1, 0,
+        "",
+    ),
+    # link-density keep: short anchor inside long content
+    (
+        '<p><a href="/x">short link</a> surrounding content text here</p>',
+        1, 1,
+        "short link surrounding content text here",
+    ),
+    # comment containing '>' must not truncate the strip
+    (
+        "<p>before</p><!-- comment > tricky -->"
+        "<p>after the comment block text</p>",
+        2, 1,
+        "after the comment block text",
+    ),
+    # multiline script whose body contains '>' and fake tags
+    (
+        "<p>keep this paragraph of text</p><script>\n"
+        'if (1 > 0) { x = "<p>fake</p>"; }\n'
+        "</script><p>second real paragraph text</p>",
+        2, 2,
+        "keep this paragraph of text second real paragraph text",
+    ),
+    # self-closing block tag is a single boundary
+    (
+        "<p>first block of text here</p><p/>"
+        "<p>second block of text here</p>",
+        2, 2,
+        "first block of text here second block of text here",
+    ),
+    # block boundary inside an anchor voids the pair on both paths
+    (
+        '<p>intro <a href="/x">link start<p>continuation of anchor'
+        " text</p>tail</a></p>",
+        3, 1,
+        "continuation of anchor text",
+    ),
+]
+
+
+def test_adversarial_cases_pinned_all_three_engines(spark):
+    """DOM walk == Spark expression == DuckDB oracle == hand-computed
+    expectation, per adversarial case."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # DOM (pure function)
+    for html, nb, nk, txt in ADVERSARIAL_CASES:
+        assert H.extract_main_content_dom(html) == (nb, nk, txt), html
+
+    # Spark expression path, one DF for all cases
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_ ) in enumerate(ADVERSARIAL_CASES)],
+        "doc_id long, html string",
+    )
+    cols = H.main_content_cols_spark("html")
+    got = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.main_text)
+        for r in df.select(
+            "doc_id",
+            F.expr(cols["n_blocks"]).cast("long").alias("n_blocks"),
+            F.expr(cols["n_kept"]).cast("long").alias("n_kept"),
+            F.expr(cols["main_text"]).alias("main_text"),
+        ).collect()
+    }
+    for i, (html, nb, nk, txt) in enumerate(ADVERSARIAL_CASES):
+        assert got[i] == (nb, nk, txt), html
+
+    # DuckDB oracle fragment
+    con = duckdb.connect()
+    for html, nb, nk, txt in ADVERSARIAL_CASES:
+        lit = "'" + html.replace("'", "''") + "'"
+        row = con.execute(
+            f"SELECT {H.main_content_sql_duckdb(lit)}"
+        ).fetchone()
+        assert row == (nb, nk, txt), html
+
+
 def test_extraction_plan_is_projection(spark, sf_dir):
     """Wrap + segment + score + join-survivors is ONE map-side
     projection: no join, no sort, no window, no aggregate; the only
