@@ -1464,6 +1464,133 @@ def font_summary_rows(font, char_strs) -> list:
     return rows
 
 
+def q_train_font_step_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL distributed EM training iteration of the MULTILINGUAL
+    stack under the driver gate (O15 + A4/A5/A6/A7;
+    train/FontTrainer.java:137-269 with GSM + code-switch LM enabled,
+    as wired by main/FonttrainTranscribeShared.java:255-304): Spark
+    E-step over bilingual code-switch pages (font + per-language LM
+    n-gram + GSM Viterbi counts accumulated in ONE pass, merged via
+    treeAggregate) -> THREE driver M-steps (width/template refit,
+    per-language Kneser-Ney re-interpolation with priors from decoded
+    chars, GSM factory make with smoothing prior).  Summarized as
+    (section, lang, key, value) rows: the retrained font's width
+    log-probs + template-weight sums, the re-estimated language
+    priors, a probe grid of re-estimated per-language bigram
+    log-probs, and each language's argmax glyph + log-prob per LM
+    char under the re-estimated GSM.  Golden frozen from an
+    in-process SERIAL loop (tools/freeze_goldens.py): all E-step
+    counts are exact integers, so the distributed merge must match
+    bit-for-bit and the deterministic M-steps yield identical
+    floats."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocular_spark.cstransition import CodeSwitchTransitionModel
+    from ocular_spark.em import train_font
+    from ocular_spark.fixtures import build_models_cs, derive_docs_and_media_cs
+    from ocular_spark.font import Font
+    from ocular_spark.gsm import BasicGlyphSubstitutionModelFactory
+    from ocular_spark.pipeline import DOCS_DDL
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media_cs(documents, n_docs=3)
+    bundle, char_strs = build_models_cs(documents)
+    cslm = bundle.lm
+    ci = cslm.get_character_indexer()
+    actives = [cslm.get(k).get_active_characters() for k in range(2)]
+    gsm_factory = BasicGlyphSubstitutionModelFactory(
+        1.0, 100.0, list(cslm.lang_names), ci, actives, gsm_power=1.0
+    )
+    docs_df = spark.createDataFrame(docs, schema=DOCS_DDL)
+    media_df = spark.createDataFrame(media[["media_ref", "n_lines", "lines"]])
+    pages = (
+        docs_df.select("doc_id", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") == "media")
+        .select("doc_id", F.col("span.media_ref").alias("media_ref"))
+        .join(media_df, "media_ref")
+        .select("doc_id", "media_ref", "lines")
+    )
+
+    def tm_factory(lm, gsm):
+        # same wiring as the fixture's serving tm (build_models_cs)
+        return CodeSwitchTransitionModel(
+            lm, True, gsm, allow_glyph_substitution=True, no_char_sub_prior=0.9
+        )
+
+    font = Font.from_bytes(bundle.font_bytes)
+    trained_font, trained_lm, trained_gsm, _hist = train_font(
+        spark, pages, font, cslm, char_strs,
+        num_em_iters=1, beam_size=bundle.beam_size,
+        reestimate_lm_too=True,
+        tm_factory=tm_factory,
+        gsm_factory=gsm_factory,
+        gsm=gsm_factory.uniform(),
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            cs_train_summary_rows(trained_font, trained_lm, trained_gsm, char_strs)
+        )
+    )
+
+
+def cs_train_summary_rows(font, cslm, gsm, char_strs) -> list:
+    """(section, lang, key, value) rows pinning all three M-steps of a
+    code-switch training iteration: font_wlp/font_tw (width-gaussian +
+    LBFGS template refits), lang_prior (decoded-chars+1 priors),
+    lm_bigram (probe grid of re-estimated per-language KN bigram
+    log-probs over the 8 lowest-index active chars), and
+    gsm_glyph/gsm_logp (argmax glyph index + log-prob per LM char
+    under the re-estimated GSM)."""
+    import math
+
+    import numpy as np
+
+    rows = []
+    seen_tw = set()
+    for r in font_summary_rows(font, char_strs):
+        rows.append({
+            "section": "font_wlp", "lang": "",
+            "key": "%s|%02d" % (r["char"], r["width"]),
+            "value": r["width_lp"],
+        })
+        if r["char"] not in seen_tw:
+            seen_tw.add(r["char"])
+            rows.append({
+                "section": "font_tw", "lang": "",
+                "key": r["char"], "value": r["tw_sum"],
+            })
+    for k in range(cslm.num_languages()):
+        lang = cslm.lang_names[k]
+        rows.append({
+            "section": "lang_prior", "lang": lang, "key": "",
+            "value": round(float(cslm.language_prior(k)), 6),
+        })
+        sub = cslm.get(k)
+        active = sorted(sub.get_active_characters())
+        for a in active[:8]:
+            for b in active[:8]:
+                p = max(float(sub.get_char_ngram_prob([a], b)), 1e-300)
+                rows.append({
+                    "section": "lm_bigram", "lang": lang,
+                    "key": "%s|%s" % (char_strs[a], char_strs[b]),
+                    "value": round(math.log(p), 6),
+                })
+        if gsm is not None:
+            for c in active:
+                g = int(np.argmax(gsm.probs[k, c]))
+                lp = math.log(max(float(gsm.probs[k, c, g]), 1e-300))
+                rows.append({
+                    "section": "gsm_glyph", "lang": lang,
+                    "key": char_strs[c], "value": float(g),
+                })
+                rows.append({
+                    "section": "gsm_logp", "lang": lang,
+                    "key": char_strs[c], "value": round(lp, 6),
+                })
+    return rows
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LM perplexity (O20) of the documents text under the
     fixture char-LM.  The broadcast carries only the DENSE scoring
@@ -1603,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "em_font_counts": q_em_font_counts,
         "train_font_step": q_train_font_step,
+        "train_font_step_cs": q_train_font_step_cs,
         "lm_perplexity": q_lm_perplexity,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,

@@ -167,7 +167,18 @@ def decode_pages_kernel(bundle_bc, char_strs: List[str], media_col: str = "lines
         -extractedLinesPath cache, LazyRawImageDocument.java:94-120);
       * "page_png" — whole-page grayscale PNG run through the full
         preprocessing chain (straighten/crop/binarize/extract/resample,
-        LazyRawImageDocument.java:80-92) before decoding."""
+        LazyRawImageDocument.java:80-92) before decoding.
+
+    Memory ceiling (SURVEY O14; DecoderEM.java:71-84's
+    decodeBatchSize=32 analog): peak task RSS = broadcast models + ONE
+    page's working set (emission-cache tensor + beam buffers),
+    independent of how many page rows the task holds — each
+    decode_document call's cache/buffers become garbage as soon as its
+    output row is appended, so a 100x page-count (or doc-size) outlier
+    costs wall-clock, not memory.  Pinned by
+    tests/test_memory_ceiling.py: 4 -> 40 pages of long-line decode
+    must not move peak RSS by more than half of one page's
+    emission-cache bytes + interpreter slack."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -220,6 +220,65 @@ def freeze_train_font_step() -> Tuple[List[str], List[str], List[tuple]]:
     return cols, ["VARCHAR", "BIGINT", "DOUBLE", "DOUBLE"], rows
 
 
+def freeze_train_font_step_cs() -> Tuple[List[str], List[str], List[tuple]]:
+    """Serial single-machine MULTILINGUAL EM iteration: decode every
+    bilingual code-switch fixture page in a plain loop with the
+    code-switch + GSM transition model, accumulate font + per-language
+    LM + GSM counts, then run all THREE driver M-steps (width/template
+    refit, per-language KN re-interpolation, GSM factory make) — no
+    Spark.  Pins q_train_font_step_cs's one-pass distributed E-step
+    and every M-step output surface."""
+    from __spark_entry__ import cs_train_summary_rows
+    from ocular_spark.em import (
+        CountsBundle,
+        accumulate_gsm_counts,
+        accumulate_lm_counts,
+        accumulate_page_counts,
+        apply_font_mstep,
+        reestimate_cslm,
+    )
+    from ocular_spark.fixtures import build_models_cs, derive_docs_and_media_cs
+    from ocular_spark.font import Font
+    from ocular_spark.gsm import BasicGlyphSubstitutionModelFactory
+    from ocular_spark.pipeline import get_decoder, unpack_line
+
+    documents = _documents()
+    docs, media = derive_docs_and_media_cs(documents, n_docs=3)
+    bundle, char_strs = build_models_cs(documents)
+    cslm = bundle.lm
+    ci = cslm.get_character_indexer()
+    n_langs = cslm.num_languages()
+    actives = [cslm.get(k).get_active_characters() for k in range(n_langs)]
+    gsm_factory = BasicGlyphSubstitutionModelFactory(
+        1.0, 100.0, list(cslm.lang_names), ci, actives, gsm_power=1.0
+    )
+    decoder = get_decoder(bundle)
+    max_order = max(cslm.get(k).get_max_order() for k in range(n_langs))
+    counts = CountsBundle(max_order)
+    media_by_ref = {r.media_ref: list(r.lines) for r in media.itertuples()}
+    for r in docs.itertuples():
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            imgs = [unpack_line(raw) for raw in media_by_ref[s["media_ref"]]]
+            decodes, _ = decoder.decode_document(imgs)
+            accumulate_page_counts(counts, decodes, imgs, decoder.tm.space)
+            accumulate_lm_counts(counts, decodes, char_strs, n_langs)
+            accumulate_gsm_counts(counts, decodes, char_strs, n_langs)
+    font = Font.from_bytes(bundle.font_bytes)
+    trained_font = apply_font_mstep(font, counts, char_strs)
+    trained_lm = reestimate_cslm(cslm, counts)
+    trained_gsm = gsm_factory.make(counts.gsm_counts)
+    rows = [
+        (r["section"], r["lang"], r["key"], r["value"])
+        for r in cs_train_summary_rows(
+            trained_font, trained_lm, trained_gsm, char_strs
+        )
+    ]
+    cols = ["section", "lang", "key", "value"]
+    return cols, ["VARCHAR", "VARCHAR", "VARCHAR", "DOUBLE"], rows
+
+
 def freeze_lm_perplexity() -> Tuple[List[str], List[str], List[tuple]]:
     import numpy as np
 
@@ -260,6 +319,7 @@ FREEZERS = {
     "transcribe_metrics": freeze_transcribe_metrics,
     "em_font_counts": freeze_em_font_counts,
     "train_font_step": freeze_train_font_step,
+    "train_font_step_cs": freeze_train_font_step_cs,
     "lm_perplexity": freeze_lm_perplexity,
 }
 
