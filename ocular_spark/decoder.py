@@ -754,6 +754,19 @@ def coarse_backward(cache: EmissionCache, stack: TemplateStack, bigram: DenseBig
 _PREFILTER_M = 64
 
 
+def _dedup_by_state(states, scores, prev_ts, prev_states):
+    """Per-column candidate dedup: one entry per state, keeping the
+    max score (stable: lowest state id first, first-seen on score
+    ties).  Output is sorted ascending by state id — the beam prune
+    below relies on that ordering for its exact tie semantics."""
+    order = np.lexsort((-scores, states))
+    states_o = states[order]
+    first = np.ones(len(states_o), dtype=bool)
+    first[1:] = states_o[1:] != states_o[:-1]
+    sel = order[first]
+    return states[sel], scores[sel], prev_ts[sel], prev_states[sel]
+
+
 class LineDecode(NamedTuple):
     states: np.ndarray  # int64 state ids, in order
     widths: np.ndarray  # int32 total (char+pad) widths
@@ -827,7 +840,12 @@ class Decoder:
         self._flat_used = 0
         self._flat_ns = np.empty(cap, dtype=np.int64)
         self._flat_glyph = np.empty(cap, dtype=np.int32)
-        self._flat_w = np.empty(cap, dtype=np.int32)
+        # widths fit in one byte for any realistic template stack --
+        # and a 1-byte key flips numpy's stable argsort to its radix
+        # path, ~5x faster than int32 timsort in _scatter's
+        # width-bucket grouping (values are identical either way)
+        self._w_dtype = np.uint8 if self.stack.max_w < 256 else np.uint16
+        self._flat_w = np.empty(cap, dtype=self._w_dtype)
         self._flat_lp = np.empty(cap, dtype=np.float64)
         self._flat_off = np.empty(cap, dtype=np.int32)
         # precomputed flat emission index per candidate: one int add at
@@ -1010,6 +1028,7 @@ class Decoder:
                 # the prefilter could have dropped a needed state, so
                 # fall back to the full arrays.
                 n_cand = len(states)
+                full = None
                 if n_cand > 4 * _PREFILTER_M:
                     glyphs_all = tm.glyph_char_of_states(states)
                     prio_all = scores + betas[t, glyphs_all]
@@ -1017,19 +1036,27 @@ class Decoder:
                         n_cand - _PREFILTER_M
                     ]
                     keep_idx = np.flatnonzero(prio_all >= kth)
-                    kept_states = states[keep_idx]
-                    if len(np.unique(kept_states)) >= beam_size:
-                        states, scores = kept_states, scores[keep_idx]
-                        prev_ts, prev_states = prev_ts[keep_idx], prev_states[keep_idx]
+                    if len(keep_idx) < n_cand:
+                        # dedup below doubles as the distinct-state
+                        # count the acceptance test needs, so run it
+                        # on the kept set and fall back to the full
+                        # arrays only if too few distinct states
+                        # survive (replaces an unconditional
+                        # np.unique sort per prefiltered column)
+                        full = (states, scores, prev_ts, prev_states)
+                        states, scores = states[keep_idx], scores[keep_idx]
+                        prev_ts, prev_states = (
+                            prev_ts[keep_idx], prev_states[keep_idx]
+                        )
 
                 # dedup by state, keep max score (stable: lowest state id first)
-                order = np.lexsort((-scores, states))
-                states_o = states[order]
-                first = np.ones(len(states_o), dtype=bool)
-                first[1:] = states_o[1:] != states_o[:-1]
-                sel = order[first]
-                states_u, scores_u = states[sel], scores[sel]
-                prev_t_u, prev_s_u = prev_ts[sel], prev_states[sel]
+                states_u, scores_u, prev_t_u, prev_s_u = _dedup_by_state(
+                    states, scores, prev_ts, prev_states
+                )
+                if full is not None and len(states_u) < beam_size:
+                    states_u, scores_u, prev_t_u, prev_s_u = _dedup_by_state(
+                        *full
+                    )
 
                 # beam prune by score + coarse-backward heuristic.
                 # O(n) exact top-k replacing lexsort((states_u,-prio))
@@ -1177,6 +1204,8 @@ class Decoder:
             total, cand_prev = total[live], cand_prev[live]
         if len(total) == 0:
             return
+        if cand_widths.dtype != self._w_dtype:  # start-expansion path
+            cand_widths = cand_widths.astype(self._w_dtype)
         order = np.argsort(cand_widths, kind="stable")
         sw = cand_widths[order]
         s_states = cand_states[order]
