@@ -1259,6 +1259,67 @@ def q_strip_spans_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_DEDUP_MIN_DF = 10
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-level boilerplate dedup over the
+    INTERLEAVED table shape (CCNet-style paragraph-granularity
+    dedup, Wenzek et al. 2020; the 'most common paragraph' filter of
+    main-content pipelines): each doc becomes one text span per
+    atomic block of its boilerplate-wrapped page plus a trailing
+    media span, and any text span whose EXACT block text occurs in
+    >= SPAN_DEDUP_MIN_DF distinct documents is dropped (nav / ad /
+    share-bar / footer blocks — the cross-doc signal the per-page
+    jusText heuristic cannot see); all surviving spans keep their
+    original (kind, text, media_ref, offset) values — the north_rule
+    per-row invariant.
+
+    100 TB shape: block texts never shuffle — doc frequency is
+    aggregated on the 8-byte xxhash64 of the block (map-side partial
+    agg, one shuffle), the frequent set is tiny (boilerplate only) and
+    broadcast back as a LEFT ANTI join, so the serving side is
+    shuffle-free.  Media spans (text NULL -> hash NULL) never match
+    the anti-join key and pass through untouched."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    stats = H.stats_expr_spark(H.segments_expr_spark(H.wrap_boilerplate_spark()))
+    base = d.select(
+        "doc_id", F.expr(f"transform({stats}, s -> s.txt)").alias("blocks")
+    )
+    spans = base.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "transform(blocks, (b, i) -> named_struct("
+            "'kind', 'text', 'text', b, "
+            "'media_ref', cast(null as string), 'offset', i)), "
+            "array(named_struct('kind', 'media', 'text', cast(null as string), "
+            "'media_ref', concat('m-', doc_id), 'offset', size(blocks))))"
+        ).alias("spans"),
+    )
+    flat = spans.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    boiler = (
+        flat.filter(F.col("kind") == "text")
+        .select(F.xxhash64("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SPAN_DEDUP_MIN_DF)
+        .select("h")
+    )
+    keyed = flat.withColumn(
+        "h", F.when(F.col("kind") == "text", F.xxhash64("text"))
+    )
+    return keyed.join(F.broadcast(boiler), "h", "left_anti").drop("h")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -1743,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content_nested": q_html_main_content_nested,
         "html_main_content_nested_dom": q_html_main_content_nested_dom,
         "strip_spans_html": q_strip_spans_html,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -2406,6 +2468,30 @@ def _install_html_oracles() -> None:
         + _H.main_text_expr_duckdb("raw")
         + ") ELSE raw END AS text, media_ref, "
         'CAST(off AS INTEGER) AS "offset" FROM spans'
+    )
+    # span_dedup mirrors the Spark plan semantically: DuckDB groups on
+    # the raw block TEXT where Spark groups on its xxhash64 (the hash
+    # is a shuffle-width optimization, not a semantic difference)
+    blocks = (
+        "list_transform("
+        + _H.stats_expr_duckdb(
+            _H.segments_expr_duckdb("(" + _H.wrap_boilerplate_duckdb("text", "doc_id") + ")")
+        )
+        + ", s -> s.txt)"
+    )
+    _ORACLE_SQL["span_dedup"] = (
+        "WITH b AS (SELECT doc_id, " + blocks + " AS blocks FROM documents), "
+        "tx AS (SELECT doc_id, 'text' AS kind, unnest(blocks) AS text, "
+        "CAST(NULL AS VARCHAR) AS media_ref, "
+        "generate_subscripts(blocks, 1) - 1 AS off FROM b), "
+        "md AS (SELECT doc_id, 'media' AS kind, CAST(NULL AS VARCHAR) AS text, "
+        "'m-' || doc_id AS media_ref, len(blocks) AS off FROM b), "
+        "flat AS (SELECT * FROM tx UNION ALL SELECT * FROM md), "
+        "boiler AS (SELECT text FROM tx GROUP BY text "
+        f"HAVING COUNT(DISTINCT doc_id) >= {SPAN_DEDUP_MIN_DF}) "
+        "SELECT doc_id, kind, text, media_ref, "
+        'CAST(off AS INTEGER) AS "offset" FROM flat '
+        "WHERE kind = 'media' OR text NOT IN (SELECT text FROM boiler)"
     )
 
 

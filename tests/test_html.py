@@ -245,3 +245,48 @@ def test_extraction_plan_is_projection(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert all("RoundRobinPartitioning" in l or "AQEShuffleRead" in l
                for l in exchanges), exchanges
+
+
+def test_span_dedup_drops_boilerplate_keeps_content(spark, sf_dir):
+    """Cross-doc span dedup: the nav/ad/share/footer blocks (same
+    exact text in all 500 docs) are dropped from every doc, the
+    per-doc unique title block and content paragraphs survive with
+    their ORIGINAL offsets, and media spans pass through untouched."""
+    rows = entry_mod.q_span_dedup(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 500
+    dropped_some = 0
+    for did, sp in by_doc.items():
+        sp.sort(key=lambda r: r.offset)
+        # exactly one media span, last in offset order, untouched
+        media = [r for r in sp if r.kind == "media"]
+        assert len(media) == 1
+        assert media[0].media_ref == f"m-{did}" and media[0].text is None
+        assert media[0].offset == max(r.offset for r in sp)
+        # offsets are a strict subsequence of the original 0..n ints:
+        # strictly increasing with gaps exactly where spans dropped
+        offs = [r.offset for r in sp]
+        assert offs == sorted(set(offs))
+        if len(offs) < offs[-1] + 1:
+            dropped_some += 1
+        # the title block (contains the doc_id, unique per doc) kept
+        assert any(str(did) in (r.text or "") for r in sp), did
+        # no universal boilerplate text survives
+        for r in sp:
+            assert (r.text or "") != "home news sports opinion subscribe now"
+    assert dropped_some == 500  # every doc had boilerplate removed
+
+
+def test_span_dedup_serving_side_is_broadcast_anti_join(spark, sf_dir):
+    """At 10^12 docs the flat span table is huge and the frequent-block
+    set is tiny: the anti-join must broadcast the frequent set, never
+    shuffle the span table on the join key."""
+    plan = _plan(entry_mod.q_span_dedup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the only hash exchanges belong to the doc-frequency AGGREGATION
+    # (8-byte hash keys), not to the serving join
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "xxhash64" in line or "h#" in line, line
