@@ -654,6 +654,97 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_length_masses(sorted_grams):
+    """Given a SORTED array column of n-gram strings, return
+    (run_lengths, char_masses) array columns where run i covers one
+    distinct n-gram g_i: run_lengths[i] = occurrence count of g_i,
+    char_masses[i] = count * length(g_i).  Duplicate detection on a
+    sorted array is pure adjacency — no groupBy, no shuffle: the whole
+    repetition profile of a document is computed inside one JVM array
+    expression (run starts -> run ends -> zip_with diffs)."""
+    s = sorted_grams
+    m = F.size(s)
+    # 0-based indices where a new run starts; the greatest(i,1) guard
+    # keeps element_at's 1-based index legal under ANSI mode at i=0
+    # (the i==0 disjunct already keeps that position).
+    starts = F.filter(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: (i == F.lit(0))
+        | (F.element_at(s, i + 1) != F.element_at(s, F.greatest(i, F.lit(1)))),
+    )
+    ends = F.concat(F.slice(starts, 2, m), F.array(m))
+    runlens = F.zip_with(starts, ends, lambda a, b: b - a)
+    masses = F.zip_with(
+        starts, runlens, lambda st, l: l * F.length(F.element_at(s, st + 1))
+    )
+    return runlens, masses
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals in the style of the
+    Gopher data-quality filters (Rae et al. 2021, Appendix A1.1; also
+    used by MassiveText/Dolma/NeMo-Curator pipelines): per document,
+    the character mass of the heaviest word 2-gram and the character
+    mass of all DUPLICATED word {2,3}-grams, as fractions of document
+    length.  Deviation from the paper (documented, deterministic):
+    'top' is the max of count*len over distinct 2-grams (char-mass
+    argmax) rather than most-frequent-then-mass, which removes the
+    count-tie ambiguity; masses of overlapping occurrences double
+    count, so fractions may exceed 1 on degenerate inputs.
+
+    100 TB shape: the metric is per-document, so it is computed
+    SHUFFLE-FREE — n-grams are built, sorted, and run-length analyzed
+    inside one array-expression projection (see _run_length_masses);
+    zero exchanges, map-only over the scan.  The DuckDB oracle is an
+    independent formulation (unnest + GROUP BY counts), making this a
+    two-implementation gate on the semantics."""
+    d = _load_wide(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(words)
+    n_chars = F.length("text")
+
+    def grams(n):
+        # 1-based start positions 1..nw-n+1; the when() guard keeps
+        # sequence() ascending (sequence(1,0) would descend) and
+        # element_at in bounds for short docs
+        idx = F.sequence(F.lit(1), nw - (n - 1))
+        joined = lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(n)]
+        )
+        return F.when(nw >= n, F.array_sort(F.transform(idx, joined))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    base = d.select(
+        "doc_id", n_chars.alias("n_chars"), nw.alias("n_words"),
+        grams(2).alias("g2"), grams(3).alias("g3"),
+    )
+    r2, m2 = _run_length_masses(F.col("g2"))
+    r3, m3 = _run_length_masses(F.col("g3"))
+
+    def dup_mass(runlens, masses):
+        kept = F.zip_with(
+            runlens, masses,
+            lambda l, ms: F.when(l >= F.lit(2), ms).otherwise(F.lit(0)),
+        )
+        return F.aggregate(kept, F.lit(0), lambda acc, x: acc + x)
+
+    zero = F.lit(0.0)
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.when(F.size("g2") > 0, F.round(F.array_max(m2) / F.col("n_chars"), 4))
+        .otherwise(zero)
+        .alias("top_bigram_frac"),
+        F.when(F.size("g2") > 0, F.round(dup_mass(r2, m2) / F.col("n_chars"), 4))
+        .otherwise(zero)
+        .alias("dup_bigram_frac"),
+        F.when(F.size("g3") > 0, F.round(dup_mass(r3, m3) / F.col("n_chars"), 4))
+        .otherwise(zero)
+        .alias("dup_trigram_frac"),
+    )
+
+
 def _with_injected_dup_vecs(e: DataFrame) -> DataFrame:
     """Deterministically inject exact-duplicate embeddings (vec_id < 5
     cloned at vec_id + 1_000_000, identical vector -> cosine exactly
@@ -1782,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
+        "gopher_repetition": q_gopher_repetition,
         "embed_neighbors": q_embed_neighbors,
         "label_centroid_sim": q_label_centroid_sim,
         "orders_rollup": q_orders_rollup,
@@ -2067,6 +2159,41 @@ _ORACLE_SQL = {
                    ROUND(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) * 1.0
                          / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')), 4) AS bpe_per_word
             FROM documents
+        """,
+        # independent formulation vs the Spark sorted-run expression:
+        # duplicate detection via unnest + GROUP BY occurrence counts
+        "gopher_repetition": r"""
+            WITH w AS (
+                SELECT doc_id, LENGTH(text) AS n_chars,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, n_chars, LEN(words) AS n_words,
+                       LIST_TRANSFORM(RANGE(1, LEN(words)),
+                           i -> words[i] || ' ' || words[i+1]) AS g2,
+                       LIST_TRANSFORM(RANGE(1, LEN(words) - 1),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+                FROM w
+            ),
+            x2 AS (SELECT doc_id, UNNEST(g2) AS gram FROM g),
+            c2 AS (SELECT doc_id, gram, COUNT(*) AS c, LENGTH(gram) AS gl
+                   FROM x2 GROUP BY doc_id, gram),
+            a2 AS (SELECT doc_id, MAX(c * gl) AS top2,
+                          CAST(SUM(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS BIGINT) AS dup2
+                   FROM c2 GROUP BY doc_id),
+            x3 AS (SELECT doc_id, UNNEST(g3) AS gram FROM g),
+            c3 AS (SELECT doc_id, gram, COUNT(*) AS c, LENGTH(gram) AS gl
+                   FROM x3 GROUP BY doc_id, gram),
+            a3 AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS BIGINT) AS dup3
+                   FROM c3 GROUP BY doc_id)
+            SELECT g.doc_id, CAST(n_words AS INTEGER) AS n_words,
+                   COALESCE(ROUND(top2 * 1.0 / n_chars, 4), 0.0) AS top_bigram_frac,
+                   COALESCE(ROUND(dup2 * 1.0 / n_chars, 4), 0.0) AS dup_bigram_frac,
+                   COALESCE(ROUND(dup3 * 1.0 / n_chars, 4), 0.0) AS dup_trigram_frac
+            FROM g
+            LEFT JOIN a2 ON g.doc_id = a2.doc_id
+            LEFT JOIN a3 ON g.doc_id = a3.doc_id
         """,
         "embed_neighbors": """
             WITH all_vecs AS (

@@ -233,3 +233,50 @@ def test_event_sessions_tolerates_heavy_user_skew(spark):
     plan = _plan(_sessionize(df))
     assert plan.count("hashpartitioning(user_id") >= 1
     assert "SinglePartition" not in plan
+
+
+def test_gopher_repetition_is_shuffle_free(spark, sf_dir):
+    """Per-doc repetition profiling is computed in one array-expression
+    projection (sorted-run adjacency, _run_length_masses): no hash
+    exchange, no Window, no per-doc groupBy — the only exchange is the
+    _load_wide RoundRobin spread on the tiny test file."""
+    plan = _plan(entry_mod.q_gopher_repetition(spark, sf_dir))
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_gopher_repetition_hand_pinned(spark, tmp_path):
+    """Hand-computed repetition fractions on crafted docs, including
+    the short-doc guards (1 word -> all zero; 2 words -> no trigrams)
+    and the documented >1 overlap double-count behavior."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aa bb aa bb cc",       # "aa bb" x2: top=dup2=10/14
+                "x y",                  # single bigram: top=1.0
+                "solo",                 # 1 word: everything 0
+                "to be to be to be",    # heavy repeat: dup fracs > 1
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in entry_mod.q_gopher_repetition(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].n_words == 5
+    assert rows[1].top_bigram_frac == pytest.approx(round(10 / 14, 4))
+    assert rows[1].dup_bigram_frac == pytest.approx(round(10 / 14, 4))
+    assert rows[1].dup_trigram_frac == 0.0
+    assert rows[2].top_bigram_frac == 1.0  # "x y" is the whole doc
+    assert rows[2].dup_bigram_frac == 0.0 and rows[2].dup_trigram_frac == 0.0
+    assert rows[3].top_bigram_frac == 0.0 and rows[3].n_words == 1
+    # "to be" count 3 * len 5 = 15; "be to" 2*5=10; n_chars=17
+    assert rows[4].top_bigram_frac == pytest.approx(round(15 / 17, 4))
+    assert rows[4].dup_bigram_frac == pytest.approx(round(25 / 17, 4))
+    # trigrams "to be to" x2 + "be to be" x2, len 8 each -> 32/17 > 1
+    assert rows[4].dup_trigram_frac == pytest.approx(round(32 / 17, 4))
