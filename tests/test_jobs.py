@@ -93,3 +93,79 @@ def test_initialize_models_job(tmp_path, sf_dir):
         capture_output=True, text=True,
     )
     assert r2.returncode != 0 and "NoDocumentsFound" in r2.stderr
+
+
+def test_spark_submit_py_files_launch(tmp_path, sf_dir):
+    """The production launch surface (north rule: 'run via spark-submit
+    --py-files'): package ocular_spark into a zip, copy the job script
+    OUTSIDE the repo, scrub PYTHONPATH, and run a real `spark-submit
+    --py-files ocular_spark.zip extract_lines.py` — the zip must be the
+    ONLY source of the package on the driver and the Python workers
+    (the mapInPandas kernel imports ocular_spark.preprocess
+    executor-side).  Asserts the job's output table matches the ground
+    truth page composition."""
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    import pandas as pd
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "ocular_spark")
+    zpath = tmp_path / "ocular_spark.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+
+    # tiny input: 2 single-page docs rendered to page PNGs (in-process,
+    # using the repo fixtures — only the SUBPROCESS must rely on the zip)
+    from ocular_spark.fixtures import (
+        derive_docs_and_media,
+        media_lines_to_page_pngs,
+    )
+
+    documents = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs, media = derive_docs_and_media(
+        documents, n_docs=2, max_pages_per_doc=1, noise_levels=(0.0,)
+    )
+    pages = media_lines_to_page_pngs(media, skew=False)
+    media_pq_path = tmp_path / "media_pages.parquet"
+    pd.DataFrame(
+        {"media_ref": pages["media_ref"], "page_png": pages["page_png"]}
+    ).to_parquet(media_pq_path)
+
+    job_copy = tmp_path / "extract_lines.py"
+    shutil.copyfile(
+        os.path.join(repo, "ocular_spark/jobs/extract_lines.py"), job_copy
+    )
+    out_dir = tmp_path / "media_lines.parquet"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath), str(job_copy),
+            "--media", str(media_pq_path), "--output", str(out_dir),
+            "--em-restarts", "20",
+        ],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-2000:])
+    out = (
+        pq.read_table(out_dir).to_pandas().sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    want = media.sort_values("media_ref").reset_index(drop=True)
+    assert list(out["media_ref"]) == list(want["media_ref"])
+    assert list(out["n_lines"]) == list(want["n_lines"])
