@@ -745,6 +745,97 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF page ingest under the driver gate (reference seam:
+    data/PdfImageReader.java:23-93 renders PDF pages,
+    data/LazyRawPdfImageDocument.java expands one PDF into one document
+    per page).  Deterministic PDFs are synthesized from the documents
+    table inside a kernel (one image-per-page PDF whose page count,
+    dimensions and pixel pattern are pure functions of doc_id), pushed
+    through the REAL ingest path — sources/pdf.py PDF 1.4 subset parse
+    -> per-page expansion -> PNG encode — and the decoded pages are
+    reduced to per-page metadata + pixel statistics.  The DuckDB oracle
+    predicts those statistics INDEPENDENTLY from the construction
+    formula (brute-force grid enumeration), so a hash match proves the
+    entire binary round-trip (PDF write -> Flate parse -> PNG encode ->
+    PNG decode) is lossless.
+
+    100 TB shape: one PDF parses whole within its task (inherent), but
+    pages re-expand as rows so downstream page-level repartitioning
+    spreads decode cost (see ingest_pdfs docstring); all three stages
+    are Arrow-batched mapInPandas, no per-row Python."""
+    from ocular_spark.sources.pdf import ingest_pdfs
+
+    d = (
+        _load_wide(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def make_pdfs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocular_spark.sources.pdf import write_gray_pdf
+
+        for b in batches:
+            rows = []
+            for raw in b["doc_id"]:
+                doc_id = int(raw)
+                pages = []
+                for k in range(1 + doc_id % 3):
+                    h = 40 + (doc_id % 3) * 8
+                    w = 60 + (doc_id % 5) * 4
+                    v = (doc_id * 7 + k * 13) % 200  # < 255: fill != ink
+                    y, x = np.mgrid[0:h, 0:w]
+                    img = np.full((h, w), v, dtype=np.uint8)
+                    img[(x + y) % 9 == 0] = 255
+                    pages.append(img)
+                rows.append((doc_id, write_gray_pdf(pages)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    pdfs = d.mapInPandas(make_pdfs, schema="doc_id long, pdf binary")
+    pages = ingest_pdfs(pdfs)
+
+    def page_stats(batches):
+        import pandas as pd
+
+        from ocular_spark.functions.png import decode_gray_png
+
+        for b in batches:
+            rows = []
+            for doc_id, media_ref, page_idx, png in zip(
+                b["doc_id"], b["media_ref"], b["page_idx"], b["page_png"]
+            ):
+                img = decode_gray_png(bytes(png))
+                rows.append(
+                    (
+                        doc_id,
+                        media_ref,
+                        int(page_idx),
+                        int(img.shape[0]),
+                        int(img.shape[1]),
+                        int((img == 255).sum()),
+                        int(img.sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "page_idx",
+                    "height", "width", "n_ink", "pix_sum",
+                ],
+            )
+
+    return pages.mapInPandas(
+        page_stats,
+        schema=(
+            "doc_id string, media_ref string, page_idx int, "
+            "height int, width int, n_ink long, pix_sum long"
+        ),
+    )
+
+
 def _with_injected_dup_vecs(e: DataFrame) -> DataFrame:
     """Deterministically inject exact-duplicate embeddings (vec_id < 5
     cloned at vec_id + 1_000_000, identical vector -> cosine exactly
@@ -1874,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "gopher_repetition": q_gopher_repetition,
+        "pdf_ingest": q_pdf_ingest,
         "embed_neighbors": q_embed_neighbors,
         "label_centroid_sim": q_label_centroid_sim,
         "orders_rollup": q_orders_rollup,
@@ -2159,6 +2251,34 @@ _ORACLE_SQL = {
                    ROUND(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) * 1.0
                          / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')), 4) AS bpe_per_word
             FROM documents
+        """,
+        # predicts the PDF->PNG round-trip's page metadata + pixel
+        # stats INDEPENDENTLY from the construction formula (the Spark
+        # side actually writes/parses the binary formats)
+        "pdf_ingest": """
+            WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+            pg AS (SELECT doc_id, UNNEST(RANGE(0, 1 + doc_id % 3)) AS page_idx
+                   FROM sel),
+            dims AS (SELECT doc_id, page_idx,
+                            40 + (doc_id % 3) * 8 AS height,
+                            60 + (doc_id % 5) * 4 AS width,
+                            (doc_id * 7 + page_idx * 13) % 200 AS v
+                     FROM pg),
+            cells AS (SELECT doc_id, page_idx, height, width, v,
+                             UNNEST(RANGE(0, height * width)) AS i
+                      FROM dims),
+            px AS (SELECT doc_id, page_idx, height, width, v,
+                          ((i // width) + (i % width)) % 9 = 0 AS ink
+                   FROM cells)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   PRINTF('m-%d-%02d', doc_id, page_idx) AS media_ref,
+                   CAST(page_idx AS INTEGER) AS page_idx,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(SUM(CASE WHEN ink THEN 1 ELSE 0 END) AS BIGINT) AS n_ink,
+                   CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
+            FROM px
+            GROUP BY doc_id, page_idx, height, width, v
         """,
         # independent formulation vs the Spark sorted-run expression:
         # duplicate detection via unnest + GROUP BY occurrence counts

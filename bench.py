@@ -58,6 +58,8 @@ RELATIONAL = [
     "html_main_content_nested",
     "html_main_content_nested_dom",
     "strip_spans_html",
+    "span_dedup",
+    "gopher_repetition",
 ]
 
 
