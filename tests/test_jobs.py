@@ -169,3 +169,140 @@ def test_spark_submit_py_files_launch(tmp_path, sf_dir):
     want = media.sort_values("media_ref").reset_index(drop=True)
     assert list(out["media_ref"]) == list(want["media_ref"])
     assert list(out["n_lines"]) == list(want["n_lines"])
+
+
+def _interleaved_fixture(spark, sf_dir, out_path, n_docs=8):
+    """Synthesize a tiny interleaved (doc_id, spans) parquet: per doc a
+    flat boilerplate page, a media span, and an adversarial nested
+    page (the north_rule input shape)."""
+    from pyspark.sql import functions as F
+
+    from ocular_spark.functions import html as H
+
+    d = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .orderBy("doc_id")
+        .limit(n_docs)
+    )
+    spans = F.expr(
+        "array("
+        "named_struct('kind', 'text', 'text', "
+        + H.wrap_boilerplate_spark()
+        + ", 'media_ref', cast(null as string), 'offset', 0), "
+        "named_struct('kind', 'media', 'text', cast(null as string),"
+        " 'media_ref', concat('m-', doc_id), 'offset', 1), "
+        "named_struct('kind', 'text', 'text', "
+        + H.wrap_nested_spark()
+        + ", 'media_ref', cast(null as string), 'offset', 2))"
+    )
+    d.select("doc_id", spans.alias("spans")).repartition(3, "doc_id") \
+        .write.mode("overwrite").parquet(out_path)
+
+
+def test_extract_content_job_resume_and_lineage(spark, sf_dir, tmp_path):
+    """The resumable extraction job (north rule: 'resumable from
+    checkpoint with per-partition lineage + metrics'): expr engine
+    output matches the independent DOM python kernel span-for-span,
+    media spans pass through, the snapshot carries per-doc lineage
+    stats, --metrics aggregates them per input partition, and
+    --resume-from + same --output appends exactly the missing docs."""
+    import argparse
+
+    from ocular_spark.functions.html import extract_main_content_dom
+    from ocular_spark.jobs.extract_content import run
+    from ocular_spark.pipeline import NoDocumentsToProcessError
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _interleaved_fixture(spark, sf_dir, docs_path, n_docs=8)
+    inp = pq.read_table(docs_path).to_pandas()
+    all_ids = sorted(inp["doc_id"])
+
+    def A(**kw):
+        base = dict(docs=docs_path, output=None, metrics=None,
+                    resume_from=None, fail_if_empty=False, engine="expr",
+                    num_partitions=None, format="parquet")
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    # ---- full run with metrics
+    out1 = str(tmp_path / "out1.parquet")
+    met1 = str(tmp_path / "met1.parquet")
+    run(spark, A(output=out1, metrics=met1))
+    snap = pq.read_table(out1).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(snap["doc_id"]) == all_ids
+
+    want = inp.sort_values("doc_id").reset_index(drop=True)
+    for spans_out, spans_in in zip(snap["spans"], want["spans"]):
+        assert len(spans_out) == len(spans_in)
+        for so, si in zip(spans_out, spans_in):
+            assert (so["kind"], so["media_ref"], so["offset"]) == (
+                si["kind"], si["media_ref"], si["offset"])
+            if si["kind"] == "media":
+                assert so["text"] is None  # pass-through untouched
+            else:
+                # independent implementation agreement (DOM python)
+                assert so["text"] == extract_main_content_dom(si["text"])[2]
+
+    # per-doc lineage stats are consistent
+    for _, r in snap.iterrows():
+        assert r["n_spans"] == 3 and r["n_text_spans"] == 2
+        assert r["chars_in"] == sum(len(s["text"]) for s in
+                                    want[want.doc_id == r.doc_id].iloc[0]["spans"]
+                                    if s["text"] is not None)
+        assert r["chars_out"] == sum(len(s["text"]) for s in r["spans"]
+                                     if s["text"] is not None)
+        assert 0 < r["chars_out"] < r["chars_in"]  # boilerplate dropped
+
+    # metrics = per-partition rollup of the snapshot stats
+    m = pq.read_table(met1).to_pandas()
+    assert set(m.columns) == {"part_id", "n_docs", "n_spans",
+                              "n_text_spans", "chars_in", "chars_out"}
+    assert m["n_docs"].sum() == len(all_ids)
+    assert m["chars_out"].sum() == snap["chars_out"].sum()
+    assert set(m["part_id"]) == set(snap["part_id"])
+
+    # ---- resume: seed with a 3-doc subset, then resume into it
+    subset_path = str(tmp_path / "docs_subset.parquet")
+    sub_ids = all_ids[:3]
+    sdf = spark.read.parquet(docs_path)
+    sdf.filter(sdf["doc_id"].isin(sub_ids)).write.mode("overwrite").parquet(subset_path)
+    out2 = str(tmp_path / "out2.parquet")
+    run(spark, A(docs=subset_path, output=out2))
+    assert sorted(pq.read_table(out2).to_pandas()["doc_id"]) == sub_ids
+
+    run(spark, A(output=out2, resume_from=out2))  # append the other 5
+    snap2 = pq.read_table(out2).to_pandas()
+    assert sorted(snap2["doc_id"]) == all_ids  # each exactly once
+
+    # nothing left -> fail-if-empty raises
+    with pytest.raises(NoDocumentsToProcessError):
+        run(spark, A(output=str(tmp_path / "out3.parquet"),
+                     resume_from=out2, fail_if_empty=True))
+
+    # ---- DOM engine produces the identical snapshot (data columns)
+    out4 = str(tmp_path / "out4.parquet")
+    run(spark, A(output=out4, engine="dom"))
+    snap4 = pq.read_table(out4).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for a, b in zip(snap["spans"], snap4["spans"]):
+        assert list(map(dict, a)) == list(map(dict, b))
+    assert list(snap4["chars_out"]) == list(snap["chars_out"])
+
+
+def test_extract_content_expr_plan_is_projection(spark, sf_dir, tmp_path):
+    """The job's 100 TB hot path (expr engine) must stay ONE map-side
+    JVM projection over the scan: no join, no sort,
+    no aggregate, no Python eval, no exchange at all (the job never
+    repartitions unless --num-partitions asks)."""
+    from ocular_spark.jobs.extract_content import extract_expr
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _interleaved_fixture(spark, sf_dir, docs_path, n_docs=4)
+    df = extract_expr(spark.read.parquet(docs_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Sort", "Window", "Aggregate", "Exchange",
+                "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+    # higher-order array exprs (transform/aggregate) are interpreted
+    # JVM projections, not codegen'd — assert the shape, not codegen
+    assert "Project" in plan and "Scan" in plan
