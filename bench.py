@@ -60,6 +60,7 @@ RELATIONAL = [
     "strip_spans_html",
     "span_dedup",
     "gopher_repetition",
+    "pdf_ingest",
 ]
 
 
@@ -72,6 +73,13 @@ def build_spark(cpus: int):
     os.environ["OMP_NUM_THREADS"] = "1"
     from pyspark.sql import SparkSession
 
+    # ParallelGC: G1 (the JVM default) degrades progressively under
+    # the sustained allocation rate of string-heavy interpreted
+    # projections at high thread counts (measured on the extraction
+    # stage: run times 9.6s -> 44s -> 145s across repeats at
+    # local[16]; ParallelGC holds 5.6-8.2s steady).  Throughput
+    # collectors fit batch analytics; override via SPARK_GRAFT_GC.
+    gc = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("ocular-spark-bench")
@@ -80,6 +88,7 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        .config("spark.driver.extraJavaOptions", gc)
         .config("spark.executor.pyspark.memory", "2g")
         .getOrCreate()
     )

@@ -306,3 +306,68 @@ def test_extract_content_expr_plan_is_projection(spark, sf_dir, tmp_path):
     # higher-order array exprs (transform/aggregate) are interpreted
     # JVM projections, not codegen'd — assert the shape, not codegen
     assert "Project" in plan and "Scan" in plan
+
+
+def test_spark_submit_extract_content_launch(tmp_path, spark, sf_dir):
+    """North-rule launch surface for the EXTRACTION pipeline itself:
+    `spark-submit --py-files ocular_spark.zip extract_content.py` from
+    outside the repo (zip is the only package source), resume flags +
+    metrics included; output checked against the in-process DOM
+    kernel."""
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    from ocular_spark.functions.html import extract_main_content_dom
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "ocular_spark")
+    zpath = tmp_path / "ocular_spark.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _interleaved_fixture(spark, sf_dir, docs_path, n_docs=4)
+    inp = pq.read_table(docs_path).to_pandas()
+
+    job_copy = tmp_path / "extract_content.py"
+    shutil.copyfile(
+        os.path.join(repo, "ocular_spark/jobs/extract_content.py"), job_copy
+    )
+    out_dir = tmp_path / "extracted.parquet"
+    met_dir = tmp_path / "metrics.parquet"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath), str(job_copy),
+            "--docs", docs_path, "--output", str(out_dir),
+            "--metrics", str(met_dir),
+        ],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-2000:])
+    snap = pq.read_table(out_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = inp.sort_values("doc_id").reset_index(drop=True)
+    assert list(snap["doc_id"]) == list(want["doc_id"])
+    for spans_out, spans_in in zip(snap["spans"], want["spans"]):
+        for so, si in zip(spans_out, spans_in):
+            if si["kind"] == "text":
+                assert so["text"] == extract_main_content_dom(si["text"])[2]
+            else:
+                assert so["text"] is None
+    m = pq.read_table(met_dir).to_pandas()
+    assert m["n_docs"].sum() == len(want)
