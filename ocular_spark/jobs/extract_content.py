@@ -154,7 +154,9 @@ def run(spark, args) -> None:
     skip = None
     if args.resume_from:
         try:
-            skip = spark.read.parquet(args.resume_from).select("doc_id")
+            reader = (spark.read.format("iceberg")
+                      if args.format == "iceberg" else spark.read)
+            skip = reader.load(args.resume_from).select("doc_id")
         except Exception:
             skip = None  # nothing extracted yet
     if skip is not None:
@@ -175,7 +177,9 @@ def run(spark, args) -> None:
         writer.parquet(args.output)
 
     if args.metrics:
-        snap = spark.read.parquet(args.output).select(
+        reader = (spark.read.format("iceberg")
+                  if args.format == "iceberg" else spark.read)
+        snap = reader.load(args.output).select(
             "part_id", "n_spans", "n_text_spans", "chars_in", "chars_out"
         )
         m = snap.groupBy("part_id").agg(
