@@ -634,6 +634,53 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style document quality gate (Rae et al. 2021 §A1.1 rules 1-4),
+# thresholds scaled to the fixture corpus (10-99 words/doc) so both
+# verdict classes occur; at 100 TB the same projection runs unchanged
+QF_MIN_WORDS, QF_MAX_WORDS = 30, 100_000
+QF_MIN_MWL, QF_MAX_MWL = 3.0, 10.0
+QF_MIN_STOP_HITS = 2          # distinct stopwords present (Gopher: >= 2)
+QF_MIN_ALPHA_FRAC = 0.8       # words that are purely alphabetic
+QF_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-filter verdict per document: the four cheap
+    Gopher document rules (word count bounds, mean word length band,
+    distinct-stopword floor, alphabetic-word fraction) computed and
+    combined into a keep/drop verdict in ONE map-side JVM projection —
+    the realistic first stage of a training-data pipeline, where the
+    verdict column then drives a partition-pruning filter downstream.
+    No shuffle, no Python; every signal is also emitted so the oracle
+    pins the intermediate arithmetic, not just the verdict."""
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mwl = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)) / n, 4
+    )
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in QF_STOPWORDS])))
+    alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$"))) / n, 4
+    )
+    out = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        alpha.alias("alpha_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= QF_MIN_WORDS)
+        & (F.col("n_words") <= QF_MAX_WORDS)
+        & (F.col("mean_word_len") >= QF_MIN_MWL)
+        & (F.col("mean_word_len") <= QF_MAX_MWL)
+        & (F.col("stop_hits") >= QF_MIN_STOP_HITS)
+        & (F.col("alpha_frac") >= QF_MIN_ALPHA_FRAC)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (training-data budget estimation):
     whitespace tokens and a BPE-ish regex segmentation (letter runs /
@@ -1963,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
         "gopher_repetition": q_gopher_repetition,
         "pdf_ingest": q_pdf_ingest,
@@ -2243,6 +2291,27 @@ _ORACLE_SQL = {
                          t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
                          / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
             FROM documents
+        """,
+        "quality_filter": """
+            WITH sig AS (
+                SELECT doc_id,
+                       LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                       ROUND(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                             w -> LEN(w))) * 1.0
+                             / LEN(STRING_SPLIT(text, ' ')), 4) AS mean_word_len,
+                       LEN(LIST_DISTINCT(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                             ['the', 'a', 'of', 'to', 'and', 'in']))) AS stop_hits,
+                       ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             w -> REGEXP_FULL_MATCH(w, '[a-zA-Z]+'))) * 1.0
+                             / LEN(STRING_SPLIT(text, ' ')), 4) AS alpha_frac
+                FROM documents
+            )
+            SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+                   CAST(n_words >= 30 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND stop_hits >= 2
+                        AND alpha_frac >= 0.8 AS INTEGER) AS keep
+            FROM sig
         """,
         "token_counts": """
             SELECT doc_id,

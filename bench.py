@@ -39,6 +39,7 @@ RELATIONAL = [
     "minhash_bands",
     "ngram_jaccard",
     "text_stats",
+    "quality_filter",
     "token_counts",
     "embed_neighbors",
     "label_centroid_sim",

@@ -280,3 +280,43 @@ def test_gopher_repetition_hand_pinned(spark, tmp_path):
     assert rows[4].dup_bigram_frac == pytest.approx(round(25 / 17, 4))
     # trigrams "to be to" x2 + "be to be" x2, len 8 each -> 32/17 > 1
     assert rows[4].dup_trigram_frac == pytest.approx(round(32 / 17, 4))
+
+
+def test_quality_filter_plan_and_verdict(spark, sf_dir, tmp_path):
+    """quality_filter is one map-side projection (no shuffle, no
+    Python) and the verdict arithmetic matches hand-computed signals
+    on constructed docs spanning every rule."""
+    import pandas as pd
+
+    plan = (
+        entry_mod.q_quality_filter(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Sort", "Aggregate", "ArrowEvalPython",
+                "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # 30 words incl 'the' and 'a', all alphabetic -> keep
+                "the quick brown fox jumps over a lazy dog again "
+                "and then runs far away to find more food while "
+                "the sun sets slowly in of warm golden evening light",
+                "too short to keep the a",          # < 30 words -> drop
+                # 30+ words but only one distinct stopword -> drop
+                "the " + " ".join(f"word{i}" for i in range(35)),
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in entry_mod.q_quality_filter(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].keep == 1 and rows[1].n_words == 30
+    assert rows[1].stop_hits >= 2 and rows[1].alpha_frac == 1.0
+    assert rows[2].keep == 0            # word-count floor
+    assert rows[3].keep == 0            # distinct-stopword floor
+    assert rows[3].stop_hits == 1
