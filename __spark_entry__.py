@@ -1488,6 +1488,67 @@ def q_strip_spans_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXTRACT_STREAM_TMP_ROOT = None
+
+
+def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming main-content extraction under the driver gate: the
+    interleaved fixture (flat-boilerplate page, media span, adversarial
+    nested page; docs with doc_id % 10 == 0) is written to an
+    append-only parquet dir, extracted by streaming/jobs.py::
+    extract_spans_stream (availableNow, fresh checkpoint per call —
+    the checkpoint IS the exactly-once resume state; restart semantics
+    pinned by tests/test_streaming.py), and the sink is returned
+    flattened.  The streaming path runs the SAME span-rewrite
+    projection as the batch job, so the DuckDB oracle recomputes the
+    expected output independently (no golden needed)."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.functions import html as H
+    from ocular_spark.streaming.jobs import extract_spans_stream
+
+    global _EXTRACT_STREAM_TMP_ROOT
+    d = _load_wide(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    spans = F.expr(
+        "array("
+        "named_struct('kind', 'text', 'text', "
+        + H.wrap_boilerplate_spark()
+        + ", 'media_ref', cast(null as string), 'offset', 0), "
+        "named_struct('kind', 'media', 'text', cast(null as string),"
+        " 'media_ref', concat('m-', doc_id), 'offset', 1), "
+        "named_struct('kind', 'text', 'text', "
+        + H.wrap_nested_spark()
+        + ", 'media_ref', cast(null as string), 'offset', 2))"
+    )
+    inp = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   spans.alias("spans"))
+
+    if _EXTRACT_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_EXTRACT_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_extract_stream_")
+    _EXTRACT_STREAM_TMP_ROOT = root
+    docs_dir = os.path.join(root, "docs")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    inp.write.parquet(docs_dir)
+    q = extract_spans_stream(spark, docs_dir, out_dir, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming extraction did not finish in 600s")
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
 SPAN_DEDUP_MIN_DF = 10
 
 
@@ -2036,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content_nested": q_html_main_content_nested,
         "html_main_content_nested_dom": q_html_main_content_nested_dom,
         "strip_spans_html": q_strip_spans_html,
+        "extract_stream": q_extract_stream,
         "span_dedup": q_span_dedup,
     }
 
@@ -2780,6 +2842,25 @@ def _install_html_oracles() -> None:
         "UNION ALL SELECT doc_id, 'text', " + appendix + ", "
         "CAST(NULL AS VARCHAR), 2 FROM documents) "
         "SELECT doc_id, kind, "
+        "CASE WHEN kind = 'text' THEN ("
+        + _H.main_text_expr_duckdb("raw")
+        + ") ELSE raw END AS text, media_ref, "
+        'CAST(off AS INTEGER) AS "offset" FROM spans'
+    )
+    # extract_stream: the streaming path runs the same span-rewrite
+    # projection, so the oracle recomputes it over the same fixture
+    # (boilerplate page / media / NESTED page; doc_id % 10 subset,
+    # doc_id as VARCHAR to match the stream DDL)
+    _ORACLE_SQL["extract_stream"] = (
+        "WITH sel AS (SELECT * FROM documents WHERE doc_id % 10 = 0), "
+        "spans AS ("
+        "SELECT doc_id, 'text' AS kind, " + wrapped + " AS raw, "
+        "CAST(NULL AS VARCHAR) AS media_ref, 0 AS off FROM sel "
+        "UNION ALL SELECT doc_id, 'media', CAST(NULL AS VARCHAR), "
+        "'m-' || doc_id, 1 FROM sel "
+        "UNION ALL SELECT doc_id, 'text', " + nested + ", "
+        "CAST(NULL AS VARCHAR), 2 FROM sel) "
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, kind, "
         "CASE WHEN kind = 'text' THEN ("
         + _H.main_text_expr_duckdb("raw")
         + ") ELSE raw END AS text, media_ref, "

@@ -60,6 +60,7 @@ RELATIONAL = [
     "html_main_content_nested_dom",
     "strip_spans_html",
     "span_dedup",
+    "extract_stream",
     "gopher_repetition",
     "pdf_ingest",
 ]

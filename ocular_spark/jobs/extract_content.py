@@ -67,13 +67,15 @@ def _chars_expr(col: str) -> str:
     )
 
 
-def extract_expr(df):
-    """Expression engine: one map-side JVM projection."""
+def stripped_spans_expr():
+    """The span-rewrite Column: text spans -> extracted main content,
+    media spans untouched, (kind, text, media_ref, offset) preserved.
+    Shared by the batch expr engine and the streaming job."""
     from pyspark.sql import functions as F
 
     from ocular_spark.functions import html as H
 
-    stripped = F.expr(
+    return F.expr(
         "transform(spans, sp -> named_struct("
         + SPAN_FIELDS.format(
             text="case when sp.kind = 'text' then "
@@ -82,6 +84,13 @@ def extract_expr(df):
         )
         + "))"
     )
+
+
+def extract_expr(df):
+    """Expression engine: one map-side JVM projection."""
+    from pyspark.sql import functions as F
+
+    stripped = stripped_spans_expr()
     return df.select(
         "doc_id",
         F.spark_partition_id().alias("part_id"),

@@ -95,3 +95,46 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+# stream input: the interleaved table shape (north_rule input_hint)
+DOCS_SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def extract_spans_stream(
+    spark,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental main-content extraction: readStream over an
+    append-only parquet directory of interleaved (doc_id, spans) docs
+    -> the SAME stateless span-rewrite projection the batch
+    extract_content job uses (jobs/extract_content.stripped_spans_expr;
+    text spans stripped, media spans pass through, span order
+    preserved) -> parquet sink with checkpointing.  Each newly crawled
+    doc is extracted exactly once across restarts — the streaming
+    analog of the batch job's --resume-from anti-join, with the
+    checkpoint as the resume state.  Returns the started query."""
+    from ocular_spark.jobs.extract_content import _chars_expr, stripped_spans_expr
+
+    docs = spark.readStream.schema(DOCS_SPANS_DDL).parquet(docs_dir)
+    out = docs.select(
+        "doc_id",
+        stripped_spans_expr().alias("spans"),
+        F.expr("size(spans)").alias("n_spans"),
+        F.expr(_chars_expr("spans")).alias("chars_in"),
+    ).withColumn("chars_out", F.expr(_chars_expr("spans")))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -199,3 +199,54 @@ def test_session_gap_boundary(spark, tmp_path):
         .to_dict()
     )
     assert stream_got == want, stream_got
+
+
+def test_extract_spans_stream_incremental_and_resume(spark, sf_dir, tmp_path):
+    """Streaming extraction: availableNow over an append-only
+    interleaved docs dir equals the batch DOM kernel span-for-span;
+    restart with new docs extracts ONLY them (checkpoint = resume)."""
+    from ocular_spark.functions.html import extract_main_content_dom
+    from ocular_spark.streaming.jobs import extract_spans_stream
+    from tests.test_jobs import _interleaved_fixture
+
+    import pyarrow.parquet as pq
+
+    all_path = str(tmp_path / "all_docs.parquet")
+    _interleaved_fixture(spark, sf_dir, all_path, n_docs=8)
+    inp = pq.read_table(all_path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    first_ids = sorted(inp["doc_id"])[:5]
+
+    docs_dir = str(tmp_path / "stream_docs")
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    os.makedirs(docs_dir)
+
+    src = spark.read.parquet(all_path)
+    src.filter(src["doc_id"].isin(first_ids)).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q = extract_spans_stream(spark, docs_dir, out_dir, ckpt)
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 5
+
+    # restart with the remaining docs appended: only they extract
+    src.filter(~src["doc_id"].isin(first_ids)).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q2 = extract_spans_stream(spark, docs_dir, out_dir, ckpt)
+    assert q2.awaitTermination(300)
+    out = spark.read.parquet(out_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == list(inp["doc_id"])  # exactly once
+
+    for spans_out, spans_in, co in zip(out["spans"], inp["spans"], out["chars_out"]):
+        got_chars = 0
+        for so, si in zip(spans_out, spans_in):
+            assert (so["kind"], so["media_ref"], so["offset"]) == (
+                si["kind"], si["media_ref"], si["offset"])
+            if si["kind"] == "text":
+                assert so["text"] == extract_main_content_dom(si["text"])[2]
+            else:
+                assert so["text"] is None
+            if so["text"] is not None:
+                got_chars += len(so["text"])
+        assert co == got_chars
