@@ -163,3 +163,13 @@ def test_golden_queries_match_frozen_oracles_at_sf001(spark):
         _, d_norm = _normalize(duck_rows, duck_cols)
         mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
         assert not mismatches, (name, mismatches[:5])
+
+
+def test_bench_list_subset_of_contract():
+    """Every bench headline query must exist in queries() — a rename
+    that breaks `python bench.py` should fail here, not in the
+    driver's per-round bench run."""
+    import bench
+
+    missing = [n for n in bench.RELATIONAL if n not in entry_mod.queries()]
+    assert not missing, missing
