@@ -1610,6 +1610,147 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.join(F.broadcast(boiler), "h", "left_anti").drop("h")
 
 
+# PII patterns restricted to constructs Java regex (Spark) and RE2
+# (DuckDB) treat identically: character classes, bounded repetition,
+# non-capturing groups, \b word boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def _pii_injected_text():
+    """Deterministic PII fixture: the synthetic corpus contains no PII,
+    so emails / NANP phones / IPv4s are appended as doc_id-derived
+    suffixes (mirrored exactly in the DuckDB oracle).  A doc can carry
+    zero, one, or several PII kinds (moduli 3/4/5 interleave)."""
+    did = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(
+        did % 3 == 0,
+        F.concat(t, F.lit(" contact user"), did.cast("string"),
+                 F.lit("@example.com now")),
+    ).otherwise(t)
+    t = F.when(
+        did % 4 == 1,
+        F.concat(t, F.lit(" call +1-555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0"),
+                 F.lit(" today")),
+    ).otherwise(t)
+    t = F.when(
+        did % 5 == 2,
+        F.concat(t, F.lit(" from 10."), (did % 256).cast("string"),
+                 F.lit(".0."), ((did * 7) % 256).cast("string"),
+                 F.lit(" logged")),
+    ).otherwise(t)
+    return t
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, NANP phone numbers, IPv4 addresses), the
+    standard pre-training redaction pass (CCNet/Dolma-style pipelines
+    run exactly this shape before tokenization): per-kind match counts
+    plus the redacted text with typed placeholders.
+
+    100 TB shape: ONE map-side JVM projection — regexp_count +
+    chained regexp_replace inside whole-stage codegen; no shuffle, no
+    Python, no UDF.  Patterns are passed as Column literals, not SQL
+    strings (SQL literals eat single backslashes).  Replacement order
+    (email -> phone -> IP) is fixed and placeholder tokens match no
+    later pattern, so the composition is order-exact."""
+    d = _load_wide(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _pii_injected_text().alias("t"))
+    email, phone, ip = (F.lit(p) for p in (PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, F.lit("<EMAIL>")),
+            phone, F.lit("<PHONE>")),
+        ip, F.lit("<IP>"))
+    return raw.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), email).cast("long").alias("n_email"),
+        F.regexp_count(F.col("t"), phone).cast("long").alias("n_phone"),
+        F.regexp_count(F.col("t"), ip).cast("long").alias("n_ip"),
+        clean.alias("clean_text"),
+    )
+
+
+# 13-word shingles, the GPT-3/Gopher/Dolma decontamination unit
+DECON_N = 13
+DECON_CANON = (
+    "the quick brown fox jumps over the lazy dog while spark shuffles data"
+)
+DECON_CANON2 = (
+    "every byte of common crawl is filtered deduplicated and scored "
+    "before training runs"
+)
+
+
+def _decon_injected_text():
+    """Deterministic contamination fixture: benchmark docs
+    (doc_id % 100 == 7) carry both canonical sentences; 'leaked' docs
+    carry one (doc_id % 10 == 4 -> >=1 shared shingle) or both
+    (doc_id % 10 == 9 -> >=14: CANON + CANON2 + the 12 shingles
+    straddling their boundary, occasionally +1 more when the leaked
+    doc's trailing words coincide with a benchmark doc's — the small
+    synthetic vocabulary makes that possible and both engines count it
+    identically); docs with neither sentence share nothing (random
+    word salad cannot reproduce a specific 13-word sequence)."""
+    did = F.col("doc_id")
+    both = F.lit(" " + DECON_CANON + " " + DECON_CANON2)
+    return F.concat(
+        F.col("text"),
+        F.when(did % 100 == 7, both)
+        .when(did % 10 == 4, F.lit(" " + DECON_CANON))
+        .when(did % 10 == 9, both)
+        .otherwise(F.lit("")),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher / Dolma):
+    flag every corpus document sharing at least one 13-word shingle
+    with the benchmark set, reporting the overlap count.  The shingle
+    inventory of each document is built inside ONE array expression
+    (split -> sliding slice -> concat_ws -> array_distinct), hashed to
+    int64 with xxhash64 before the explode so shingle STRINGS never
+    leave the projection.
+
+    100 TB shape: benchmark suites are tiny by nature, so the bench
+    shingle-hash set is collected-free and BROADCAST; the corpus side
+    is map-side (scan -> projection -> explode -> broadcast semi-join)
+    with the plan's only exchange the final per-doc count.  The DuckDB
+    oracle groups on shingle strings where Spark joins on their
+    xxhash64 — the hash is a shuffle-width optimization, not a
+    semantic difference (same argument as span_dedup).  In production
+    the benchmark suite is a separate (tiny) table; this fixture
+    derives it from the corpus scan by doc_id modulus, so the corpus
+    parquet is scanned twice — an artifact of the self-contained
+    oracle, not of the operator's shape."""
+    n = DECON_N
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("t"), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    gh = (
+        d.select("doc_id", _decon_injected_text().alias("t"))
+        .select("doc_id", F.explode(grams).alias("h"))
+    )
+    bench = gh.filter(F.col("doc_id") % 100 == 7).select("h").distinct()
+    return (
+        gh.filter(F.col("doc_id") % 100 != 7)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_benchmark_grams"))
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -2099,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans_html": q_strip_spans_html,
         "extract_stream": q_extract_stream,
         "span_dedup": q_span_dedup,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2893,3 +3036,52 @@ def _install_html_oracles() -> None:
 
 
 _install_html_oracles()
+
+
+def _install_pipeline_oracles() -> None:
+    """pii_redact / decontaminate: the doc_id-derived fixture suffixes
+    and the redaction/shingle logic restated independently in DuckDB
+    SQL (RE2 regexes; list lambdas for the 13-word shingles)."""
+    inj = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.0.' ||"
+        " CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged' ELSE '' END"
+    )
+    _ORACLE_SQL["pii_redact"] = (
+        f"WITH raw AS (SELECT doc_id, {inj} AS t FROM documents) "
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_email, "
+        f"len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phone, "
+        f"len(regexp_extract_all(t, '{PII_IP_RE}')) AS n_ip, "
+        "regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_IP_RE}', '<IP>', 'g') AS clean_text "
+        "FROM raw"
+    )
+    n = DECON_N
+    both = " " + DECON_CANON + " " + DECON_CANON2
+    _ORACLE_SQL["decontaminate"] = (
+        "WITH t AS (SELECT doc_id, text || CASE "
+        f"WHEN doc_id % 100 = 7 THEN '{both}' "
+        f"WHEN doc_id % 10 = 4 THEN ' {DECON_CANON}' "
+        f"WHEN doc_id % 10 = 9 THEN '{both}' "
+        "ELSE '' END AS txt FROM documents), "
+        "tok AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM t), "
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 2}, 1)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))) AS gram FROM tok), "
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 7) "
+        "SELECT g.doc_id, COUNT(*) AS n_benchmark_grams "
+        "FROM g JOIN bench USING (gram) WHERE g.doc_id % 100 <> 7 "
+        "GROUP BY g.doc_id"
+    )
+
+
+_install_pipeline_oracles()

@@ -63,10 +63,12 @@ RELATIONAL = [
     "extract_stream",
     "gopher_repetition",
     "pdf_ingest",
+    "pii_redact",
+    "decontaminate",
 ]
 
 
-def build_spark(cpus: int):
+def build_spark(cpus: int, mem_gb: int = 24, container_cpus: int | None = None):
     # Pin BLAS to one thread per task BEFORE the JVM forks python
     # workers (workers inherit this env; OpenBLAS reads it at load
     # time).  Without this, K workers x 2 BLAS threads oversubscribe
@@ -82,6 +84,14 @@ def build_spark(cpus: int):
     # local[16]; ParallelGC holds 5.6-8.2s steady).  Throughput
     # collectors fit batch analytics; override via SPARK_GRAFT_GC.
     gc = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+    # container_cpus: emulate a CPU-limited executor container (as on a
+    # real cluster, where each executor JVM sees only its cgroup quota).
+    # ActiveProcessorCount sizes every CPU-count-derived JVM pool at
+    # once — ParallelGC worker threads, JIT compiler threads, common
+    # ForkJoinPool — which is what makes co-resident executor JVMs
+    # share a box without GC-thread oversubscription.
+    if container_cpus is not None:
+        gc = f"{gc} -XX:ActiveProcessorCount={container_cpus}"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("ocular-spark-bench")
@@ -89,7 +99,7 @@ def build_spark(cpus: int):
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", f"{mem_gb}g")
         .config("spark.driver.extraJavaOptions", gc)
         .config("spark.executor.pyspark.memory", "2g")
         .getOrCreate()

@@ -320,3 +320,82 @@ def test_quality_filter_plan_and_verdict(spark, sf_dir, tmp_path):
     assert rows[2].keep == 0            # word-count floor
     assert rows[3].keep == 0            # distinct-stopword floor
     assert rows[3].stop_hits == 1
+
+
+def test_pii_redact_is_pure_projection_and_hand_pinned(spark, sf_dir, tmp_path):
+    """pii_redact must compile to ONE map-side JVM projection (no
+    join/sort/agg/Python), and the redaction arithmetic is pinned by
+    hand on crafted docs covering injected AND in-text PII."""
+    import pandas as pd
+
+    plan = (
+        entry_mod.q_pii_redact(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Sort", "Aggregate", "ArrowEvalPython",
+                "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+
+    docs = pd.DataFrame(
+        {
+            # moduli chosen to exercise each injection arm exactly once
+            # plus a no-injection doc carrying its own in-text PII
+            "doc_id": [0, 1, 2, 11],
+            "text": [
+                "plain words only",
+                "more plain words",
+                "yet more words",
+                "write me alice@corp.io or 192.168.0.1 ok",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r for r in entry_mod.q_pii_redact(spark, str(tmp_path)).collect()
+    }
+    # doc 0: %3==0 -> email suffix only
+    assert (rows[0].n_email, rows[0].n_phone, rows[0].n_ip) == (1, 0, 0)
+    assert rows[0].clean_text == "plain words only contact <EMAIL> now"
+    # doc 1: %4==1 -> phone suffix only
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip) == (0, 1, 0)
+    assert rows[1].clean_text == "more plain words call <PHONE> today"
+    # doc 2: %5==2 -> IP suffix only (10.2.0.14)
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ip) == (0, 0, 1)
+    assert rows[2].clean_text == "yet more words from <IP> logged"
+    # doc 11: no injection (11%3=2, 11%4=3, 11%5=1) but in-text PII
+    assert (rows[11].n_email, rows[11].n_phone, rows[11].n_ip) == (1, 0, 1)
+    assert rows[11].clean_text == "write me <EMAIL> or <IP> ok"
+
+
+def test_decontaminate_broadcasts_bench_set_and_hand_pinned(spark, sf_dir, tmp_path):
+    """The benchmark shingle set must move by broadcast (corpus side
+    never shuffles on shingles), and the overlap counts are pinned by
+    hand: leaked-once doc -> exactly the CANON shingle; leaked-both
+    doc -> 14 (CANON + CANON2 + 12 straddling); clean docs and the
+    benchmark doc itself are absent."""
+    import pandas as pd
+
+    plan = (
+        entry_mod.q_decontaminate(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [7, 4, 9, 3],
+            "text": [
+                "bench doc words here",   # %100==7 -> benchmark, both canons
+                "alpha beta gamma",       # %10==4  -> leaked CANON
+                "delta epsilon zeta",     # %10==9  -> leaked both
+                "totally clean document", # no injection, no overlap
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r.n_benchmark_grams
+        for r in entry_mod.q_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert rows == {4: 1, 9: 14}
