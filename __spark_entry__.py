@@ -1751,6 +1751,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language sampling rates (percent) for the training mix, plus the
+# Lehmer-style selection hash (safe int64 arithmetic in BOTH engines:
+# (doc_id % 1000003) * 48271 stays < 2^63 for any bigint doc_id)
+TRAIN_MIX_RATES = {"en": 62, "zh": 35, "es": 35, "de": 35, "fr": 35}
+TRAIN_MIX_DEFAULT = 25
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(TRAIN_MIX_RATES.items()))
+    + f" ELSE {TRAIN_MIX_DEFAULT} END"
+)
+_MIX_HASH = "(doc_id % 1000003) * 48271 % 2147483647 % 100"
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for a training-data mix
+    (the language/source re-weighting stage of LLM pipelines — the
+    Pile / Gopher / Llama mixture tables): each language is sampled at
+    its target rate by a hash-mod selection on doc_id, and every kept
+    doc carries its inverse-propensity weight (100/rate) so downstream
+    loss weighting can undo the mix.
+
+    100 TB shape: ONE map-side projection+filter — the rate table is
+    dimension-sized and inlined as a CASE (a broadcast join for bigger
+    tables), the selection predicate pushes to the scan, no shuffle
+    anywhere.  Hash-mod (not rand()) makes the sample reproducible
+    across retries/resumes — the property that matters for exactly-
+    once training-set construction.  The Lehmer-style hash here keeps
+    the DuckDB oracle bit-identical; production would use
+    xxhash64(doc_id, seed) with the same modular structure."""
+    d = _load_wide(spark, sf_dir, "documents")
+    rate = F.expr(_MIX_CASE)
+    keep = F.expr(_MIX_HASH) < rate
+    return d.filter(keep).select(
+        "doc_id",
+        "lang",
+        F.round(F.lit(100.0) / rate, 4).alias("weight"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -2242,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "training_mix": q_training_mix,
     }
 
 
@@ -3081,6 +3121,14 @@ def _install_pipeline_oracles() -> None:
         "SELECT g.doc_id, COUNT(*) AS n_benchmark_grams "
         "FROM g JOIN bench USING (gram) WHERE g.doc_id % 100 <> 7 "
         "GROUP BY g.doc_id"
+    )
+    _ORACLE_SQL["training_mix"] = (
+        "SELECT doc_id, lang, "
+        # CAST: DuckDB types the bare literal 100.0 as DECIMAL, which
+        # would reach the driver as Decimal values and hash-mismatch
+        # Spark's doubles
+        f"round(CAST(100.0 AS DOUBLE) / ({_MIX_CASE}), 4) AS weight "
+        f"FROM documents WHERE {_MIX_HASH} < ({_MIX_CASE})"
     )
 
 

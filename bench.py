@@ -65,6 +65,7 @@ RELATIONAL = [
     "pdf_ingest",
     "pii_redact",
     "decontaminate",
+    "training_mix",
 ]
 
 

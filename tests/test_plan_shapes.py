@@ -399,3 +399,43 @@ def test_decontaminate_broadcasts_bench_set_and_hand_pinned(spark, sf_dir, tmp_p
         for r in entry_mod.q_decontaminate(spark, str(tmp_path)).collect()
     }
     assert rows == {4: 1, 9: 14}
+
+
+def test_training_mix_is_map_side_and_hand_pinned(spark, sf_dir, tmp_path):
+    """training_mix must be one projection+filter (no join, no agg, no
+    Python, no exchange beyond the tiny-file spread), and the hash-mod
+    selection + inverse-propensity weights match an independent Python
+    evaluation of the same formula."""
+    import pandas as pd
+
+    plan = (
+        entry_mod.q_training_mix(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Aggregate", "ArrowEvalPython", "BatchEvalPython",
+                "MapInPandas", "Sort"):
+        assert bad not in plan, bad
+    assert plan.count("Exchange") <= 1  # _load_wide spread only
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(200)),
+            "text": ["w"] * 200,
+            "lang": (["en", "zh", "es", "de", "fr"] * 40),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r for r in entry_mod.q_training_mix(spark, str(tmp_path)).collect()
+    }
+    langs = dict(zip(docs.doc_id, docs.lang))
+    expected = {}
+    for did in range(200):
+        rate = entry_mod.TRAIN_MIX_RATES.get(langs[did], entry_mod.TRAIN_MIX_DEFAULT)
+        if (did % 1000003) * 48271 % 2147483647 % 100 < rate:
+            expected[did] = round(100.0 / rate, 4)
+    assert set(rows) == set(expected)
+    assert expected, "selection must be non-empty"
+    assert len(expected) < 200, "selection must be a strict subset"
+    for did, w in expected.items():
+        assert rows[did].weight == w and rows[did].lang == langs[did]
