@@ -943,6 +943,61 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (the 4x storage/bandwidth compression step ANN serving stacks
+    apply before indexing — FAISS SQ8 shape): scale = 127/max|e_i|,
+    q_i = floor(e_i*scale + 0.5), plus the quality metrics that
+    decide whether the compressed index is usable — saturated-lane
+    count, max absolute dequantization error, and cosine between the
+    original and dequantized vector.
+
+    100 TB shape: ONE map-side projection, no shuffle, no Python —
+    every step (abs-max, quantize, dequantize, error fold, cosine
+    fold) is a JVM array expression.  Determinism across engines:
+    all arithmetic in float64 with identical expression shape; the
+    rounding rule is floor(x+0.5) (not ROUND) because Spark and
+    DuckDB agree on floor for every double, while half-even/half-up
+    conventions differ.  Spark's floor returns BIGINT and DuckDB's
+    DOUBLE — immaterial, q is only compared to 127 and divided back.
+    Folded dots pair Spark's left-to-right F.aggregate with DuckDB's
+    LIST_DOT_PRODUCT at 5-6 dp rounding (the embed_topk-proven
+    pairing)."""
+    e = _load(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    m = ed.select(
+        "vec_id", "ed", F.array_max(F.transform("ed", F.abs)).alias("mx")
+    ).filter(F.col("mx") > 0)
+    q = m.select(
+        "vec_id", "ed",
+        (F.lit(127.0) / F.col("mx")).alias("scale"),
+    ).select(
+        "vec_id", "ed", "scale",
+        F.transform(
+            "ed", lambda x: F.floor(x * F.col("scale") + F.lit(0.5))
+        ).alias("qv"),
+    ).select(
+        "*",
+        F.transform("qv", lambda v: v / F.col("scale")).alias("dq"),
+    )
+    err = F.array_max(
+        F.zip_with("ed", "dq", lambda a, b: F.abs(a - b))
+    )
+    cos = _dot64(F.col("ed"), F.col("dq")) / (
+        F.sqrt(_dot64(F.col("ed"), F.col("ed")))
+        * F.sqrt(_dot64(F.col("dq"), F.col("dq")))
+    )
+    return q.select(
+        "vec_id",
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).cast("long").alias("n_sat"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(cos, 6).alias("cos_dequant"),
+    )
+
+
 def _dot64(a, b):
     """Deterministic float64 dot product of two float32 array columns:
     promote then left-to-right fold (bit-identical in Spark and DuckDB)."""
@@ -2282,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "training_mix": q_training_mix,
+        "embed_quantize": q_embed_quantize,
     }
 
 
@@ -3130,6 +3186,36 @@ def _install_pipeline_oracles() -> None:
         f"round(CAST(100.0 AS DOUBLE) / ({_MIX_CASE}), 4) AS weight "
         f"FROM documents WHERE {_MIX_HASH} < ({_MIX_CASE})"
     )
+    # embed_quantize: same arithmetic restated over DuckDB list
+    # lambdas; floor(x+0.5) rounding (engine-agnostic), LIST_DOT_PRODUCT
+    # pairs with Spark's left fold (embed_topk-proven), and the 127
+    # literal is CAST to DOUBLE (bare 127.0 would be DECIMAL)
+    _ORACLE_SQL["embed_quantize"] = """
+        WITH ed AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+        ), m AS (
+            SELECT vec_id, ed,
+                   list_max(list_transform(ed, x -> abs(x))) AS mx
+            FROM ed
+        ), q AS (
+            SELECT vec_id, ed, CAST(127 AS DOUBLE) / mx AS scale,
+                   list_transform(ed,
+                       x -> floor(x * (CAST(127 AS DOUBLE) / mx) + 0.5)) AS qv
+            FROM m WHERE mx > 0
+        ), d AS (
+            SELECT vec_id, ed, qv, scale,
+                   list_transform(qv, v -> v / scale) AS dq
+            FROM q
+        )
+        SELECT vec_id,
+               CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+               ROUND(list_max(list_transform(range(1, len(ed) + 1),
+                   i -> abs(ed[i] - dq[i]))), 6) AS max_abs_err,
+               ROUND(LIST_DOT_PRODUCT(ed, dq)
+                     / (SQRT(LIST_DOT_PRODUCT(ed, ed))
+                        * SQRT(LIST_DOT_PRODUCT(dq, dq))), 6) AS cos_dequant
+        FROM d
+    """
 
 
 _install_pipeline_oracles()

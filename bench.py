@@ -66,6 +66,7 @@ RELATIONAL = [
     "pii_redact",
     "decontaminate",
     "training_mix",
+    "embed_quantize",
 ]
 
 
