@@ -617,6 +617,95 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over a symmetric (src, dst) edge list by
+    min-label propagation with pointer jumping (the MapReduce-CC
+    family: Rastogi et al. 2013 hash-to-min; Kiveris et al. 2014
+    small-star/large-star).  Per round: (1) label(v) <- min(label(v),
+    min over neighbors' labels) — one join + one partial-aggregated
+    groupBy, both shuffling only the edge/label tables; (2) pointer
+    jump label(v) <- label(label(v)) — one self-join.  Together they
+    converge in O(log diameter) rounds vs O(diameter) for propagation
+    alone.  Labels are monotone non-increasing and bounded below, so
+    sum(label) strictly decreases iff ANY label changed — the
+    convergence probe is a single scalar agg per round, no row-diff
+    join.  localCheckpoint truncates the per-round lineage so the
+    plan stays O(1) instead of growing by two joins every round.
+
+    100 TB shape: the input here is the LSH-VERIFIED pair graph —
+    orders of magnitude smaller than the corpus (each table involved
+    is O(|dup candidates|), never O(corpus)) — and every step is a
+    key-partitioned join/agg with map-side combine; nothing collects
+    to the driver but the one convergence scalar."""
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nbr_min"))
+            .select(F.col("src").alias("node"), "nbr_min")
+        )
+        prop = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        jumped = prop.join(
+            prop.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            ),
+            prop["label"] == F.col("pnode"),
+        ).select("node", F.col("plabel").alias("label"))
+        labels = jumped.localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds"
+    )
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pipeline: LSH candidates ->
+    exact-Jaccard-verified pairs (q_ngram_jaccard) -> connected
+    components, yielding one cluster id (= min doc_id in the
+    component) per duplicated document plus the cluster size.  This
+    is the stage that makes dedup actually drop rows: keep
+    doc_id == cluster_id, discard the rest — without it, A~B and B~C
+    leaves both A,B and B,C pairs and no consistent survivor set.
+
+    Oracle: an independent formulation — DuckDB recursive-CTE
+    reachability (full transitive closure, min over reached nodes) vs
+    Spark's iterative label propagation; agreement is a genuine
+    two-algorithm gate."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = _cc_min_label(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics: token counts, average word length,
     stopword ratio (quality-scoring operator)."""
@@ -2338,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "training_mix": q_training_mix,
         "embed_quantize": q_embed_quantize,
+        "dedup_cluster": q_dedup_cluster,
     }
 
 
@@ -3215,6 +3305,32 @@ def _install_pipeline_oracles() -> None:
                      / (SQRT(LIST_DOT_PRODUCT(ed, ed))
                         * SQRT(LIST_DOT_PRODUCT(dq, dq))), 6) AS cos_dequant
         FROM d
+    """
+    # dedup_cluster: connected components over the verified near-dup
+    # pair graph.  Independent algorithm from the Spark side: full
+    # recursive-CTE transitive closure (min over reachable nodes) vs
+    # iterative min-label propagation + pointer jumping.
+    _ORACLE_SQL["dedup_cluster"] = f"""
+        WITH RECURSIVE pairs AS ({_ORACLE_SQL["ngram_jaccard"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, dst AS r FROM edges
+            UNION
+            SELECT reach.node, e.dst AS r
+            FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        lab AS (
+            SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM lab
     """
 
 

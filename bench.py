@@ -67,6 +67,7 @@ RELATIONAL = [
     "decontaminate",
     "training_mix",
     "embed_quantize",
+    "dedup_cluster",
 ]
 
 
