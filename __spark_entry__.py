@@ -1934,6 +1934,59 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQLEN = 512  # tokens per packed training sequence
+PACK_SHARDS = 8    # deterministic doc->shard map (see docstring)
+_PACK_SHARD = f"(doc_id % 1000003) * 48271 % 2147483647 % {PACK_SHARDS}"
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a doc
+    corpus into fixed-length training sequences (GPT-style: concatenate
+    the token stream per shard, cut every PACK_SEQLEN tokens).  Each
+    doc gets its (shard, seq_id, seq_offset) placement plus a
+    crosses_boundary flag (docs a packer might re-place or truncate).
+
+    Determinism contract: shard = Lehmer hash-mod of doc_id (same
+    family as q_training_mix — reproducible across retries/engines),
+    order within a shard = doc_id.  Placement is a prefix sum over
+    that order, so the full layout is a pure function of the corpus —
+    the property exactly-once training-set construction needs.
+
+    100 TB shape: ONE hash-partitioned window per shard (shuffle on
+    the 8-byte shard key, then a per-shard sort — the unavoidable cost
+    of deterministic packing; at production scale PACK_SHARDS is set
+    ~= task parallelism, e.g. 10k, so each shard sorts ~10 GB locally
+    and skew is bounded by the hash).  No join, no second shuffle;
+    token counting is a JVM projection."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(_PACK_SHARD).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / PACK_SEQLEN).alias("seq_id"),
+        (F.col("cum_before") % PACK_SEQLEN).alias("seq_offset"),
+        (
+            (F.col("cum_before") % PACK_SEQLEN) + F.col("n_tokens")
+            > PACK_SEQLEN
+        ).cast("int").alias("crosses_boundary"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -2428,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "embed_quantize": q_embed_quantize,
         "dedup_cluster": q_dedup_cluster,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3331,6 +3385,31 @@ def _install_pipeline_oracles() -> None:
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS cluster_size
         FROM lab
+    """
+    # pack_sequences: same Lehmer shard + prefix-sum placement; window
+    # SUM(BIGINT) is HUGEINT in DuckDB, so cast before the modular
+    # arithmetic
+    _ORACLE_SQL["pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_PACK_SHARD} AS shard,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(FLOOR(cum_before / {PACK_SEQLEN}.0) AS BIGINT) AS seq_id,
+               cum_before % {PACK_SEQLEN} AS seq_offset,
+               CAST(CASE WHEN cum_before % {PACK_SEQLEN} + n_tokens
+                              > {PACK_SEQLEN}
+                         THEN 1 ELSE 0 END AS INT) AS crosses_boundary
+        FROM c
     """
 
 

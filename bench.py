@@ -68,6 +68,7 @@ RELATIONAL = [
     "training_mix",
     "embed_quantize",
     "dedup_cluster",
+    "pack_sequences",
 ]
 
 
