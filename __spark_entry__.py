@@ -637,6 +637,11 @@ def _cc_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     is O(|dup candidates|), never O(corpus)) — and every step is a
     key-partitioned join/agg with map-side combine; nothing collects
     to the driver but the one convergence scalar."""
+    # materialize the edge list ONCE: without this every round's two
+    # actions re-run the whole upstream pair pipeline (the LSH band
+    # self-join), turning O(log d) cheap rounds into O(log d) full
+    # corpus passes (measured 11.7 s -> ~1 s at sf0.1)
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
