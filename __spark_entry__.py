@@ -1698,6 +1698,48 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_STREAM_TMP_ROOT = None
+
+
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver gate: the original docs
+    land as input file 1, their injected exact clones (same
+    deterministic injection as q_dedup_exact) as file 2, and
+    maxFilesPerTrigger=1 forces the clones into a LATER micro-batch —
+    so every clone is dropped by state-store lookups across a real
+    micro-batch boundary, not within-batch distinct.  The sink is the
+    surviving digest set, which must equal the batch-distinct digests
+    of the un-cloned corpus (the oracle): if streaming dedup dropped
+    nothing the row count is wrong, if it dropped too much the hash
+    is wrong."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import dedup_docs_stream
+
+    global _DEDUP_STREAM_TMP_ROOT
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 100 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+
+    if _DEDUP_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_DEDUP_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_dedup_stream_")
+    _DEDUP_STREAM_TMP_ROOT = root
+    docs_dir = os.path.join(root, "docs")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    # two separate single-file appends: originals first, clones second
+    d.coalesce(1).write.parquet(docs_dir)
+    clones.coalesce(1).write.mode("append").parquet(docs_dir)
+    q = dedup_docs_stream(spark, docs_dir, out_dir, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming dedup did not finish in 600s")
+    return spark.read.parquet(out_dir).select("text_hash")
+
+
 SPAN_DEDUP_MIN_DF = 10
 
 
@@ -2487,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "dedup_cluster": q_dedup_cluster,
         "pack_sequences": q_pack_sequences,
+        "dedup_stream": q_dedup_stream,
     }
 
 
@@ -3416,6 +3459,11 @@ def _install_pipeline_oracles() -> None:
                          THEN 1 ELSE 0 END AS INT) AS crosses_boundary
         FROM c
     """
+    # dedup_stream: the surviving digest set must equal the batch
+    # distinct digests of the UN-cloned corpus (clones add no digests)
+    _ORACLE_SQL["dedup_stream"] = (
+        "SELECT DISTINCT MD5(text) AS text_hash FROM documents"
+    )
 
 
 _install_pipeline_oracles()

@@ -69,6 +69,7 @@ RELATIONAL = [
     "embed_quantize",
     "dedup_cluster",
     "pack_sequences",
+    "dedup_stream",
 ]
 
 

@@ -138,3 +138,50 @@ def extract_spans_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_docs_stream(
+    spark,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Incremental EXACT dedup over an append-only doc stream — the
+    streaming analog of the batch hash-groupBy (q_dedup_exact): each
+    doc's content digest is checked against the state store's seen-set
+    (``dropDuplicates``), so a re-crawled or duplicated doc arriving
+    in ANY later micro-batch emits nothing.  maxFilesPerTrigger=1
+    forces one input file per micro-batch, so duplicates that arrive
+    in a later file genuinely cross a state-store boundary (pinned by
+    tests/test_streaming.py).
+
+    The sink carries ONLY the digest: which doc survives per digest
+    depends on processing order (non-deterministic across retries),
+    but the surviving digest SET is a pure function of the corpus —
+    that is the deterministic contract the driver row hashes.
+
+    State bound at 100 TB: the seen-set grows by one 16-byte key per
+    distinct doc forever; production crawls bound it with
+    ``dropDuplicatesWithinWatermark`` (event-time TTL on the state)
+    or periodic state compaction; availableNow drains here make the
+    unbounded form safe for the gate."""
+    docs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    deduped = (
+        docs.select(F.md5("text").alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -250,3 +250,47 @@ def test_extract_spans_stream_incremental_and_resume(spark, sf_dir, tmp_path):
             if so["text"] is not None:
                 got_chars += len(so["text"])
         assert co == got_chars
+
+
+def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
+    """Clones land in a SEPARATE input file with maxFilesPerTrigger=1,
+    so the stream must run >= 2 micro-batches and the clone batch must
+    be deduped purely by state-store lookups (its rows were never
+    co-resident with the originals in one batch).  Also pins resume:
+    a third file appended after restart dedups against the
+    checkpointed state, not just the running query's memory."""
+    from ocular_spark.streaming.jobs import dedup_docs_stream
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    orig = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    clones = spark.createDataFrame(
+        [(10_000_000 + i, f"text number {i}") for i in range(0, 20, 4)],
+        "doc_id long, text string",
+    )
+    orig.coalesce(1).write.parquet(docs_dir)
+    clones.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = dedup_docs_stream(spark, docs_dir, out_dir, ckpt)
+    assert q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, n_batches  # clones crossed a batch boundary
+    got = {r.text_hash for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 20  # all 5 clone digests dropped
+
+    # restart with one new file: 2 re-clones + 1 genuinely new doc
+    more = spark.createDataFrame(
+        [(30_000_000, "text number 1"), (30_000_001, "text number 2"),
+         (30_000_002, "a brand new doc")],
+        "doc_id long, text string",
+    )
+    more.coalesce(1).write.mode("append").parquet(docs_dir)
+    q2 = dedup_docs_stream(spark, docs_dir, out_dir, ckpt)
+    assert q2.awaitTermination(300)
+    got2 = {r.text_hash for r in spark.read.parquet(out_dir).collect()}
+    assert len(got2) == 21  # checkpointed state deduped the re-clones
+    assert got < got2
