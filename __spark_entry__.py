@@ -1092,6 +1092,95 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.95
+
+
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): drop every
+    embedding that has a >= SEMDEDUP_TAU-cosine neighbor with a
+    smaller vec_id, keep the min-id representative.  Unlike the
+    pair-listing ops (embed_neardup) this emits the actual KEEP/DROP
+    decision per vector — the row a training pipeline filters on —
+    with dup_of pointing at the surviving representative.
+
+    Candidate generation is the hyperplane-LSH bucket scheme of
+    q_embed_lsh_buckets (16 sign bits x 2 tables over disjoint dim
+    blocks), so pair work is within-bucket only — linear at 100 TB,
+    no all-pairs.  The greedy min-id survivor policy (SemDeDup's
+    per-cluster policy) is order-free: a vec's fate depends only on
+    the SET of its similar smaller ids, so the result is
+    deterministic under any partitioning.  Cosines are rounded to
+    6 dp before the threshold compare in both engines (the
+    embed_topk-proven float64 pairing).  The dup_of aggregation is
+    bounded by the candidate pair count; the final corpus join
+    broadcasts the (small) dup set."""
+    e = _with_injected_dup_vecs(
+        _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+    def sig(d0: int) -> "F.Column":
+        return F.concat(
+            *[
+                F.when(F.element_at("embedding", d0 + k + 1) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for k in range(16)
+            ]
+        )
+
+    eb = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("table_id"), sig(0).alias("bucket")),
+                F.struct(F.lit(1).alias("table_id"), sig(16).alias("bucket")),
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", "embedding",
+        F.col("tb.table_id").alias("table_id"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    a = eb.select(
+        "table_id", "bucket",
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+    )
+    b = eb.select(
+        "table_id", "bucket",
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+    )
+    cos = F.round(
+        _dot64(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot64(F.col("va"), F.col("va")))
+            * F.sqrt(_dot64(F.col("vb"), F.col("vb")))
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= SEMDEDUP_TAU)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dup_of = (
+        pairs.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .select(F.col("id_b").alias("vec_id"), "dup_of")
+    )
+    return (
+        e.select("vec_id")
+        .join(F.broadcast(dup_of), "vec_id", "left")
+        .select(
+            "vec_id",
+            "dup_of",
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0)
+            .cast("int").alias("kept"),
+        )
+    )
+
+
 def _dot64(a, b):
     """Deterministic float64 dot product of two float32 array columns:
     promote then left-to-right fold (bit-identical in Spark and DuckDB)."""
@@ -2530,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "pack_sequences": q_pack_sequences,
         "dedup_stream": q_dedup_stream,
+        "embed_semdedup": q_embed_semdedup,
     }
 
 
@@ -3464,6 +3554,40 @@ def _install_pipeline_oracles() -> None:
     _ORACLE_SQL["dedup_stream"] = (
         "SELECT DISTINCT MD5(text) AS text_hash FROM documents"
     )
+    # embed_semdedup: same LSH buckets + greedy min-id survivor,
+    # restated over DuckDB list lambdas; cosine rounded to 6 dp before
+    # the threshold compare in both engines
+    _ORACLE_SQL["embed_semdedup"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5
+        ), eb AS (
+            SELECT vec_id, v, t.table_id,
+                   ARRAY_TO_STRING(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, 16),
+                       k -> CASE WHEN v[t.table_id * 16 + k] >= 0
+                                 THEN '1' ELSE '0' END), '') AS bucket
+            FROM e
+            CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS table_id) t
+        ), pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM eb a
+            JOIN eb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+            WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+                        / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                           * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6)
+                  >= {SEMDEDUP_TAU}
+        ), dup AS (
+            SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pairs GROUP BY id_b
+        )
+        SELECT e.vec_id, dup.dup_of,
+               CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS kept
+        FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+    """
 
 
 _install_pipeline_oracles()

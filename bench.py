@@ -70,6 +70,7 @@ RELATIONAL = [
     "dedup_cluster",
     "pack_sequences",
     "dedup_stream",
+    "embed_semdedup",
 ]
 
 
