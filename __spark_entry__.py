@@ -2070,6 +2070,52 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64   # tokens per retrieval chunk
+CHUNK_STRIDE = 48   # chunk start stride (overlap = 64 - 48 = 16)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the doc->chunk expansion a
+    retrieval/embedding-index pipeline runs before embedding (RAG
+    chunking with a 16-token overlap so no answer span is cut at a
+    boundary).  Each doc yields chunks starting every CHUNK_STRIDE
+    tokens; a chunk is CHUNK_TOKENS long or whatever remains.  Chunk
+    ids are (doc_id, chunk_idx) with the start-token offset — stable
+    across runs, so re-embedding is incremental.
+
+    100 TB shape: the whole expansion is ONE generator expression
+    (sequence -> transform -> posexplode) inside a projection — no
+    shuffle, no Python, no self-join; output size is input size
+    x ~(1 + overlap/stride)."""
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(toks) - 1, F.lit(0)),
+            F.lit(CHUNK_STRIDE),
+        ),
+        lambda s: F.struct(
+            s.alias("tok_start"),
+            F.array_join(
+                F.slice(toks, s + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.least(F.size(toks) - s, F.lit(CHUNK_TOKENS)).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
 PACK_SEQLEN = 512  # tokens per packed training sequence
 PACK_SHARDS = 8    # deterministic doc->shard map (see docstring)
 _PACK_SHARD = f"(doc_id % 1000003) * 48271 % 2147483647 % {PACK_SHARDS}"
@@ -2620,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_stream": q_dedup_stream,
         "embed_semdedup": q_embed_semdedup,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3587,6 +3634,33 @@ def _install_pipeline_oracles() -> None:
                CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS INT)
                    AS kept
         FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+    """
+    # chunk_documents: same generator restated with DuckDB list ops;
+    # GENERATE_SERIES is end-INCLUSIVE like Spark's sequence, list
+    # slicing v[a:b] is 1-based inclusive like Spark's slice(start,len)
+    _ORACLE_SQL["chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, toks,
+                   GENERATE_SERIES(0, GREATEST(LEN(toks) - 1, 0),
+                                   {CHUNK_STRIDE}) AS starts
+            FROM t
+        ), x AS (
+            SELECT doc_id, toks,
+                   UNNEST(starts) AS tok_start,
+                   GENERATE_SUBSCRIPTS(starts, 1) - 1 AS chunk_idx
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(tok_start AS INT) AS tok_start,
+               CAST(LEAST(LEN(toks) - tok_start, {CHUNK_TOKENS}) AS BIGINT)
+                   AS n_chunk_tokens,
+               ARRAY_TO_STRING(
+                   toks[tok_start + 1 : tok_start + {CHUNK_TOKENS}], ' ')
+                   AS chunk_text
+        FROM x
     """
 
 

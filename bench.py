@@ -71,6 +71,7 @@ RELATIONAL = [
     "pack_sequences",
     "dedup_stream",
     "embed_semdedup",
+    "chunk_documents",
 ]
 
 
