@@ -2580,6 +2580,57 @@ def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword/topic-signal
+    extraction step of corpus curation (and the classic relevance
+    score): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn form), per-doc top-3 by (score desc, token asc
+    — a total order, so the cut is deterministic in both engines).
+
+    100 TB shape: tf is a (doc_id, token) groupBy with map-side
+    partial agg; df reuses the same exploded pass; the zipfian token
+    skew lands on the df agg where partial aggregation absorbs it
+    (the hot token's partials are one row per task).  N is a
+    metadata-level scalar (driver count), not a cross join.  The
+    per-doc top-k window partitions on doc_id — the natural,
+    well-distributed key."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                + 1.0
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "tfidf")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprint: per-token md5 -> bit votes
     -> majority per bit -> packed fingerprint; duplicate-fingerprint
@@ -2667,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "embed_semdedup": q_embed_semdedup,
         "chunk_documents": q_chunk_documents,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -3661,6 +3713,36 @@ def _install_pipeline_oracles() -> None:
                    toks[tok_start + 1 : tok_start + {CHUNK_TOKENS}], ' ')
                    AS chunk_text
         FROM x
+    """
+    # tfidf_top_terms: smoothed sklearn-form TF-IDF, per-doc top-3 by
+    # the total order (tfidf desc, token asc); LN is float64 in both
+    # engines and the score is rounded to 6 dp BEFORE ranking so the
+    # cut is taken on identical values
+    _ORACLE_SQL["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+                   ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0))
+                                  + 1.0), 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, tfidf
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 3
     """
 
 

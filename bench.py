@@ -72,6 +72,7 @@ RELATIONAL = [
     "dedup_stream",
     "embed_semdedup",
     "chunk_documents",
+    "tfidf_top_terms",
 ]
 
 
