@@ -886,6 +886,63 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingest under the driver gate (multimodal binary-column
+    contract, functions/media.py): deterministic mono int16 PCM is
+    synthesized per doc inside a kernel — four equal time slices, each
+    a CONSTANT amplitude a_k = ((doc_id*31 + k*97) % 20000) + 1000,
+    n_frames = 4*(50 + doc_id % 7) — encoded with the REAL stdlib WAV
+    codec, then pushed through the real Arrow metadata/feature kernel
+    (audio_meta_kernel: wave parse + 4-band RMS).
+
+    The DuckDB oracle predicts every output analytically: a constant-
+    amplitude band's RMS is EXACTLY a_k/32768 in IEEE float64 (a_k and
+    a_k^2 are exactly representable; the band mean of identical exact
+    doubles and its sqrt are both correctly-rounded back to the exact
+    dyadic value), so a hash match proves the WAV encode -> parse ->
+    float conversion -> band slicing round-trip is lossless — the same
+    construction-formula-oracle pattern as q_pdf_ingest.
+
+    100 TB shape: both stages are Arrow-batched mapInPandas over the
+    opaque binary column; no shuffle at all (audio stays in its scan
+    partition end-to-end)."""
+    from ocular_spark.functions.media import AUDIO_META_SCHEMA, audio_meta_kernel
+
+    d = (
+        _load_wide(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def make_wavs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocular_spark.functions.media import encode_wav
+
+        for b in batches:
+            rows = []
+            for raw in b["doc_id"]:
+                doc_id = int(raw)
+                m = 50 + doc_id % 7
+                x = np.concatenate(
+                    [
+                        np.full(m, ((doc_id * 31 + k * 97) % 20000) + 1000,
+                                dtype=np.int16)
+                        for k in range(4)
+                    ]
+                )
+                rows.append((f"a-{doc_id}", encode_wav(x)))
+            yield pd.DataFrame(rows, columns=["media_ref", "audio"])
+
+    wavs = d.mapInPandas(make_wavs, schema="media_ref string, audio binary")
+    meta = wavs.mapInPandas(audio_meta_kernel, schema=AUDIO_META_SCHEMA)
+    return meta.select(
+        "media_ref", "sample_rate", "n_channels", "sample_width", "n_frames",
+        *[F.round(f"rms_b{k}", 6).alias(f"rms_b{k}") for k in range(4)],
+    )
+
+
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF page ingest under the driver gate (reference seam:
     data/PdfImageReader.java:23-93 renders PDF pages,
@@ -2719,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup": q_embed_semdedup,
         "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "audio_ingest": q_audio_ingest,
     }
 
 
@@ -3743,6 +3801,24 @@ def _install_pipeline_oracles() -> None:
             ) AS rank
             FROM scored
         ) WHERE rank <= 3
+    """
+    # audio_ingest: every output predicted analytically from the
+    # construction formula (constant-band RMS = a_k/32768 exactly)
+    _ORACLE_SQL["audio_ingest"] = """
+        SELECT 'a-' || doc_id AS media_ref,
+               16000 AS sample_rate,
+               1 AS n_channels,
+               2 AS sample_width,
+               CAST(4 * (50 + doc_id % 7) AS INT) AS n_frames,
+               ROUND((((doc_id * 31 + 0 * 97) % 20000) + 1000)
+                     / 32768.0, 6) AS rms_b0,
+               ROUND((((doc_id * 31 + 1 * 97) % 20000) + 1000)
+                     / 32768.0, 6) AS rms_b1,
+               ROUND((((doc_id * 31 + 2 * 97) % 20000) + 1000)
+                     / 32768.0, 6) AS rms_b2,
+               ROUND((((doc_id * 31 + 3 * 97) % 20000) + 1000)
+                     / 32768.0, 6) AS rms_b3
+        FROM documents WHERE doc_id % 25 = 0
     """
 
 

@@ -73,6 +73,7 @@ RELATIONAL = [
     "embed_semdedup",
     "chunk_documents",
     "tfidf_top_terms",
+    "audio_ingest",
 ]
 
 
