@@ -943,6 +943,56 @@ def q_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling under the driver gate: per-doc synthetic
+    clips in the RAWV fixture container (functions/media.py — real
+    video codecs are unavailable here and the container is honestly
+    labeled; the SAMPLING LOGIC under test is real), each with
+    n = 2 + doc_id % 5 constant-level frames (frame j's level is
+    (doc_id*11 + j*17) % 256), pushed through video_sample_kernel
+    (uniform-stride sampling: sample i reads source frame
+    (i*n)//min(k,n), k=3).  The oracle replays the stride arithmetic
+    and level formula analytically — a hash match proves container
+    encode -> demux -> stride indexing -> frame stats end-to-end,
+    including the n < k clips where fewer than k frames come back.
+
+    100 TB shape: Arrow-batched mapInPandas over the opaque binary
+    column; frames re-expand as rows (the pdf_ingest page-expansion
+    shape) so downstream per-frame work repartitions freely."""
+    from ocular_spark.functions.media import (
+        VIDEO_FRAMES_SCHEMA,
+        video_sample_kernel,
+    )
+
+    d = (
+        _load_wide(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def make_clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocular_spark.functions.media import encode_rawv
+
+        for b in batches:
+            rows = []
+            for raw in b["doc_id"]:
+                doc_id = int(raw)
+                h, w = 8 + doc_id % 3, 12
+                n = 2 + doc_id % 5
+                frames = [
+                    np.full((h, w), (doc_id * 11 + j * 17) % 256, dtype=np.uint8)
+                    for j in range(n)
+                ]
+                rows.append((f"v-{doc_id}", encode_rawv(frames)))
+            yield pd.DataFrame(rows, columns=["media_ref", "video"])
+
+    clips = d.mapInPandas(make_clips, schema="media_ref string, video binary")
+    return clips.mapInPandas(video_sample_kernel(3), schema=VIDEO_FRAMES_SCHEMA)
+
+
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF page ingest under the driver gate (reference seam:
     data/PdfImageReader.java:23-93 renders PDF pages,
@@ -2777,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
         "audio_ingest": q_audio_ingest,
+        "video_ingest": q_video_ingest,
     }
 
 
@@ -3819,6 +3870,25 @@ def _install_pipeline_oracles() -> None:
                ROUND((((doc_id * 31 + 3 * 97) % 20000) + 1000)
                      / 32768.0, 6) AS rms_b3
         FROM documents WHERE doc_id % 25 = 0
+    """
+    # video_ingest: stride arithmetic + constant-level formula replayed
+    # analytically (sample i of a clip with n frames reads source frame
+    # (i*n)//min(3,n); a constant uint8 frame's mean is exact)
+    _ORACLE_SQL["video_ingest"] = """
+        WITH clips AS (
+            SELECT doc_id,
+                   2 + doc_id % 5 AS n,
+                   LEAST(3, 2 + doc_id % 5) AS m,
+                   8 + doc_id % 3 AS h
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT 'v-' || doc_id AS media_ref,
+               CAST(i AS INT) AS frame_idx,
+               CAST(h AS INT) AS height,
+               12 AS width,
+               CAST((doc_id * 11 + ((i * n) // m) * 17) % 256 AS DOUBLE)
+                   AS mean_level
+        FROM clips, UNNEST(GENERATE_SERIES(0, m - 1)) AS t(i)
     """
 
 

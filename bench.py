@@ -74,6 +74,7 @@ RELATIONAL = [
     "chunk_documents",
     "tfidf_top_terms",
     "audio_ingest",
+    "video_ingest",
 ]
 
 
