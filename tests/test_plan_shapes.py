@@ -439,3 +439,52 @@ def test_training_mix_is_map_side_and_hand_pinned(spark, sf_dir, tmp_path):
     assert len(expected) < 200, "selection must be a strict subset"
     for did, w in expected.items():
         assert rows[did].weight == w and rows[did].lang == langs[did]
+
+
+def test_chunk_documents_is_pure_projection(spark, sf_dir):
+    """The chunk expansion is one generator projection: no shuffle
+    beyond the gated input spread, no window, no sort, no join."""
+    plan = _plan(entry_mod.q_chunk_documents(spark, sf_dir))
+    assert plan.count("Exchange") <= 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "Sort" not in plan
+
+
+def test_pack_sequences_shuffles_exactly_once_on_shard(spark, sf_dir):
+    """Deterministic packing costs exactly ONE hash exchange (the
+    shard key) plus the per-shard window sort; nothing else."""
+    plan = _plan(entry_mod.q_pack_sequences(spark, sf_dir))
+    shard_ex = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "shard" in l
+    ]
+    assert len(shard_ex) == 1, plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_embed_semdedup_broadcasts_dup_set_and_never_sorts_corpus(spark, sf_dir):
+    """The final corpus join must be broadcast (the dup set is tiny);
+    the bucketed pair join may shuffle only bucket keys, never a
+    per-vector sort for ranking."""
+    plan = _plan(entry_mod.q_embed_semdedup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_audio_and_video_ingest_have_no_shuffle(spark, sf_dir):
+    """Media ingest is Arrow kernels over the scan partitioning: the
+    binary columns must never shuffle."""
+    for q in (entry_mod.q_audio_ingest, entry_mod.q_video_ingest):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("Exchange") <= 1, (q.__name__, plan)
+        assert "Join" not in plan
+
+
+def test_tfidf_df_side_aggregates_before_join(spark, sf_dir):
+    """The zipfian df aggregation must run partial (map-side combine
+    visible as two HashAggregate levels) and the tf x df join must not
+    sort-merge the exploded token stream."""
+    plan = _plan(entry_mod.q_tfidf_top_terms(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
