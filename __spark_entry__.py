@@ -711,6 +711,85 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M, BLOOM_K, BLOOM_W = 1024, 3, 32  # bits, hashes, bits per word
+
+
+def _bloom_pos(col, i: int):
+    """Hash i of a Bloom family over md5(text): disjoint 8-hex-char
+    substrings of ONE digest (values < 2^32, exact in BIGINT) mod M —
+    identical in Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10).cast("long")
+        % BLOOM_M
+    )
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter membership pre-filter — the shuffle-free
+    first pass of incremental dedup at 100 TB: instead of anti-joining
+    every new crawl batch against the seen-corpus (a corpus-sized
+    shuffle), build an m-bit Bloom over the seen digests ONCE (a tiny
+    aggregation: m/32 words via bit_or), ship it as a literal array
+    (here; a broadcast variable at real m), and probe each new doc
+    with a pure projection.  No false negatives — every true duplicate
+    is flagged (the injected clones must all report might_contain=1);
+    false positives (~14% at this load factor) go to the exact
+    verifier, which now touches a fraction of the batch.
+
+    Packing uses 32-bit words in BIGINT so every shift stays below the
+    sign bit — Spark's shiftleft and DuckDB's << then agree exactly.
+    Seen set = even doc_ids; probe set = odd doc_ids (false-positive
+    measurement) + exact clones of seen docs (no-false-negative
+    proof)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    probe = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        seen.filter(F.col("doc_id") % 100 == 8).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    )
+    n_words = BLOOM_M // BLOOM_W
+    pos = seen.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("text"), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / BLOOM_W).cast("int").alias("w"),
+            F.expr(f"shiftleft(1L, cast(p % {BLOOM_W} as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    by_w = {r.w: r.bits for r in words}
+    lit_words = F.array(
+        *[F.lit(int(by_w.get(w, 0))).cast("long") for w in range(n_words)]
+    )
+    def p_sql(i: int) -> str:
+        return (
+            f"(cast(conv(substring(md5(text), {1 + 8 * i}, 8), 16, 10)"
+            f" as bigint) % {BLOOM_M})"
+        )
+
+    checks = []
+    for i in range(BLOOM_K):
+        word = F.element_at(
+            lit_words, F.expr(f"cast({p_sql(i)} / {BLOOM_W} as int)") + 1
+        )
+        mask = F.expr(
+            f"shiftleft(1L, cast({p_sql(i)} % {BLOOM_W} as int))"
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    might = checks[0]
+    for c in checks[1:]:
+        might = might & c
+    return probe.select(
+        "doc_id", F.when(might, 1).otherwise(0).cast("int").alias("might_contain")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics: token counts, average word length,
     stopword ratio (quality-scoring operator)."""
@@ -2828,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "audio_ingest": q_audio_ingest,
         "video_ingest": q_video_ingest,
+        "bloom_prefilter": q_bloom_prefilter,
     }
 
 
@@ -3889,6 +3969,47 @@ def _install_pipeline_oracles() -> None:
                CAST((doc_id * 11 + ((i * n) // m) * 17) % 256 AS DOUBLE)
                    AS mean_level
         FROM clips, UNNEST(GENERATE_SERIES(0, m - 1)) AS t(i)
+    """
+    # bloom_prefilter: identical hash family (disjoint md5 substrings
+    # mod M) and 32-bit word packing; the oracle probes by joining the
+    # word table instead of a literal array — same semantics
+    _ORACLE_SQL["bloom_prefilter"] = f"""
+        WITH hashes AS (SELECT UNNEST(GENERATE_SERIES(0, {BLOOM_K - 1})) AS i),
+        seen AS (
+            SELECT MD5(text) AS h FROM documents WHERE doc_id % 2 = 0
+        ),
+        pos AS (
+            SELECT CAST(('0x' || SUBSTRING(seen.h, 1 + 8 * i, 8))::UBIGINT
+                        AS BIGINT) % {BLOOM_M} AS p
+            FROM seen CROSS JOIN hashes
+        ),
+        words AS (
+            SELECT p // {BLOOM_W} AS w,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(p % {BLOOM_W} AS INT))
+                       AS bits
+            FROM pos GROUP BY p // {BLOOM_W}
+        ),
+        probe AS (
+            SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + 10000000, MD5(text) FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 100 = 8
+        ),
+        ppos AS (
+            SELECT doc_id, i,
+                   CAST(('0x' || SUBSTRING(h, 1 + 8 * i, 8))::UBIGINT
+                        AS BIGINT) % {BLOOM_M} AS p
+            FROM probe CROSS JOIN hashes
+        ),
+        hit AS (
+            SELECT doc_id, i,
+                   COALESCE(MAX((bits >> CAST(p % {BLOOM_W} AS INT)) & 1), 0)
+                       AS b
+            FROM ppos LEFT JOIN words ON p // {BLOOM_W} = w
+            GROUP BY doc_id, i
+        )
+        SELECT doc_id, CAST(MIN(b) AS INT) AS might_contain
+        FROM hit GROUP BY doc_id
     """
 
 

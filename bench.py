@@ -75,6 +75,7 @@ RELATIONAL = [
     "tfidf_top_terms",
     "audio_ingest",
     "video_ingest",
+    "bloom_prefilter",
 ]
 
 
