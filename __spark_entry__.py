@@ -640,7 +640,11 @@ def _cc_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     # materialize the edge list ONCE: without this every round's two
     # actions re-run the whole upstream pair pipeline (the LSH band
     # self-join), turning O(log d) cheap rounds into O(log d) full
-    # corpus passes (measured 11.7 s -> ~1 s at sf0.1)
+    # corpus passes (measured 11.7 s -> ~1 s at sf0.1).  Lifetime:
+    # each round's localCheckpoint becomes unreferenced when the loop
+    # variable advances, so Spark's ContextCleaner reclaims the cached
+    # blocks on GC — repeated calls do not accumulate live storage
+    # (unlike a persist() without unpersist, r4 ADVICE class).
     edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
