@@ -1977,6 +1977,46 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOURLY_STREAM_TMP_ROOT = None
+
+
+def q_event_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly rollup under the driver gate: the events table
+    replayed through hourly_agg_stream (availableNow, 1-hour
+    watermark).  Emission is watermark-gated, so the sink holds
+    EXACTLY the windows with window_end <= max(ts) - 1 hour — the
+    batch oracle recomputes that set independently (same aggregation
+    + the emission predicate).  This pins the append-mode semantics
+    the batch/streaming pair must agree on: every emitted window is
+    final (exactly-once per window), and the held-back tail is the
+    price of correctness under late data."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import hourly_agg_stream
+
+    global _HOURLY_STREAM_TMP_ROOT
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    if _HOURLY_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_HOURLY_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_hourly_stream_")
+    _HOURLY_STREAM_TMP_ROOT = root
+    in_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    ev.write.parquet(in_dir)
+    q = hourly_agg_stream(spark, in_dir, out_dir, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming hourly agg did not finish in 600s")
+    return spark.read.parquet(out_dir).select(
+        "hour", "event_type", "n_events", "sum_value"
+    )
+
+
 _DEDUP_STREAM_TMP_ROOT = None
 
 
@@ -2912,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ingest": q_audio_ingest,
         "video_ingest": q_video_ingest,
         "bloom_prefilter": q_bloom_prefilter,
+        "event_hourly_stream": q_event_hourly_stream,
     }
 
 
@@ -4014,6 +4055,19 @@ def _install_pipeline_oracles() -> None:
         )
         SELECT doc_id, CAST(MIN(b) AS INT) AS might_contain
         FROM hit GROUP BY doc_id
+    """
+    # event_hourly_stream: the batch rollup restricted to the
+    # watermark-emitted set (window_end <= max(ts) - 1 hour)
+    _ORACLE_SQL["event_hourly_stream"] = """
+        SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY DATE_TRUNC('hour', ts), event_type
+        HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+               <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
     """
 
 

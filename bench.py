@@ -76,6 +76,7 @@ RELATIONAL = [
     "audio_ingest",
     "video_ingest",
     "bloom_prefilter",
+    "event_hourly_stream",
 ]
 
 

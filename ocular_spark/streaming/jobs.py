@@ -140,6 +140,53 @@ def extract_spans_stream(
     return writer.start()
 
 
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def hourly_agg_stream(
+    spark,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming tumbling-window aggregation with watermark-gated
+    emission — the incremental form of the batch hourly rollup
+    (q_event_hourly): state is one row per open (window, event_type),
+    and a window is emitted (append mode) exactly when the watermark
+    passes its end, i.e. the emitted set is precisely
+    ``window_end <= max(event_time) - watermark`` — a pure function of
+    the input, which is what the driver row hashes.  Late rows inside
+    the watermark merge into open state; rows later than the watermark
+    are dropped deterministically.  Returns the started query."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_docs_stream(
     spark,
     docs_dir: str,

@@ -294,3 +294,49 @@ def test_dedup_stream_drops_duplicates_across_microbatches(spark, tmp_path):
     got2 = {r.text_hash for r in spark.read.parquet(out_dir).collect()}
     assert len(got2) == 21  # checkpointed state deduped the re-clones
     assert got < got2
+
+
+def test_hourly_agg_stream_watermark_semantics(spark, tmp_path):
+    """Three watermark laws, across a checkpoint restart: (1) a window
+    is emitted exactly once, when the watermark passes its end; (2) a
+    row arriving LATER than the watermark cannot change an emitted
+    window (it is dropped, not double-counted); (3) newly unlocked
+    windows emit on the next run."""
+    from ocular_spark.streaming.jobs import hourly_agg_stream
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, hour, minute, etype="click", value=1.0):
+        return (eid, f"2024-01-01 {hour:02d}:{minute:02d}:00", 1, etype, value, "{}")
+
+    ddl = ("event_id long, ts string, user_id long, event_type string, "
+           "value double, props string")
+
+    def write(rows):
+        import pyspark.sql.functions as F
+        (spark.createDataFrame(rows, ddl)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    # batch 1: events in hours 00 and 03 -> watermark 03:00-1h = 02:00,
+    # so ONLY hour 00 (end 01:00 <= 02:00) emits
+    write([ev(0, 0, 10), ev(1, 0, 20), ev(2, 3, 0)])
+    q = hourly_agg_stream(spark, in_dir, out_dir, ckpt)
+    assert q.awaitTermination(300)
+    got = {(r.hour, r.n_events) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("2024-01-01 00:00:00", 2)}
+
+    # batch 2 after restart: a LATE row for hour 00 (beyond the
+    # watermark -> dropped) + hour 05 rows that unlock hours 03 and 04-
+    # empty/05? watermark moves to 05:59-1h, so hour 03 (end 04:00)
+    # and the late-free hour 04 has no rows; hour 05 stays open
+    write([ev(3, 0, 30), ev(4, 5, 59), ev(5, 5, 1)])
+    q2 = hourly_agg_stream(spark, in_dir, out_dir, ckpt)
+    assert q2.awaitTermination(300)
+    got2 = {(r.hour, r.n_events) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {
+        ("2024-01-01 00:00:00", 2),   # unchanged: late row dropped
+        ("2024-01-01 03:00:00", 1),   # unlocked by the new watermark
+    }, got2
