@@ -2399,6 +2399,40 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP_N = 15  # max docs kept per source (< the fixture's
+#   25 docs/source, so both kept and capped classes occur in the gate)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution capping — the CommonCrawl-curation rule
+    that no single source may dominate the training mix: keep at most
+    DOMAIN_CAP_N docs per source, chosen by a DETERMINISTIC hash order
+    (Lehmer hash of doc_id, doc_id as tiebreak) so the kept set is a
+    pure function of the corpus — reproducible across retries, unlike
+    a rand() sample, and unbiased w.r.t. doc_id order, unlike a plain
+    LIMIT.  Output marks every doc kept/capped with its rank.
+
+    100 TB shape: one hash exchange on source + a per-source window.
+    Source cardinality is domain-count-sized (millions), so the key is
+    well distributed; a pathological mega-domain is bounded by the cap
+    itself downstream and by AQE skew-split during the sort."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr("(doc_id % 1000003) * 48271 % 2147483647"), "doc_id"
+    )
+    return d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rank")
+    ).select(
+        "doc_id",
+        "source",
+        "rank",
+        F.when(F.col("rank") <= DOMAIN_CAP_N, 1).otherwise(0)
+        .cast("int").alias("kept"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-vote language-ID heuristic (stopword-profile matching):
     count matches against two token lexicons, classify by majority."""
@@ -2953,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_ingest": q_video_ingest,
         "bloom_prefilter": q_bloom_prefilter,
         "event_hourly_stream": q_event_hourly_stream,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -4068,6 +4103,21 @@ def _install_pipeline_oracles() -> None:
         GROUP BY DATE_TRUNC('hour', ts), event_type
         HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
                <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """
+    # domain_cap: same Lehmer order + per-source rank
+    _ORACLE_SQL["domain_cap"] = f"""
+        SELECT doc_id, source, CAST(rank AS INT) AS rank,
+               CAST(CASE WHEN rank <= {DOMAIN_CAP_N} THEN 1 ELSE 0 END
+                    AS INT) AS kept
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id % 1000003) * 48271 % 2147483647,
+                                doc_id
+                   ) AS rank
+            FROM documents
+        )
     """
 
 

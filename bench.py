@@ -77,6 +77,7 @@ RELATIONAL = [
     "video_ingest",
     "bloom_prefilter",
     "event_hourly_stream",
+    "domain_cap",
 ]
 
 
