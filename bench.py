@@ -78,6 +78,7 @@ RELATIONAL = [
     "bloom_prefilter",
     "event_hourly_stream",
     "domain_cap",
+    "corpus_profile",
 ]
 
 
