@@ -2017,6 +2017,55 @@ def q_event_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESS_STREAM_TMP_ROOT = None
+
+
+def q_event_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming sessionization under the driver gate
+    (streaming/jobs.py::sessionize_stream_custom): a hand-managed
+    applyInPandasWithState state machine — the API surface for
+    stateful operators Spark's built-ins can't express — replaying the
+    events table with availableNow.  Deterministic emission contract
+    hashed by the row: sessions closed by a following event always
+    emit; each user's final session emits iff session_end + gap <=
+    max(ts) - watermark (event-time timeout).  The DuckDB oracle
+    recomputes sessions independently (gaps-and-islands) and applies
+    the same predicate.  Gap arithmetic is integer microseconds
+    (>= 1801.000000 s splits), exactly the batch event_sessions
+    rule."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import sessionize_stream_custom
+
+    global _SESS_STREAM_TMP_ROOT
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    if _SESS_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_SESS_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_sess_stream_")
+    _SESS_STREAM_TMP_ROOT = root
+    in_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    ev.coalesce(1).write.parquet(in_dir)
+    q = sessionize_stream_custom(spark, in_dir, out_dir, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("custom streaming sessionization timed out")
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 _DEDUP_STREAM_TMP_ROOT = None
 
 
@@ -3013,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_stream": q_event_hourly_stream,
         "domain_cap": q_domain_cap,
         "corpus_profile": q_corpus_profile,
+        "event_sessions_custom": q_event_sessions_custom,
     }
 
 
@@ -4155,6 +4205,43 @@ def _install_pipeline_oracles() -> None:
                ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS p90_chars,
                ROUND(QUANTILE_CONT(n_chars, 0.99), 4) AS p99_chars
         FROM documents GROUP BY source
+    """
+    # event_sessions_custom: independent gaps-and-islands + the
+    # emission predicate (closed-by-event OR timeout-closed)
+    _ORACLE_SQL["event_sessions_custom"] = """
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events
+        ), m AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN prev IS NULL OR
+                        DATE_DIFF('microseconds', prev, ts) >= 1801000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ), g AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS sess
+            FROM m
+        ), s AS (
+            SELECT user_id, sess,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM g GROUP BY user_id, sess
+        ), mx AS (SELECT MAX(ts) AS mt FROM events)
+        SELECT user_id,
+               STRFTIME(session_start, '%Y-%m-%d %H:%M:%S.%f')
+                   AS session_start,
+               STRFTIME(session_end, '%Y-%m-%d %H:%M:%S.%f')
+                   AS session_end,
+               n_events, sum_value
+        FROM s CROSS JOIN mx
+        WHERE sess < (SELECT MAX(s2.sess) FROM s s2
+                      WHERE s2.user_id = s.user_id)
+           OR session_end + INTERVAL 1801 SECOND <= mt - INTERVAL 1 HOUR
     """
 
 

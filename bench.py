@@ -79,6 +79,7 @@ RELATIONAL = [
     "event_hourly_stream",
     "domain_cap",
     "corpus_profile",
+    "event_sessions_custom",
 ]
 
 

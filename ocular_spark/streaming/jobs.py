@@ -145,6 +145,104 @@ EVENTS_DDL = (
     "value double, props string"
 )
 
+SESSION_GAP_US = 1_801_000_000  # split iff true gap >= 1801.000000 s
+#   == the batch rule timestampdiff(SECOND, prev, ts) > 1800 exactly
+#   (floor(gap) > 1800 <=> gap_us >= 1_801_000_000)
+
+SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE_DDL = "start long, last long, n long, s double"
+
+
+def _session_fn(key, pdfs, state):
+    """applyInPandasWithState kernel: a hand-managed per-user session
+    state machine — state = (start_us, last_us, n, sum) of the OPEN
+    session.  Sessions closed by a following event emit immediately;
+    the final open session emits when the event-time timeout fires
+    (watermark passes last + gap).  All gap arithmetic in integer
+    microseconds — bit-identical to the batch rule."""
+    import pandas as pd
+
+    (user_id,) = key
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    sessions = []
+    if state.hasTimedOut:
+        start, last, n, s = state.get
+        sessions.append((user_id, start, last, n, s))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        vals = rows["value"].tolist()
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+            n, s = 0, 0.0
+        for t, v in zip(ts_us, vals):
+            if last is not None and t - last >= SESSION_GAP_US:
+                sessions.append((user_id, start, last, n, s))
+                start, n, s = None, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            s += float(v)
+        state.update((int(start), int(last), int(n), float(s)))
+        # fire when the watermark passes last + gap (epoch millis)
+        state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    out = pd.DataFrame(sessions, columns=cols)
+    if len(out):
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+    yield out
+
+
+def sessionize_stream_custom(
+    spark,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """CUSTOM stateful streaming sessionization via
+    ``applyInPandasWithState`` — the hand-managed-state counterpart of
+    sessionize_stream's native session_window (the API surface for
+    operators Spark's built-ins cannot express).  Emission contract
+    (deterministic, what the driver row hashes): every session CLOSED
+    BY A FOLLOWING EVENT emits in that event's batch; each user's
+    final open session emits iff the end-of-stream watermark
+    (max event time - ``watermark``) has passed its last event + gap;
+    later-than-watermark stragglers would start a fresh session (state
+    was removed) — the standard reopening caveat of timeout-based
+    sessionization.  Returns the started query."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
 
 def hourly_agg_stream(
     spark,

@@ -340,3 +340,49 @@ def test_hourly_agg_stream_watermark_semantics(spark, tmp_path):
         ("2024-01-01 00:00:00", 2),   # unchanged: late row dropped
         ("2024-01-01 03:00:00", 1),   # unlocked by the new watermark
     }, got2
+
+
+def test_custom_sessionization_state_across_batches(spark, tmp_path):
+    """The hand-managed applyInPandasWithState machine must CONTINUE a
+    session across a checkpoint restart (events in a later file within
+    the gap join the open session), split at the exact 1801.000000 s
+    boundary, and emit the final session via event-time timeout."""
+    import pyspark.sql.functions as F
+    from ocular_spark.streaming.jobs import sessionize_stream_custom
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ddl = ("event_id long, ts string, user_id long, event_type string, "
+           "value double, props string")
+
+    def write(rows):
+        (spark.createDataFrame(rows, ddl)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    # file 1: one event at 00:00:00 (user 1)
+    write([(0, "2024-01-01 00:00:00", 1, "c", 1.0, "{}")])
+    q = sessionize_stream_custom(spark, in_dir, out_dir, ckpt)
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 0  # still open
+
+    # file 2 after restart: +1800.999999s (same session — gap below
+    # 1801.000000), then +1801.000000s exactly (split), then a far
+    # event that lets the timeout close session 2 but not session 3
+    write([
+        (1, "2024-01-01 00:30:00.999999", 1, "c", 2.0, "{}"),
+        (2, "2024-01-01 01:00:01.999999", 1, "c", 4.0, "{}"),
+        (3, "2024-01-01 09:00:00",        1, "c", 8.0, "{}"),
+    ])
+    q2 = sessionize_stream_custom(spark, in_dir, out_dir, ckpt)
+    assert q2.awaitTermination(300)
+    got = sorted(
+        (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # session 1 = events 0+1 (continued across the restart, then split
+    # by event 2); session 2 = event 2 alone, closed by event 3's
+    # arrival... but ALSO only emitted once; session 3 (event 3) stays
+    # open: watermark = 09:00 - 1h = 08:00 < 09:00 + gap
+    assert got == [(1, 4.0), (2, 3.0)], got
