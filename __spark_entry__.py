@@ -2039,8 +2039,12 @@ def q_event_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocular_spark.streaming.jobs import sessionize_stream_custom
 
     global _SESS_STREAM_TMP_ROOT
-    ev = _load(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    # a third of the users is plenty to exercise the state machine
+    # (thousands of sessions at sf0.01); the oracle mirrors the filter
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 3 == 0)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
     if _SESS_STREAM_TMP_ROOT is not None:
@@ -4209,11 +4213,13 @@ def _install_pipeline_oracles() -> None:
     # event_sessions_custom: independent gaps-and-islands + the
     # emission predicate (closed-by-event OR timeout-closed)
     _ORACLE_SQL["event_sessions_custom"] = """
-        WITH o AS (
+        WITH ev AS (
+            SELECT * FROM events WHERE user_id % 3 = 0
+        ), o AS (
             SELECT user_id, event_id, ts, value,
                    LAG(ts) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS prev
-            FROM events
+            FROM ev
         ), m AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN prev IS NULL OR
@@ -4231,7 +4237,7 @@ def _install_pipeline_oracles() -> None:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM g GROUP BY user_id, sess
-        ), mx AS (SELECT MAX(ts) AS mt FROM events)
+        ), mx AS (SELECT MAX(ts) AS mt FROM ev)
         SELECT user_id,
                STRFTIME(session_start, '%Y-%m-%d %H:%M:%S.%f')
                    AS session_start,
