@@ -50,10 +50,18 @@ def _total_best() -> float:
 
 
 def _scale_quality(rec) -> tuple:
+    """Cleanliness FIRST: among clean windows prefer the one whose
+    hardware control is closest to 1.0 (the window itself is the
+    evidence; a band-edge control means the same co-tenant noise that
+    depressed the bare-hardware run inflated the Spark ratio — e.g. a
+    superlinear eff=1.1 @ hw=0.711 reading is weaker evidence than
+    0.908 @ 1.071), then by clamped efficiency."""
     hw = rec.get("hardware_control", {}).get("hardware_efficiency", 0.0)
     eff = min(rec.get("scaling_efficiency", 0.0), 1.0)
     clean = 0.7 <= hw <= 1.3
-    return (clean, eff if clean else eff * min(hw, 1.0 / max(hw, 1e-9)))
+    if clean:
+        return (True, -abs(hw - 1.0), eff)
+    return (False, -abs(hw - 1.0), eff * min(hw, 1.0 / max(hw, 1e-9)))
 
 
 def _run_json(args):
