@@ -718,12 +718,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_M, BLOOM_K, BLOOM_W = 1024, 3, 32  # bits, hashes, bits per word
 
 
-def _bloom_pos(col, i: int):
-    """Hash i of a Bloom family over md5(text): disjoint 8-hex-char
-    substrings of ONE digest (values < 2^32, exact in BIGINT) mod M —
-    identical in Spark and DuckDB."""
+def _bloom_pos_from_digest(i: int):
+    """Hash i of a Bloom family over an `h` = md5(text) column:
+    disjoint 8-hex-char substrings of ONE digest (values < 2^32,
+    exact in BIGINT) mod M — identical in Spark and DuckDB."""
     return (
-        F.conv(F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10).cast("long")
+        F.conv(F.substring(F.col("h"), 1 + 8 * i, 8), 16, 10).cast("long")
         % BLOOM_M
     )
 
@@ -753,9 +753,11 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_words = BLOOM_M // BLOOM_W
-    pos = seen.select(
+    # digest ONCE per row; every hash position is a substring of it
+    # (don't rely on Catalyst CSE for k md5 calls over a text column)
+    pos = seen.select(F.md5("text").alias("h")).select(
         F.explode(
-            F.array(*[_bloom_pos(F.col("text"), i) for i in range(BLOOM_K)])
+            F.array(*[_bloom_pos_from_digest(i) for i in range(BLOOM_K)])
         ).alias("p")
     )
     words = (
@@ -773,7 +775,7 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def p_sql(i: int) -> str:
         return (
-            f"(cast(conv(substring(md5(text), {1 + 8 * i}, 8), 16, 10)"
+            f"(cast(conv(substring(h, {1 + 8 * i}, 8), 16, 10)"
             f" as bigint) % {BLOOM_M})"
         )
 
@@ -789,7 +791,7 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     might = checks[0]
     for c in checks[1:]:
         might = might & c
-    return probe.select(
+    return probe.select("doc_id", F.md5("text").alias("h")).select(
         "doc_id", F.when(might, 1).otherwise(0).cast("int").alias("might_contain")
     )
 
