@@ -1078,6 +1078,59 @@ def q_video_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clips.mapInPandas(video_sample_kernel(3), schema=VIDEO_FRAMES_SCHEMA)
 
 
+def q_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image ingest under the driver gate — completes the multimodal
+    quartet (pdf/audio/video/image) over the opaque-binary contract:
+    per-doc grayscale gradient images (pixel (y, x) of doc d is
+    (d*7 + y*13 + x*29) % 256, h = 16 + d%5, w = 24 + d%3) are encoded
+    with the REAL pure-stdlib PNG codec (functions/png.py: zlib +
+    Paeth-filter pipeline), then pushed through image_meta_kernel:
+    PNG decode -> nearest-neighbor 8x12 thumbnail (resize_gray's exact
+    integer index gather: source row of thumbnail row i is
+    min((i*h)//8, h-1)) -> exact-integer stats (min/max/sum/position-
+    weighted sum).
+
+    The DuckDB oracle replays the construction formula AND the resize
+    index arithmetic analytically over a generated (i, j) grid — every
+    output is an exact integer, so a hash match proves the PNG encode
+    -> inflate/unfilter -> index-gather resize round-trip is lossless
+    at every thumbnail position (the weighted sum fails on any
+    transposition or shift that preserves the histogram).
+
+    100 TB shape: both stages are Arrow-batched mapInPandas over the
+    binary column; zero shuffle (images never leave their scan
+    partition).  Real deployments swap the gradient synthesizer for a
+    binary-column scan and resize_gray for a SIMD decoder — schemas,
+    batching, and kernel signatures are unchanged."""
+    from ocular_spark.functions.media import IMAGE_META_SCHEMA, image_meta_kernel
+
+    d = (
+        _load_wide(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def make_pngs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocular_spark.functions.png import encode_gray_png
+
+        for b in batches:
+            rows = []
+            for raw in b["doc_id"]:
+                doc_id = int(raw)
+                h, w = 16 + doc_id % 5, 24 + doc_id % 3
+                y = np.arange(h, dtype=np.int64)[:, None]
+                x = np.arange(w, dtype=np.int64)[None, :]
+                img = ((doc_id * 7 + y * 13 + x * 29) % 256).astype(np.uint8)
+                rows.append((f"i-{doc_id}", encode_gray_png(img)))
+            yield pd.DataFrame(rows, columns=["media_ref", "image"])
+
+    pngs = d.mapInPandas(make_pngs, schema="media_ref string, image binary")
+    return pngs.mapInPandas(image_meta_kernel(8, 12), schema=IMAGE_META_SCHEMA)
+
+
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF page ingest under the driver gate (reference seam:
     data/PdfImageReader.java:23-93 renders PDF pages,
@@ -3064,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "audio_ingest": q_audio_ingest,
         "video_ingest": q_video_ingest,
+        "image_ingest": q_image_ingest,
         "bloom_prefilter": q_bloom_prefilter,
         "event_hourly_stream": q_event_hourly_stream,
         "domain_cap": q_domain_cap,
@@ -4130,6 +4184,36 @@ def _install_pipeline_oracles() -> None:
                CAST((doc_id * 11 + ((i * n) // m) * 17) % 256 AS DOUBLE)
                    AS mean_level
         FROM clips, UNNEST(GENERATE_SERIES(0, m - 1)) AS t(i)
+    """
+    # image_ingest: construction formula + nearest-neighbor index
+    # arithmetic replayed analytically over the (i, j) thumbnail grid —
+    # all-integer outputs, so no float rounding convention is needed
+    _ORACLE_SQL["image_ingest"] = """
+        WITH imgs AS (
+            SELECT doc_id,
+                   16 + doc_id % 5 AS h,
+                   24 + doc_id % 3 AS w
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        px AS (
+            SELECT doc_id, h, w, i, j,
+                   (doc_id * 7
+                    + LEAST((i * h) // 8, h - 1) * 13
+                    + LEAST((j * w) // 12, w - 1) * 29) % 256 AS v
+            FROM imgs,
+                 UNNEST(GENERATE_SERIES(0, 7)) AS a(i),
+                 UNNEST(GENERATE_SERIES(0, 11)) AS b(j)
+        )
+        SELECT 'i-' || doc_id AS media_ref,
+               CAST(h AS INT) AS height,
+               CAST(w AS INT) AS width,
+               8 AS out_h,
+               12 AS out_w,
+               CAST(MIN(v) AS INT) AS px_min,
+               CAST(MAX(v) AS INT) AS px_max,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v * (i * 12 + j + 1)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY doc_id, h, w
     """
     # bloom_prefilter: identical hash family (disjoint md5 substrings
     # mod M) and 32-bit word packing; the oracle probes by joining the

@@ -145,6 +145,54 @@ def audio_meta_kernel(batches: Iterator["object"]) -> Iterator["object"]:
         )
 
 
+IMAGE_META_SCHEMA = (
+    "media_ref string, height int, width int, out_h int, out_w int, "
+    "px_min int, px_max int, px_sum bigint, px_wsum bigint"
+)
+
+
+def image_meta_kernel(out_h: int, out_w: int):
+    """mapInPandas factory: (media_ref, image binary PNG) -> typed
+    metadata + nearest-neighbor thumbnail integrity stats.
+
+    The stats are all EXACT integers over the out_h x out_w thumbnail —
+    min, max, sum, and a position-weighted sum (weight of thumbnail
+    pixel (i, j) is i*out_w + j + 1) — so a cross-engine comparison
+    needs no float rounding convention, and the weighted sum pins every
+    pixel to its POSITION (a transposed or shifted thumbnail with the
+    same histogram fails the gate)."""
+    import pandas as pd
+
+    from ocular_spark.functions.png import decode_gray_png
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        weights = np.arange(1, out_h * out_w + 1, dtype=np.int64).reshape(
+            out_h, out_w
+        )
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["image"]):
+                img = decode_gray_png(bytes(blob))
+                h, w = img.shape
+                thumb = resize_gray(img, out_h, out_w).astype(np.int64)
+                rows.append(
+                    (
+                        ref, h, w, out_h, out_w,
+                        int(thumb.min()), int(thumb.max()),
+                        int(thumb.sum()), int((thumb * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "height", "width", "out_h", "out_w",
+                    "px_min", "px_max", "px_sum", "px_wsum",
+                ],
+            )
+
+    return fn
+
+
 VIDEO_FRAMES_SCHEMA = (
     "media_ref string, frame_idx int, height int, width int, mean_level double"
 )

@@ -7,10 +7,12 @@ import pytest
 
 from ocular_spark.functions.media import (
     AUDIO_META_SCHEMA,
+    IMAGE_META_SCHEMA,
     VIDEO_FRAMES_SCHEMA,
     audio_meta_kernel,
     encode_rawv,
     encode_wav,
+    image_meta_kernel,
     rawv_metadata,
     resize_gray,
     sample_frames,
@@ -47,6 +49,34 @@ def test_rawv_fake_codec_and_sampling():
     assert [int(f.mean()) for f in picked] == [0, 3, 6]  # uniform stride
     with pytest.raises(NotImplementedError):
         rawv_metadata(b"MP4\x00 not supported")
+
+
+def test_image_meta_kernel_stats_are_exact_and_positional():
+    """The kernel's integer stats must equal a direct NumPy restatement,
+    and the position-weighted sum must distinguish a transposed
+    thumbnail with an identical histogram (the failure the plain sum
+    cannot see)."""
+    import pandas as pd
+
+    from ocular_spark.functions.png import encode_gray_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(17, 25), dtype=np.uint8).astype(np.uint8)
+    fn = image_meta_kernel(8, 12)
+    [out] = list(fn(iter([pd.DataFrame(
+        [("i0", encode_gray_png(img))], columns=["media_ref", "image"])])))
+    r = out.iloc[0]
+    thumb = resize_gray(img, 8, 12).astype(np.int64)
+    weights = np.arange(1, 97, dtype=np.int64).reshape(8, 12)
+    assert (r.height, r.width) == (17, 25)
+    assert r.px_min == thumb.min() and r.px_max == thumb.max()
+    assert r.px_sum == thumb.sum()
+    assert r.px_wsum == (thumb * weights).sum()
+    # positional sensitivity: a square thumbnail transposed keeps
+    # min/max/sum but moves the weighted sum (unless symmetric)
+    sq = resize_gray(img, 10, 10).astype(np.int64)
+    wsq = np.arange(1, 101, dtype=np.int64).reshape(10, 10)
+    assert (sq * wsq).sum() != (sq.T * wsq).sum()
 
 
 def test_spark_media_kernels(spark):
