@@ -386,6 +386,47 @@ def _sessionize(e: DataFrame) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join — the canonical event-enrichment operator
+    Spark lacks natively (pandas merge_asof / DuckDB ASOF JOIN): each
+    event is joined to the SAME user's most recent purchase event at
+    or before its timestamp (NULL when none).  Implemented as the
+    union-marker + running-window formulation in
+    ocular_spark/operators/asof.py: ONE hash shuffle on user_id + a
+    per-partition sort — no range cross-product, no Python.  The
+    oracle is DuckDB's native ASOF LEFT JOIN, a genuinely independent
+    second algorithm (plan-based range matching vs window carry).
+    Microsecond deltas are exact BIGINTs in both engines."""
+    from ocular_spark.operators.asof import asof_join_backward
+
+    e = _load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("last_purchase_ts"),
+        F.col("event_id").alias("last_purchase_id"),
+    )
+    joined = asof_join_backward(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on=["user_id"],
+        ts="ts",
+        payload=["last_purchase_ts", "last_purchase_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("last_purchase_id").cast("long").alias("last_purchase_id"),
+        # timestampdiff is timezone-free on TIMESTAMP_NTZ (matches
+        # DuckDB EPOCH_US arithmetic on naive timestamps; unix_micros
+        # rejects NTZ outright)
+        F.expr("timestampdiff(MICROSECOND, last_purchase_ts, ts)")
+        .cast("long")
+        .alias("us_since_purchase"),
+    )
+
+
 # --------------------------------- training-data ops: dedup / text / ANN
 
 def q_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3072,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_orders": q_first_orders,
         "event_hourly": q_event_hourly,
         "event_sessions": q_event_sessions,
+        "events_asof": q_events_asof,
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -3210,6 +3252,20 @@ _ORACLE_SQL = {
                    ROUND(SUM(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_asof": """
+            SELECT e.event_id,
+                   e.user_id,
+                   e.event_type,
+                   p.event_id AS last_purchase_id,
+                   EPOCH_US(e.ts) - EPOCH_US(p.ts) AS us_since_purchase
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, event_id
+                FROM events
+                WHERE event_type = 'purchase'
+            ) p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "event_sessions": """
             WITH gaps AS (

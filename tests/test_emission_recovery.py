@@ -118,12 +118,73 @@ def _naive_tables(obs, stack):
     return best, b_e, b_off, b_pad
 
 
+TIE_ULPS = 64  # measured flips on a kernel change: <= 12 ulps
+
+
+def _assert_args_tie_equivalent(
+    stack, obs, best, b_e, b_off, b_pad, ts, cs, ws, e_got, off_got, pad_got
+):
+    """Recovery parity, stated as the actual production contract.
+
+    Bitwise (e, off, pad) parity with the naive populate is NOT
+    portable: recover_emission_args recomputes the per-offset scores
+    in a GEMM whose row count is the query's distinct-start-column
+    count, and OpenBLAS (DYNAMIC_ARCH) picks a different kernel —
+    hence a different float32 reduction order, off by O(10) ulps —
+    at that shape.  On zero-noise lines many (offset) candidates over
+    blank columns are genuinely tied to within that noise, and the
+    argmax flips between sandbox hosts (observed when this repo moved
+    CPU generations mid-round: 26/41457 offset flips, values and
+    exposures bit-equal).
+
+    So: exact equality where the argmax is well-separated, and where
+    it differs, the recovered triple must ACHIEVE the naive best
+    score within TIE_ULPS float32 ulps — recomputed in one 1-row
+    GEMM so the comparison itself is reduction-order-consistent."""
+    from ocular_spark.decoder import BLACK, WHITE
+
+    naive_e, naive_off, naive_pad = b_e[ts, cs, ws], b_off[ts, cs, ws], b_pad[ts, cs, ws]
+    mism = np.nonzero(
+        (e_got != naive_e) | (off_got != naive_off) | (pad_got != naive_pad)
+    )[0]
+    if len(mism) == 0:
+        return
+    # flips must be rare (ties over blank columns, not systematic)
+    assert len(mism) <= 0.01 * len(ts), f"{len(mism)}/{len(ts)} arg flips"
+    white = (obs == WHITE).astype(np.float32)
+    black = (obs == BLACK).astype(np.float32)
+    ws_col = white @ stack.ws_white.T + black @ stack.ws_black.T
+    ws_cum = np.vstack(
+        [np.zeros((1, N_EXPOSURES), np.float32), np.cumsum(ws_col, axis=0)]
+    )
+    plp = np.float32(stack.pad_log_prob)
+    for i in mism:
+        t, c, w = int(ts[i]), int(cs[i]), int(ws[i])
+        assert c != stack.space_idx  # space args are analytic, no GEMM
+        pw, e = int(pad_got[i]), int(e_got[i])
+        tw = w - pw
+        whiteT, blackT, chars_tw, wlp = stack.stacks[tw]
+        ci = list(chars_tw).index(c)
+        sc = (
+            white[t : t + tw].reshape(1, -1) @ whiteT
+            + black[t : t + tw].reshape(1, -1) @ blackT
+        ).reshape(len(chars_tw), N_EXPOSURES, stack.n_offsets)
+        pad_lp = (ws_cum[t + tw + pw] - ws_cum[t + tw]) + plp
+        got_score = sc[ci, e, int(off_got[i]) + MAX_OFFSET] + np.float32(wlp[ci]) + pad_lp[e]
+        tol = TIE_ULPS * np.spacing(np.abs(best[t, c, w]))
+        assert abs(float(got_score) - float(best[t, c, w])) <= tol, (
+            f"(t={t},c={c},w={w}): recovered args score {got_score} vs "
+            f"best {best[t, c, w]} — beyond a reduction-order tie"
+        )
+
+
 def test_recovery_matches_naive_tables_everywhere(stack_and_lines):
     stack, lines = stack_and_lines
     for obs in lines:
         cache = build_emission_cache(obs, stack)
         best, b_e, b_off, b_pad = _naive_tables(obs, stack)
-        # cache values agree with the naive populate
+        # cache values agree with the naive populate (same GEMM shapes
+        # on both sides -> bit-exact is portable here)
         np.testing.assert_array_equal(cache.log_probs, best)
         ts, cs, ws = np.nonzero(best > NEG_INF)
         # every finite triple, not just path entries
@@ -131,9 +192,10 @@ def test_recovery_matches_naive_tables_everywhere(stack_and_lines):
             cache, stack, ts.astype(np.int32), cs.astype(np.int32),
             ws.astype(np.int32),
         )
-        np.testing.assert_array_equal(e_got, b_e[ts, cs, ws])
-        np.testing.assert_array_equal(off_got, b_off[ts, cs, ws])
-        np.testing.assert_array_equal(pad_got, b_pad[ts, cs, ws])
+        _assert_args_tie_equivalent(
+            stack, obs, best, b_e, b_off, b_pad,
+            ts, cs, ws, e_got, off_got, pad_got,
+        )
 
 
 def _path_shaped_subset(best):
@@ -179,11 +241,14 @@ def test_recovery_on_path_shaped_sparse_subset(stack_and_lines):
         ts, cs, ws = _path_shaped_subset(best)
         assert 1 <= len(ts) < best.shape[0] // 2  # genuinely sparse
         e_got, off_got, pad_got = recover_emission_args(cache, stack, ts, cs, ws)
+        # path-shaped entries are well-separated: exact parity holds
+        # (and must — these are the triples EM actually consumes)
         np.testing.assert_array_equal(e_got, b_e[ts, cs, ws])
         np.testing.assert_array_equal(off_got, b_off[ts, cs, ws])
         np.testing.assert_array_equal(pad_got, b_pad[ts, cs, ws])
         # ... and a scattered every-7th-finite-triple subset (small M,
-        # multiple chars/widths per start column)
+        # multiple chars/widths per start column); includes blank-column
+        # near-ties, so tie-equivalence applies (see helper docstring)
         fts, fcs, fws = np.nonzero(best > NEG_INF)
         sel = np.arange(0, len(fts), 7)
         ts2, cs2, ws2 = (
@@ -192,9 +257,9 @@ def test_recovery_on_path_shaped_sparse_subset(stack_and_lines):
             fws[sel].astype(np.int32),
         )
         e2, o2, p2 = recover_emission_args(cache, stack, ts2, cs2, ws2)
-        np.testing.assert_array_equal(e2, b_e[ts2, cs2, ws2])
-        np.testing.assert_array_equal(o2, b_off[ts2, cs2, ws2])
-        np.testing.assert_array_equal(p2, b_pad[ts2, cs2, ws2])
+        _assert_args_tie_equivalent(
+            stack, obs, best, b_e, b_off, b_pad, ts2, cs2, ws2, e2, o2, p2
+        )
 
 
 def _naive_tables_explicit(obs, stack):
