@@ -2333,6 +2333,36 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (NFC + space folding + zero-width/
+    control strip + run collapse; ocular_spark/functions/text.py) —
+    the pass every corpus pipeline runs before hashing, or exact
+    dedup misses byte-different/logically-equal pairs.  Stage 1 (NFC)
+    is an Arrow-batched pandas UDF over CPython's unicodedata; stages
+    2-5 are ONE JVM translate+regex projection.  The DuckDB oracle
+    runs its OWN independent NFC (nfc_normalize) plus the mirrored
+    stages — a genuine two-implementation gate on the Unicode
+    composition tables.  Fixture docs are ASCII, so decorations
+    exercising every stage are injected by doc_id (mirrored in the
+    oracle)."""
+    from ocular_spark.functions import text as T
+
+    d = _load_wide(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(T.injected_expr()).alias("t"))
+    normed = raw.withColumn("__nfc", T.nfc_kernel()("t")).select(
+        "doc_id",
+        "t",
+        T.normalize_col(F.col("__nfc")).alias("norm_text"),
+    )
+    return normed.select(
+        "doc_id",
+        "norm_text",
+        (F.col("t") != F.col("norm_text")).cast("long").alias("changed"),
+        F.length("t").cast("long").alias("len_raw"),
+        F.length("norm_text").cast("long").alias("len_norm"),
+    )
+
+
 # 13-word shingles, the GPT-3/Gopher/Dolma decontamination unit
 DECON_N = 13
 DECON_CANON = (
@@ -3114,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly": q_event_hourly,
         "event_sessions": q_event_sessions,
         "events_asof": q_events_asof,
+        "text_normalize": q_text_normalize,
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -3973,6 +4004,28 @@ def _install_html_oracles() -> None:
 
 
 _install_html_oracles()
+
+
+def _install_text_normalize_oracle() -> None:
+    """text_normalize: injected decorations + stages 2-5 are shared
+    expression fragments (functions/text.py) so Spark and oracle stay
+    mirrored by construction; stage 1 (NFC) is INDEPENDENT — DuckDB's
+    nfc_normalize vs CPython unicodedata."""
+    from ocular_spark.functions import text as _T
+
+    inj = "(" + _T.injected_expr("text", "doc_id") + ")"
+    norm = _T.normalize_expr_duckdb("t")
+    _ORACLE_SQL["text_normalize"] = (
+        "WITH raw AS (SELECT doc_id, " + inj + " AS t FROM documents), "
+        "n AS (SELECT doc_id, t, " + norm + " AS norm_text FROM raw) "
+        "SELECT doc_id, norm_text, "
+        "CAST(t != norm_text AS BIGINT) AS changed, "
+        "CAST(length(t) AS BIGINT) AS len_raw, "
+        "CAST(length(norm_text) AS BIGINT) AS len_norm FROM n"
+    )
+
+
+_install_text_normalize_oracle()
 
 
 def _install_pipeline_oracles() -> None:
