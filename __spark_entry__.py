@@ -2363,6 +2363,108 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor (link) extraction — the first stage of any web-graph /
+    anchor-text-corpus build (anchor text is classic training signal:
+    it labels the TARGET page): every <a> element of the synthesized
+    pages becomes a (doc_id, href, anchor) row.  One
+    regexp_extract_all projection + explode, per-anchor href/text as
+    JVM regex — no shuffle, no Python.  The anchor-text cleanup
+    reuses the exact entity-unescape/tag-strip fragment the
+    main-content extractor uses (functions/html.py _txt_frag), so the
+    two surfaces cannot drift."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_links_spark()).alias("html")
+    )
+    exploded = wrapped.select(
+        "doc_id", F.explode(F.expr(H.anchors_expr("html"))).alias("a")
+    )
+    return exploded.select(
+        "doc_id",
+        F.regexp_extract("a", H.HREF_PAT, 1).alias("href"),
+        F.expr(H._txt_frag(False, "a")).alias("anchor"),
+    )
+
+
+# PageRank fixed-point arithmetic: BIGINT rank at SCALE so every
+# engine sums the same exact integers (order-independent — the same
+# device as the IVF Lloyd means); production would carry doubles.
+PR_SCALE = 10**12
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85
+PR_ITERS = 3
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the extracted doc->doc link graph — the web-graph
+    propagation operator (dedup_cluster covers unweighted reachability;
+    this adds weighted iterative mass flow).  Edges come from the SAME
+    page synthesis + href regex the anchor row gates; ranks are exact
+    BIGINTs at PR_SCALE with per-edge floor division, so three
+    unrolled iterations hash identically in both engines.  Dangling
+    mass (nodes with no out-links) is dropped, not redistributed —
+    documented variant, mirrored in the oracle.
+
+    100 TB shape: the edge list is localCheckpoint'd ONCE (the
+    dedup_cluster lesson: un-materialized, every iteration re-runs
+    the upstream extraction); each iteration is one src-join (rank
+    carry) + one dst-groupBy (mass sum) — the canonical two-shuffle
+    PageRank step; at production scale edges would be bucketed by src
+    so the carry join is co-located and only the dst aggregation
+    shuffles."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_links_spark()).alias("html")
+    )
+    edges = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("d"),
+    ).select("src", F.col("d").cast("long").alias("dst"))
+    return pagerank_ranks(edges)
+
+
+def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank over an (src, dst) edge frame — see
+    q_link_pagerank for arithmetic and scale notes.  Edges are
+    deduplicated and localCheckpoint'd once up front."""
+    edges = edges.distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # driver scalar (bounded: |V|)
+    base = (PR_SCALE * (PR_D_DEN - PR_D_NUM)) // (PR_D_DEN * n_nodes)
+    # cast: a small-universe initial rank fits INT and ANSI mode would
+    # overflow the INT multiply inside the contribution expression
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n_nodes).cast("long"))
+    carry = edges.join(deg, "src")
+    for _ in range(iters):
+        contrib = (
+            carry.join(ranks, carry["src"] == ranks["n"])
+            .select(
+                "dst",
+                F.expr(f"(rank * {PR_D_NUM}) DIV ({PR_D_DEN} * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes["n"] == contrib["dst"], "left").select(
+            "n",
+            (F.lit(base).cast("long") + F.coalesce(F.col("s"), F.lit(0).cast("long")))
+            .alias("rank"),
+        )
+    return ranks.select(
+        F.col("n").alias("node"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 # 13-word shingles, the GPT-3/Gopher/Dolma decontamination unit
 DECON_N = 13
 DECON_CANON = (
@@ -3145,6 +3247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "events_asof": q_events_asof,
         "text_normalize": q_text_normalize,
+        "anchor_texts": q_anchor_texts,
+        "link_pagerank": q_link_pagerank,
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -4026,6 +4130,58 @@ def _install_text_normalize_oracle() -> None:
 
 
 _install_text_normalize_oracle()
+
+
+def _install_link_graph_oracles() -> None:
+    """anchor_texts / link_pagerank: page synthesis and extraction are
+    shared fragments (functions/html.py); the PageRank iterations are
+    unrolled in SQL with the same BIGINT fixed-point arithmetic
+    (DuckDB // == Spark DIV on positive BIGINTs)."""
+    from ocular_spark.functions import html as _H
+
+    pages = (
+        "pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents)"
+    )
+    _ORACLE_SQL["anchor_texts"] = (
+        "WITH " + pages + ", "
+        "ax AS (SELECT doc_id, unnest(" + _H.anchors_expr("html") + ") AS a "
+        "FROM pages) "
+        "SELECT doc_id, "
+        f"regexp_extract(a, '{_H.HREF_PAT}', 1) AS href, "
+        + _H._txt_frag(True, "a")
+        + " AS anchor FROM ax"
+    )
+    base = f"({PR_SCALE} * {PR_D_DEN - PR_D_NUM}) // ({PR_D_DEN} * (SELECT c FROM nn))"
+    its = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        its.append(
+            f"c{i} AS (SELECT e.dst, "
+            f"SUM((r.rank * {PR_D_NUM}) // ({PR_D_DEN} * g.outdeg)) AS s "
+            f"FROM edges e JOIN deg g ON e.src = g.src "
+            f"JOIN {prev} r ON r.n = e.src GROUP BY e.dst), "
+            f"r{i} AS (SELECT n.n, {base} + COALESCE(CAST(c{i}.s AS BIGINT), 0) "
+            f"AS rank FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.n)"
+        )
+        prev = f"r{i}"
+    _ORACLE_SQL["link_pagerank"] = (
+        "WITH " + pages + ", "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "edges AS (SELECT DISTINCT src, CAST(d AS BIGINT) AS dst FROM ex), "
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src), "
+        "nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges), "
+        "nn AS (SELECT COUNT(*) AS c FROM nodes), "
+        f"r0 AS (SELECT n, {PR_SCALE} // (SELECT c FROM nn) AS rank FROM nodes), "
+        + ", ".join(its)
+        + f" SELECT n AS node, rank FROM r{PR_ITERS}"
+    )
+
+
+_install_link_graph_oracles()
 
 
 def _install_pipeline_oracles() -> None:

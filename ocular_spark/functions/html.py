@@ -499,3 +499,50 @@ def main_content_kernel(html_col: str = "html", id_col: str = "doc_id"):
 MAIN_CONTENT_SCHEMA = (
     "doc_id long, n_blocks long, n_kept long, main_text string"
 )
+
+
+# ------------------------------------------------------- link graph
+# Deterministic doc->doc "related articles" links for the web-graph
+# operators (anchor extraction + PageRank): each page gets the
+# standard nav/footer boilerplate anchors PLUS three links to
+# /doc/{(doc_id*a+c) % LINK_UNIVERSE}.  The same arithmetic is
+# replayed by the DuckDB oracle, so the extracted edge list is pinned
+# end-to-end (page synthesis -> regex extraction -> graph).
+LINK_UNIVERSE = 500
+LINK_RULES = ((7, 1), (13, 3), (29, 11))
+
+# full anchor elements (group 0) and href values; no backslashes, so
+# the literals survive both Spark SQL and DuckDB quoting unchanged
+ANCHOR_FULL_PAT = f"(?is)<a(?:>|{_SEP}[^>]*>).*?</a *>"
+HREF_PAT = 'href="([^"]*)"'
+DOC_HREF_PAT = 'href="/doc/([0-9]+)"'
+
+
+def wrap_links_spark(text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Page synthesis for the link-graph fixtures (identical string in
+    Spark and DuckDB: CASE-free || concatenation only)."""
+    rel = " || ".join(
+        f"'<a href=\"/doc/' || (({id_col} * {a} + {c}) % {LINK_UNIVERSE})"
+        f" || '\">see article ' || (({id_col} * {a} + {c}) % {LINK_UNIVERSE})"
+        f" || '</a> '"
+        for a, c in LINK_RULES
+    )
+    return (
+        f"'{_sql_quote(_NAV)}<p>' || {text_col} || '</p>"
+        f"<nav class=\"rel\">' || {rel} || '</nav>{_sql_quote(_FOOTER)}'"
+    )
+
+
+def wrap_links_duckdb(text_col: str = "text", id_col: str = "doc_id") -> str:
+    return wrap_links_spark(text_col, id_col)
+
+
+def anchors_expr(html_col: str) -> str:
+    """Array of full <a>...</a> elements — Spark regexp_extract_all
+    and DuckDB regexp_extract_all share this call shape for group 0."""
+    return f"regexp_extract_all({html_col}, '{ANCHOR_FULL_PAT}', 0)"
+
+
+def doc_links_expr(html_col: str) -> str:
+    """Array of /doc/NNN link targets (group 1 captures)."""
+    return f"regexp_extract_all({html_col}, '{DOC_HREF_PAT}', 1)"
