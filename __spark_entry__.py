@@ -2465,6 +2465,103 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     )
 
 
+# HyperLogLog (Flajolet et al. 2007): m = 64 registers (p = 6),
+# alpha_64 = 0.709.  ALPHA_M2_SCALED is alpha * m^2 * 2^53 as ONE
+# precomputed double literal so neither engine multiplies (DuckDB
+# would infer DECIMAL and overflow; separate multiplies could also
+# associate differently).
+HLL_M = 64
+HLL_ALPHA_M2_SCALED = "2.6157483096520143e+19"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting by HAND-ROLLED HyperLogLog sketch — the
+    mergeable cardinality structure every 100 TB profiler needs
+    (approx_count_distinct is Spark's blackbox HLL++; this one is
+    deterministic and engine-portable, so the DuckDB oracle replays
+    it register-for-register).  Per (source, n-gram order): unigrams
+    land in the linear-counting branch (~31 distinct << 2.5m),
+    bigrams in the raw-estimate branch (~700 distinct) — both code
+    paths gated.
+
+    Exactness device: rho (first-set-bit rank) is
+    length(bin(x & -x)) — pure integer/string, immune to the
+    log2-of-power-of-two ULP trap; the register sum is the exact
+    BIGINT sum of 2^(53-rho) (missing registers contribute 2^53), so
+    the only float ops are one division and possibly one ln, rounded
+    to 4 dp.  100 TB shape: tokenize + hash + rho is a pure
+    projection; ONE shuffle to (source, gram, idx) register maxes
+    (64 rows per group); the register -> estimate fold is a second
+    tiny agg.  n_exact (the verification column) would be dropped at
+    scale — it is the quantity HLL exists to avoid."""
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("ts")
+    )
+    uni = d.select(
+        "source", F.lit(1).alias("gram"), F.explode("ts").alias("item")
+    ).filter(F.col("item") != "")
+    bi = d.select(
+        "source",
+        F.lit(2).alias("gram"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1),"
+                " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("item"),
+    )
+    items = uni.unionByName(bi)
+    hashed = items.select(
+        "source",
+        "gram",
+        "item",
+        F.expr("cast(conv(substring(md5(item), 1, 4), 16, 10) as bigint) % 64").alias("idx"),
+        F.expr("cast(conv(substring(md5(item), 5, 13), 16, 10) as bigint)").alias("x"),
+    ).select(
+        "source",
+        "gram",
+        "item",
+        "idx",
+        F.expr(
+            "CASE WHEN x = 0 THEN 53 ELSE length(bin(x & -x)) END"
+        ).alias("rho"),
+    )
+    regs = hashed.groupBy("source", "gram", "idx").agg(F.max("rho").alias("r"))
+    folded = regs.groupBy("source", "gram").agg(
+        F.expr("sum(cast(shiftleft(1L, 53 - r) as bigint))").alias("s_used"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    exact = items.groupBy("source", "gram").agg(
+        F.countDistinct("item").alias("n_exact")
+    )
+    sk = folded.select(
+        "source",
+        "gram",
+        (F.lit(HLL_M) - F.col("used")).cast("long").alias("v_zero"),
+        F.expr(
+            f"cast(s_used + ({HLL_M} - used) * cast(shiftleft(1L, 53) as bigint)"
+            " as bigint)"
+        ).alias("s_scaled"),
+    )
+    est_raw = f"({HLL_ALPHA_M2_SCALED} / cast(s_scaled as double))"
+    est = (
+        f"round(CASE WHEN {est_raw} <= 160.0 AND v_zero > 0"
+        f" THEN 64.0 * ln(64.0 / v_zero) ELSE {est_raw} END, 4)"
+    )
+    return (
+        sk.join(exact, ["source", "gram"])
+        .select(
+            "source",
+            F.col("gram").cast("long").alias("gram"),
+            "v_zero",
+            "s_scaled",
+            "n_exact",
+            F.expr(est).alias("est"),
+        )
+    )
+
+
 # 13-word shingles, the GPT-3/Gopher/Dolma decontamination unit
 DECON_N = 13
 DECON_CANON = (
@@ -3249,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
+        "hll_distinct": q_hll_distinct,
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -4182,6 +4280,79 @@ def _install_link_graph_oracles() -> None:
 
 
 _install_link_graph_oracles()
+
+
+def _install_hll_oracle() -> None:
+    """hll_distinct: register-for-register replay.  Same md5 windows,
+    same length(bin(x & -x)) rho, same exact BIGINT register sum,
+    same single-division + ln estimate with the one precomputed
+    double constant."""
+    est_raw = f"({HLL_ALPHA_M2_SCALED} / CAST(s_scaled AS DOUBLE))"
+    _ORACLE_SQL["hll_distinct"] = f"""
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS ts FROM documents
+        ),
+        uni AS (
+            SELECT source, 1 AS gram, unnest(ts) AS item FROM toks
+        ),
+        bi AS (
+            SELECT source, 2 AS gram,
+                   unnest(CASE WHEN len(ts) >= 2 THEN list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS item
+            FROM toks
+        ),
+        items AS (
+            SELECT * FROM uni WHERE item != ''
+            UNION ALL SELECT * FROM bi
+        ),
+        hashed AS (
+            SELECT source, gram, item,
+                   CAST(('0x' || substring(md5(item), 1, 4))::UBIGINT
+                        AS BIGINT) % {HLL_M} AS idx,
+                   CAST(('0x' || substring(md5(item), 5, 13))::UBIGINT
+                        AS BIGINT) AS x
+            FROM items
+        ),
+        rhos AS (
+            SELECT source, gram, idx,
+                   CASE WHEN x = 0 THEN 53
+                        ELSE length(bin(x & -x)) END AS rho
+            FROM hashed
+        ),
+        regs AS (
+            SELECT source, gram, idx, MAX(rho) AS r
+            FROM rhos GROUP BY 1, 2, 3
+        ),
+        folded AS (
+            SELECT source, gram,
+                   CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+                       AS s_used,
+                   COUNT(*) AS used
+            FROM regs GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT source, gram, COUNT(DISTINCT item) AS n_exact
+            FROM items GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT source, gram,
+                   CAST({HLL_M} - used AS BIGINT) AS v_zero,
+                   CAST(s_used + ({HLL_M} - used)
+                        * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS s_scaled
+            FROM folded
+        )
+        SELECT sk.source, CAST(sk.gram AS BIGINT) AS gram, v_zero, s_scaled,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               round(CASE WHEN {est_raw} <= 160.0 AND v_zero > 0
+                     THEN 64.0 * ln(64.0 / v_zero)
+                     ELSE {est_raw} END, 4) AS est
+        FROM sk JOIN exact
+          ON sk.source = exact.source AND sk.gram = exact.gram
+    """
+
+
+_install_hll_oracle()
 
 
 def _install_pipeline_oracles() -> None:

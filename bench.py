@@ -75,11 +75,16 @@ RELATIONAL = [
     "tfidf_top_terms",
     "audio_ingest",
     "video_ingest",
+    "image_ingest",
     "bloom_prefilter",
     "event_hourly_stream",
     "domain_cap",
     "corpus_profile",
     "event_sessions_custom",
+    "events_asof",
+    "text_normalize",
+    "anchor_texts",
+    "link_pagerank",
 ]
 
 
