@@ -2562,6 +2562,97 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring dedup unit (Lee et al. 2021 use 50 BPE tokens;
+# char-40 here): long enough that random small-vocab text still
+# leaves most positions unique (measured: 4.5% of distinct 40-grams
+# are cross-doc at sf0.01), short enough to flag real boilerplate.
+DUPSUB_K = 40
+DUPSUB_PASSAGE = (
+    " the same forty plus character passage recurs verbatim across"
+    " every fiftieth document of this corpus"
+)
+
+
+def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated-mass (ExactSubstr, Lee et al. 2021
+    'Deduplicating Training Data Makes Language Models Better'): per
+    document, the character mass covered by >= K-char substrings that
+    also occur in ANOTHER document.  The reference method builds a
+    corpus suffix array; the distributed formulation is a stride-1
+    char K-gram inventory — doc frequency on xxhash64 of each gram
+    (8-byte keys shuffle, gram strings never leave the projection),
+    flagged positions joined back, and the covered mass computed as
+    the interval-union via one lead() window per doc: each flagged
+    start contributes min(K, next_start - start), the last one K.
+
+    The oracle regroups on the RAW gram strings (no hashing) — an
+    independent formulation that also certifies xxhash64
+    collision-freeness on this corpus.  Docs with doc_id % 50 == 9
+    carry an injected shared passage (strong positives); the 4.5%
+    natural vocabulary-collision background supplies weak ones.
+
+    100 TB note: stride-1 inventories are O(n*K) work; production
+    would winnow candidates first (doc_fingerprint) and run this
+    coverage pass only on candidate pairs — documented trade, same
+    operators."""
+    from pyspark.sql.window import Window
+
+    K = DUPSUB_K
+    d = _load_wide(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 9, F.concat("text", F.lit(DUPSUB_PASSAGE))
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    grams = raw.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(t) >= {K} THEN"
+                f" transform(sequence(1, length(t) - {K} + 1),"
+                f" p -> named_struct('p', p, 'h', xxhash64(substring(t, p, {K}))))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cov = (
+        grams.join(dup, "h")
+        .select("doc_id", "p", F.lead("p").over(w).alias("np"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_starts"),
+            F.sum(
+                F.coalesce(
+                    F.least(F.lit(K).cast("long"), F.col("np") - F.col("p")),
+                    F.lit(K).cast("long"),
+                )
+            ).alias("dup_chars"),
+        )
+    )
+    totals = raw.select(
+        "doc_id",
+        F.greatest(F.length("t") - K + 1, F.lit(0)).cast("long").alias("n_grams"),
+        F.length("t").cast("long").alias("len"),
+    )
+    return totals.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_dup_starts", F.lit(0)).cast("long").alias("n_dup_starts"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        F.expr("round(cast(coalesce(dup_chars, 0) as double) / len, 6)").alias(
+            "dup_frac"
+        ),
+    )
+
+
 # 13-word shingles, the GPT-3/Gopher/Dolma decontamination unit
 DECON_N = 13
 DECON_CANON = (
@@ -3347,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "link_pagerank": q_link_pagerank,
         "hll_distinct": q_hll_distinct,
+        "dup_substring": q_dup_substring,
         "char_bigrams": q_char_bigrams,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -4353,6 +4445,56 @@ def _install_hll_oracle() -> None:
 
 
 _install_hll_oracle()
+
+
+def _install_dup_substring_oracle() -> None:
+    """dup_substring: the oracle regroups on RAW gram strings (the
+    Spark side doc-counts xxhash64 of them), so a hash collision on
+    this corpus would surface as a gate mismatch."""
+    K = DUPSUB_K
+    passage = DUPSUB_PASSAGE.replace("'", "''")
+    _ORACLE_SQL["dup_substring"] = f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 50 = 9 THEN text || '{passage}'
+                        ELSE text END AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, length(t) - {K} + 1)) AS p
+            FROM raw WHERE length(t) >= {K}
+        ),
+        g2 AS (
+            SELECT doc_id, p, substring(t, p, {K}) AS g FROM pos
+        ),
+        df AS (
+            SELECT g FROM g2 GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        fl AS (
+            SELECT doc_id, p,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+            FROM g2 JOIN df USING (g)
+        ),
+        cov AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_dup_starts,
+                   CAST(SUM(COALESCE(LEAST({K}, np - p), {K})) AS BIGINT)
+                       AS dup_chars
+            FROM fl GROUP BY doc_id
+        )
+        SELECT raw.doc_id,
+               CAST(GREATEST(length(t) - {K} + 1, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+               CAST(COALESCE(dup_chars, 0) AS BIGINT) AS dup_chars,
+               round(CAST(COALESCE(dup_chars, 0) AS DOUBLE) / length(t), 6)
+                   AS dup_frac
+        FROM raw LEFT JOIN cov ON raw.doc_id = cov.doc_id
+    """
+
+
+_install_dup_substring_oracle()
 
 
 def _install_pipeline_oracles() -> None:

@@ -85,6 +85,8 @@ RELATIONAL = [
     "text_normalize",
     "anchor_texts",
     "link_pagerank",
+    "hll_distinct",
+    "dup_substring",
 ]
 
 
