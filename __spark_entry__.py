@@ -1263,6 +1263,82 @@ def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-archive ingest under the driver gate (north-rule input
+    format: Common Crawl's container for the 10^12-document corpus).
+    Deterministic .warc.gz files are synthesized from the documents
+    table — 50 docs per file, each file a warcinfo record plus a
+    request/response pair per doc, every record its own gzip member
+    per the WARC spec — then pushed through the REAL ingest path
+    (sources/warc.py: multi-member gzip split -> WARC header/payload
+    parse -> HTTP status/header/body split) and reduced to per-record
+    metadata + the extracted document text (one JVM regexp projection
+    over the parsed rows).  The DuckDB oracle predicts every row
+    INDEPENDENTLY from the construction formula, so a hash match
+    proves the whole binary round-trip (gzip member framing, WARC
+    Content-Length slicing, HTTP envelope split, body decode) is
+    lossless.
+
+    100 TB shape: files parse whole within their task (the Common
+    Crawl unit; see sources/warc.py docstring), records re-expand as
+    rows for downstream record-level repartitioning, the body bytes
+    never shuffle (this query projects metadata + text before any
+    exchange), and both stages are Arrow-batched mapInPandas /
+    applyInPandas — no per-row Python at the Spark layer."""
+    import pandas as pd
+
+    from ocular_spark.sources.warc import ingest_warcs, write_warc
+
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.floor(F.col("doc_id") / 50).alias("file_id")
+    )
+
+    def build_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        file_id = int(pdf["file_id"].iloc[0])
+        records = [(
+            "warcinfo", [],
+            b"software: ocular-spark\r\nformat: WARC File Format 1.0\r\n",
+        )]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            uri = f"https://example.org/doc/{doc_id}"
+            req = (
+                f"GET /doc/{doc_id} HTTP/1.1\r\n"
+                "Host: example.org\r\n\r\n"
+            ).encode()
+            records.append(("request", [("WARC-Target-URI", uri)], req))
+            if doc_id % 25 == 7:
+                body = f"not found: /doc/{doc_id}".encode()
+                status, mime = "404 Not Found", "text/plain"
+            else:
+                body = (
+                    "<html><body><p>" + str(text)[:120] + "</p></body></html>"
+                ).encode()
+                status, mime = "200 OK", "text/html"
+            resp = (
+                f"HTTP/1.1 {status}\r\nContent-Type: {mime}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            records.append(("response", [("WARC-Target-URI", uri)], resp))
+        return pd.DataFrame({"file_id": [file_id],
+                             "warc": [write_warc(records)]})
+
+    warcs = d.groupBy("file_id").applyInPandas(
+        build_file, schema="file_id long, warc binary"
+    )
+    recs = ingest_warcs(warcs)
+    return recs.select(
+        "file_id", "rec_idx", "rec_type", "url", "http_status", "mime",
+        "payload_len",
+        F.when(
+            F.col("mime") == "text/html",
+            F.regexp_extract("body", "<p>(.*)</p>", 1),
+        ).when(F.col("mime").isNotNull(), F.col("body"))
+        .alias("body_text"),
+    )
+
+
 def _with_injected_dup_vecs(e: DataFrame) -> DataFrame:
     """Deterministically inject exact-duplicate embeddings (vec_id < 5
     cloned at vec_id + 1_000_000, identical vector -> cosine exactly
@@ -3448,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "gopher_repetition": q_gopher_repetition,
         "pdf_ingest": q_pdf_ingest,
+        "warc_ingest": q_warc_ingest,
         "embed_neighbors": q_embed_neighbors,
         "label_centroid_sim": q_label_centroid_sim,
         "orders_rollup": q_orders_rollup,
@@ -3815,6 +3892,64 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # predicts every parsed WARC record analytically from the
+        # construction formula (warcinfo + request/response per doc,
+        # 50 docs/file): a hash match proves the gzip-member framing,
+        # Content-Length slicing and HTTP split round-trip losslessly
+        "warc_ingest": """
+            WITH c AS (SELECT CHR(13) || CHR(10) AS crlf),
+            files AS (SELECT DISTINCT doc_id // 50 AS file_id FROM documents),
+            info AS (
+                SELECT file_id, CAST(0 AS BIGINT) AS rec_idx,
+                       'warcinfo' AS rec_type,
+                       CAST(NULL AS VARCHAR) AS url,
+                       CAST(NULL AS BIGINT) AS http_status,
+                       CAST(NULL AS VARCHAR) AS mime,
+                       CAST(LENGTH('software: ocular-spark' || crlf ||
+                                   'format: WARC File Format 1.0' || crlf)
+                            AS BIGINT) AS payload_len,
+                       CAST(NULL AS VARCHAR) AS body_text
+                FROM files, c
+            ),
+            req AS (
+                SELECT doc_id // 50 AS file_id,
+                       CAST(1 + 2 * (doc_id % 50) AS BIGINT) AS rec_idx,
+                       'request' AS rec_type,
+                       'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       CAST(NULL AS BIGINT) AS http_status,
+                       CAST(NULL AS VARCHAR) AS mime,
+                       CAST(LENGTH('GET /doc/' || CAST(doc_id AS VARCHAR) ||
+                                   ' HTTP/1.1' || crlf ||
+                                   'Host: example.org' || crlf || crlf)
+                            AS BIGINT) AS payload_len,
+                       CAST(NULL AS VARCHAR) AS body_text
+                FROM documents, c
+            ),
+            resp AS (
+                SELECT doc_id // 50 AS file_id,
+                       CAST(2 + 2 * (doc_id % 50) AS BIGINT) AS rec_idx,
+                       'response' AS rec_type,
+                       'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       CAST(CASE WHEN doc_id % 25 = 7 THEN 404 ELSE 200 END
+                            AS BIGINT) AS http_status,
+                       CASE WHEN doc_id % 25 = 7 THEN 'text/plain'
+                            ELSE 'text/html' END AS mime,
+                       CAST(CASE WHEN doc_id % 25 = 7
+                            THEN LENGTH('not found: /doc/' ||
+                                        CAST(doc_id AS VARCHAR))
+                            ELSE LENGTH('<html><body><p>' ||
+                                        SUBSTR(text, 1, 120) ||
+                                        '</p></body></html>') END
+                            AS BIGINT) AS payload_len,
+                       CASE WHEN doc_id % 25 = 7
+                            THEN 'not found: /doc/' || CAST(doc_id AS VARCHAR)
+                            ELSE SUBSTR(text, 1, 120) END AS body_text
+                FROM documents
+            )
+            SELECT * FROM info
+            UNION ALL SELECT * FROM req
+            UNION ALL SELECT * FROM resp
         """,
         # independent formulation vs the Spark sorted-run expression:
         # duplicate detection via unnest + GROUP BY occurrence counts

@@ -63,6 +63,7 @@ RELATIONAL = [
     "extract_stream",
     "gopher_repetition",
     "pdf_ingest",
+    "warc_ingest",
     "pii_redact",
     "decontaminate",
     "training_mix",
