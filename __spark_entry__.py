@@ -2380,6 +2380,68 @@ def _pii_injected_text():
     return t
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (web-scale curation: URL-level dedup and
+    domain grouping need one canonical form per resource).  Messy URLs
+    are synthesized deterministically per doc (mixed-case scheme/host,
+    default and non-default ports, dot-segments, duplicate slashes,
+    utm_* tracking params, fragments), then normalized by ONE chain of
+    JVM regexp/array expressions — RFC 3986 §6.2 case + default-port +
+    dot-segment normalization, plus the curation-standard tracking-
+    param strip and query-param sort: lowercase scheme/host, drop the
+    fragment, drop :80/:443 only for the matching scheme, collapse
+    duplicate slashes, resolve /./ and segment/.. (two passes each —
+    bounded depth; production routes deeper chains to an Arrow kernel,
+    and tests/test_url_normalize.py pins the chain against a genuine
+    RFC remove_dot_segments reference), drop utm_* params, sort the
+    rest.  Pure projection over the scan: no shuffle, no Python,
+    whole-stage-codegen'd; the DuckDB oracle mirrors the chain
+    string-for-string (patterns restricted to Java-regex/RE2-identical
+    constructs, as in pii_redact)."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m3, m4, m5, m7, m11 = did % 3, did % 4, did % 5, did % 7, did % 11
+    scheme_raw = (
+        F.when(m3 == 0, "http").when(m3 == 1, "HTTPS").otherwise("HtTp")
+    )
+    host_raw = (
+        F.when(m4 == 0, "ExAmple.org")
+        .when(m4 == 1, "example.ORG")
+        .when(m4 == 2, "WWW.example.org")
+        .otherwise("sub.Example.org")
+    )
+    port_raw = (
+        F.when(m5 == 0, ":80").when(m5 == 1, ":443")
+        .when(m5 == 2, ":8080").otherwise("")
+    )
+    path_raw = F.concat(
+        F.lit("/a/./sec"),
+        F.when(m7 == 3, "//").otherwise("/"),
+        F.lit("x/../item/"),
+        did.cast("string"),
+    )
+    query_raw = F.when(m11 == 0, F.lit("utm_only=1")).otherwise(
+        F.concat(
+            F.lit("utm_source=feed&z="), (did % 10).cast("string"),
+            F.lit("&utm_campaign=c&a=1"),
+        )
+    )
+    url_raw = F.concat(
+        scheme_raw, F.lit("://"), host_raw, port_raw, path_raw,
+        F.lit("?"), query_raw, F.lit("#sec"), (did % 2).cast("string"),
+    )
+
+    from ocular_spark.functions.urls import url_norm_cols
+
+    u = d.select("doc_id", url_raw.alias("url_raw"))
+    cols = url_norm_cols(F.col("url_raw"))
+    return u.select(
+        "doc_id", "url_raw",
+        *[cols[k].alias(k)
+          for k in ("scheme", "host", "path", "query", "url_norm")],
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails, NANP phone numbers, IPv4 addresses), the
     standard pre-training redaction pass (CCNet/Dolma-style pipelines
@@ -3550,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stream": q_extract_stream,
         "span_dedup": q_span_dedup,
         "pii_redact": q_pii_redact,
+        "url_normalize": q_url_normalize,
         "decontaminate": q_decontaminate,
         "training_mix": q_training_mix,
         "embed_quantize": q_embed_quantize,
@@ -3892,6 +3955,75 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # mirrors the Spark normalization chain string-for-string
+        # (RE2/Java-identical patterns; regexp_replace needs the 'g'
+        # flag here — Spark replaces all matches by default)
+        "url_normalize": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       (CASE doc_id % 3 WHEN 0 THEN 'http'
+                             WHEN 1 THEN 'HTTPS' ELSE 'HtTp' END)
+                       || '://'
+                       || (CASE doc_id % 4 WHEN 0 THEN 'ExAmple.org'
+                             WHEN 1 THEN 'example.ORG'
+                             WHEN 2 THEN 'WWW.example.org'
+                             ELSE 'sub.Example.org' END)
+                       || (CASE doc_id % 5 WHEN 0 THEN ':80'
+                             WHEN 1 THEN ':443' WHEN 2 THEN ':8080'
+                             ELSE '' END)
+                       || '/a/./sec'
+                       || (CASE WHEN doc_id % 7 = 3 THEN '//' ELSE '/' END)
+                       || 'x/../item/' || CAST(doc_id AS VARCHAR)
+                       || '?'
+                       || (CASE WHEN doc_id % 11 = 0 THEN 'utm_only=1'
+                           ELSE 'utm_source=feed&z='
+                                || CAST(doc_id % 10 AS VARCHAR)
+                                || '&utm_campaign=c&a=1' END)
+                       || '#sec' || CAST(doc_id % 2 AS VARCHAR)
+                       AS url_raw
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, url_raw,
+                       LOWER(regexp_extract(url_raw,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                       LOWER(regexp_extract(url_raw,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                       regexp_extract(url_raw,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)',
+                           1) AS path0,
+                       regexp_extract(url_raw, '\?([^#]*)', 1) AS query0
+                FROM raw
+            ),
+            norm AS (
+                SELECT doc_id, url_raw, scheme,
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(auth, ':80$', '', 'g')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(auth, ':443$', '', 'g')
+                            ELSE auth END AS host,
+                       regexp_replace(regexp_replace(
+                         regexp_replace(regexp_replace(
+                           regexp_replace(
+                             CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                             '/{2,}', '/', 'g'),
+                           '/\.(/|$)', '/', 'g'), '/\.(/|$)', '/', 'g'),
+                         '/[^/]+/\.\.(/|$)', '/', 'g'),
+                         '/[^/]+/\.\.(/|$)', '/', 'g') AS path,
+                       -- DuckDB ARRAY_TO_STRING([]) is NULL where
+                       -- Spark array_join([]) is '' — coalesce it
+                       COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+                           STRING_SPLIT(query0, '&'),
+                           x -> NOT STARTS_WITH(x, 'utm_') AND x <> ''
+                       )), '&'), '') AS query
+                FROM parts
+            )
+            SELECT doc_id, url_raw, scheme, host, path, query,
+                   scheme || '://' || host || path ||
+                   CASE WHEN query = '' THEN ''
+                        ELSE '?' || query END AS url_norm
+            FROM norm
         """,
         # predicts every parsed WARC record analytically from the
         # construction formula (warcinfo + request/response per doc,

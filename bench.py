@@ -64,6 +64,7 @@ RELATIONAL = [
     "gopher_repetition",
     "pdf_ingest",
     "warc_ingest",
+    "url_normalize",
     "pii_redact",
     "decontaminate",
     "training_mix",
