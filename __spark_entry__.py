@@ -756,6 +756,40 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT, SPLIT_VALID_PCT = 80, 10
+_SPLIT_HASH_TMPL = "({k} % 1000003) * 48271 % 2147483647 % 100"
+
+
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split key is the
+    NEAR-DUP CLUSTER id (q_dedup_cluster's connected component; a doc
+    with no near-dups is its own singleton cluster), so near-duplicate
+    documents can never straddle splits — the eval-contamination mode
+    a naive hash-of-doc_id split ships silently whenever dedup keeps
+    both copies (or runs after splitting).  Assignment is the same
+    deterministic Lehmer hash-mod as training_mix (reproducible across
+    retries/resumes; production: xxhash64(cluster_id, seed)).
+
+    100 TB shape: the cluster map joins back on doc_id — sort-merge,
+    NOT broadcast, since the duplicated subset is corpus-sized at web
+    scale (30-50% of a crawl) — then the split itself is a pure
+    projection.  The driver gate is end-to-end independent: the DuckDB
+    oracle recomputes the clusters by recursive-CTE reachability (the
+    dedup_cluster two-algorithm gate) and re-derives every assignment."""
+    docs = _load_wide(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    keyed = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("split_key")
+    )
+    h = F.expr(_SPLIT_HASH_TMPL.format(k="split_key"))
+    split = (
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return keyed.select("doc_id", "split_key", split.alias("split"))
+
+
 BLOOM_M, BLOOM_K, BLOOM_W = 1024, 3, 32  # bits, hashes, bits per word
 
 
@@ -3617,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "embed_quantize": q_embed_quantize,
         "dedup_cluster": q_dedup_cluster,
+        "split_by_cluster": q_split_by_cluster,
         "pack_sequences": q_pack_sequences,
         "dedup_stream": q_dedup_stream,
         "embed_semdedup": q_embed_semdedup,
@@ -4871,6 +4906,23 @@ def _install_pipeline_oracles() -> None:
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS cluster_size
         FROM lab
+    """
+    # split_by_cluster: clusters recomputed INDEPENDENTLY (recursive
+    # CTE reachability), then the same Lehmer assignment re-derived
+    _h = _SPLIT_HASH_TMPL.format(k="split_key")
+    _ORACLE_SQL["split_by_cluster"] = f"""
+        WITH lab AS ({_ORACLE_SQL["dedup_cluster"]}),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(l.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN lab l USING (doc_id)
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN {_h} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {_h} < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT}
+                        THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM keyed
     """
     # pack_sequences: same Lehmer shard + prefix-sum placement; window
     # SUM(BIGINT) is HUGEINT in DuckDB, so cast before the modular

@@ -70,6 +70,7 @@ RELATIONAL = [
     "training_mix",
     "embed_quantize",
     "dedup_cluster",
+    "split_by_cluster",
     "pack_sequences",
     "dedup_stream",
     "embed_semdedup",

@@ -37,3 +37,27 @@ def test_empty_edges_yield_empty_labels(spark):
         spark.createDataFrame([], "src long, dst long")
     )
     assert labels.count() == 0
+
+
+def test_split_by_cluster_leakage_invariant(spark, sf_dir):
+    """Every near-dup cluster lands entirely in ONE split (the
+    leakage-safety contract), every doc is assigned exactly once, and
+    all three splits are populated at roughly 80/10/10."""
+    rows = entry_mod.q_split_by_cluster(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    assert len(split_of) == len(rows)  # one assignment per doc
+    clusters = entry_mod.q_dedup_cluster(spark, sf_dir).collect()
+    assert clusters, "fixture must produce near-dup clusters"
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    multi = [m for m in by_cluster.values() if len(m) > 1]
+    assert multi, "fixture must produce a multi-doc cluster"
+    for members in by_cluster.values():
+        assert len({split_of[d] for d in members}) == 1
+    from collections import Counter
+
+    frac = Counter(split_of.values())
+    n = len(split_of)
+    assert frac["train"] / n > 0.6
+    assert frac["valid"] > 0 and frac["test"] > 0
