@@ -2535,6 +2535,73 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data extraction: HTML tables -> relational rows (the
+    WebTables/WDC side of main-content extraction — at web scale,
+    tables are the densest machine-readable facts on a page).  Each
+    doc is wrapped in a deterministic page with a 2-row metadata table
+    and a variable-row data table (tags carry attributes; cells carry
+    inline markup); extraction is ONE chain of JVM regexp_extract_all
+    + posexplode generators: tables -> rows -> cells, inner tags
+    stripped, whitespace collapsed.  No Python, no join; the only
+    exchanges are the generators' natural output.  FLAT tables only
+    (non-greedy '</table>' match) — nested tables route to a DOM
+    kernel, the same documented split as functions/html.py.  The
+    DuckDB oracle mirrors the chain with regexp_extract_all +
+    UNNEST(range) ordinals."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "lang")
+    did = F.col("doc_id")
+    data_rows = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), did % 3),
+            lambda r: F.concat(
+                F.lit('<tr><td>r'), r.cast("string"),
+                F.lit("</td><td>"), ((did * 7 + r) % 100).cast("string"),
+                F.lit("</td><td><b>x</b> "),
+                ((did + r) % 13).cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit('<html><body><div>intro</div><table class="meta">'),
+        F.lit("<tr><th>id</th><td>"), did.cast("string"),
+        F.lit("</td></tr><tr><th>lang</th><td>"), F.col("lang"),
+        F.lit('</td></tr></table><p>filler</p><table id="data">'),
+        data_rows,
+        F.lit("</table></body></html>"),
+    )
+    w = d.select("doc_id", html.alias("html"))
+    tbls = F.regexp_extract_all(
+        F.col("html"), F.lit(r"(?is)<table[^>]*>(.*?)</table>"), 1
+    )
+    t = w.select("doc_id", F.posexplode(tbls).alias("table_idx", "tbl"))
+    trs = F.regexp_extract_all(
+        F.col("tbl"), F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"), 1
+    )
+    r = t.select(
+        "doc_id", "table_idx", F.posexplode(trs).alias("row_idx", "row")
+    )
+    cells = F.transform(
+        F.regexp_extract_all(
+            F.col("row"), F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"), 1
+        ),
+        lambda c: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, "<[^>]*>", ""), "[ \t\n\r]+", " "
+            )
+        ),
+    )
+    return r.select(
+        "doc_id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.array_join(cells, "|").alias("cell_text"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor (link) extraction — the first stage of any web-graph /
     anchor-text-corpus build (anchor text is classic training signal:
@@ -3638,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
+        "html_tables": q_html_tables,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "html_main_content_nested": q_html_main_content_nested,
@@ -3990,6 +4058,49 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # mirrors the extraction chain: regexp_extract_all with
+        # UNNEST(range) ordinals standing in for Spark's posexplode
+        "html_tables": r"""
+            WITH w AS (
+                SELECT doc_id,
+                    '<html><body><div>intro</div><table class="meta">'
+                    || '<tr><th>id</th><td>' || CAST(doc_id AS VARCHAR)
+                    || '</td></tr><tr><th>lang</th><td>' || lang
+                    || '</td></tr></table><p>filler</p><table id="data">'
+                    || ARRAY_TO_STRING(LIST_TRANSFORM(
+                           range(0, doc_id % 3 + 1),
+                           r -> '<tr><td>r' || CAST(r AS VARCHAR)
+                                || '</td><td>'
+                                || CAST((doc_id * 7 + r) % 100 AS VARCHAR)
+                                || '</td><td><b>x</b> '
+                                || CAST((doc_id + r) % 13 AS VARCHAR)
+                                || '</td></tr>'), '')
+                    || '</table></body></html>' AS html
+                FROM documents
+            ),
+            t AS (SELECT doc_id, regexp_extract_all(html,
+                      '(?is)<table[^>]*>(.*?)</table>', 1) AS tbls FROM w),
+            tx AS (SELECT doc_id, i - 1 AS table_idx,
+                          tbls[CAST(i AS INT)] AS tbl
+                   FROM t, UNNEST(range(1, len(tbls) + 1)) AS u(i)),
+            r AS (SELECT doc_id, table_idx, regexp_extract_all(tbl,
+                      '(?is)<tr[^>]*>(.*?)</tr>', 1) AS rws FROM tx),
+            rx AS (SELECT doc_id, table_idx, j - 1 AS row_idx,
+                          rws[CAST(j AS INT)] AS rw
+                   FROM r, UNNEST(range(1, len(rws) + 1)) AS u(j)),
+            cx AS (SELECT doc_id, table_idx, row_idx,
+                       LIST_TRANSFORM(regexp_extract_all(rw,
+                           '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+                           c -> trim(regexp_replace(regexp_replace(c,
+                               '<[^>]*>', '', 'g'), '[ \t\n\r]+', ' ', 'g'))
+                       ) AS cells
+                   FROM rx)
+            SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+                   CAST(row_idx AS BIGINT) AS row_idx,
+                   CAST(len(cells) AS BIGINT) AS n_cells,
+                   COALESCE(ARRAY_TO_STRING(cells, '|'), '') AS cell_text
+            FROM cx
         """,
         # mirrors the Spark normalization chain string-for-string
         # (RE2/Java-identical patterns; regexp_replace needs the 'g'

@@ -54,6 +54,7 @@ RELATIONAL = [
     "embed_ivf_topk",
     "lang_id",
     "lang_id_ngram",
+    "html_tables",
     "html_main_content",
     "html_main_content_dom",
     "html_main_content_nested",
