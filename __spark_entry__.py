@@ -2602,6 +2602,86 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy filtering: apply per-source robots.txt rules to
+    document paths with the RFC 9309 precedence — among all matching
+    rules the LONGEST path prefix wins, Allow beating Disallow on a
+    length tie.  Each source synthesizes three deterministic rules
+    (a section Disallow, a longer Allow carve-out inside it, and a
+    never-matching Disallow), each doc a path derived from doc_id;
+    the fixture covers all four outcomes: no-match fetch, disallowed,
+    carve-out re-allowed, and the tie rule.
+
+    100 TB shape: the rules table is robots.txt-sized (dimension data)
+    — BROADCAST to the corpus, prefix match as a theta-join predicate,
+    then ONE groupBy doc taking max_by(struct(len, is_allow)): a
+    map-side-combinable argmax, no window, no sort.  The DuckDB
+    oracle restates precedence with arg_max over the same rank."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    docs = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("/sec"), (F.floor(did / 3) % 5).cast("string"),
+            F.lit("/item/"), did.cast("string"),
+        ).alias("path"),
+    )
+    # alias to rule_source: rules derive from the same documents scan
+    # as docs, and a self-join on the shared lineage column is
+    # ambiguous to the analyzer
+    src = docs.select(F.col("source").alias("rule_source")).distinct()
+    k = F.substring(F.col("rule_source"), 4, 10).cast("int") % 5
+    rules = (
+        src.select(
+            "rule_source",
+            F.concat(F.lit("/sec"), k.cast("string"), F.lit("/")).alias(
+                "prefix"
+            ),
+            F.lit(0).alias("is_allow"),
+        )
+        .unionByName(
+            src.select(
+                "rule_source",
+                F.concat(
+                    F.lit("/sec"), k.cast("string"), F.lit("/item/1")
+                ).alias("prefix"),
+                F.lit(1).alias("is_allow"),
+            )
+        )
+        .unionByName(
+            src.select(
+                "rule_source", F.lit("/private/").alias("prefix"),
+                F.lit(0).alias("is_allow"),
+            )
+        )
+    )
+    m = docs.join(
+        F.broadcast(rules),
+        (F.col("source") == F.col("rule_source"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    ).select("source", "doc_id", "path", "prefix", "is_allow")
+    best = m.groupBy("doc_id", "source", "path").agg(
+        F.max(
+            F.when(
+                F.col("prefix").isNotNull(),
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("is_allow").alias("a"),
+                    F.col("prefix").alias("p"),
+                ),
+            )
+        ).alias("rule")
+    )
+    return best.select(
+        "doc_id", "source", "path",
+        F.col("rule.p").alias("matched_rule"),
+        F.when(
+            F.col("rule").isNull() | (F.col("rule.a") == 1), "fetch"
+        ).otherwise("skip").alias("decision"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor (link) extraction — the first stage of any web-graph /
     anchor-text-corpus build (anchor text is classic training signal:
@@ -3706,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "html_tables": q_html_tables,
+        "robots_filter": q_robots_filter,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "html_main_content_nested": q_html_main_content_nested,
@@ -4058,6 +4139,45 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # RFC 9309 precedence restated as arg_max over rank =
+        # 2*len(prefix) + is_allow (tie-free by fixture construction;
+        # arg_max skips the NULL ranks of unmatched docs)
+        "robots_filter": """
+            WITH docs AS (
+                SELECT doc_id, source,
+                       '/sec' || CAST((doc_id // 3) % 5 AS VARCHAR)
+                       || '/item/' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            ),
+            k AS (
+                SELECT source, CAST(SUBSTR(source, 4) AS INT) % 5 AS k
+                FROM (SELECT DISTINCT source FROM documents)
+            ),
+            rules AS (
+                SELECT source, '/sec' || CAST(k AS VARCHAR) || '/' AS prefix,
+                       0 AS is_allow FROM k
+                UNION ALL
+                SELECT source, '/sec' || CAST(k AS VARCHAR) || '/item/1',
+                       1 FROM k
+                UNION ALL
+                SELECT source, '/private/', 0 FROM k
+            ),
+            m AS (
+                SELECT d.doc_id, d.source, d.path, r.prefix, r.is_allow
+                FROM docs d LEFT JOIN rules r
+                  ON d.source = r.source AND STARTS_WITH(d.path, r.prefix)
+            )
+            SELECT doc_id, source, path,
+                   ARG_MAX(prefix, 2 * LENGTH(prefix) + is_allow)
+                       AS matched_rule,
+                   CASE WHEN ARG_MAX(prefix, 2 * LENGTH(prefix) + is_allow)
+                             IS NULL
+                         OR ARG_MAX(is_allow, 2 * LENGTH(prefix) + is_allow)
+                             = 1
+                        THEN 'fetch' ELSE 'skip' END AS decision
+            FROM m
+            GROUP BY doc_id, source, path
         """,
         # mirrors the extraction chain: regexp_extract_all with
         # UNNEST(range) ordinals standing in for Spark's posexplode

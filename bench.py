@@ -66,6 +66,7 @@ RELATIONAL = [
     "pdf_ingest",
     "warc_ingest",
     "url_normalize",
+    "robots_filter",
     "pii_redact",
     "decontaminate",
     "training_mix",
