@@ -2602,6 +2602,61 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl merge, latest version wins (the Iceberg
+    MERGE INTO seam of a continuously-refreshed corpus: recrawled
+    URLs replace their prior version, new URLs append).  Base corpus
+    = the documents table at crawl 0; the synthetic crawl-1 batch
+    refetches every doc_id % 4 == 1 (content changed, later
+    fetch_ts) and discovers new docs (doc_id + 100000 for
+    doc_id % 10 == 3).  The merge is union -> ONE hash shuffle on
+    doc_id -> max_by(struct(fetch_ts, crawl_id)): a declarative
+    argmax, so Catalyst runs it with map-side partial aggregation —
+    deliberately NOT a row_number window, which would force a full
+    per-key sort for the same answer.  n_versions counts the lineage
+    depth per URL (1 = never refetched).
+
+    Content is reduced to md5 BEFORE the shuffle so document bodies
+    never move between executors — at 100 TB the merge shuffles only
+    (key, ts, digest) tuples, and the winning version's body is
+    re-read column-pruned from the winning snapshot's files."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    base = d.select(
+        "doc_id", F.lit(0).alias("crawl_id"),
+        (F.lit(1_700_000_000) + did).alias("fetch_ts"),
+        F.md5("text").alias("content_digest"),
+    )
+    refetch = d.filter(did % 4 == 1).select(
+        "doc_id", F.lit(1).alias("crawl_id"),
+        (F.lit(1_700_500_000) + did).alias("fetch_ts"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("content_digest"),
+    )
+    new = d.filter(did % 10 == 3).select(
+        (did + 100_000).alias("doc_id"), F.lit(1).alias("crawl_id"),
+        (F.lit(1_700_500_000) + did).alias("fetch_ts"),
+        F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("content_digest"),
+    )
+    allv = base.unionByName(refetch).unionByName(new)
+    win = allv.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("fetch_ts").alias("ts"),
+                F.col("crawl_id").alias("c"),
+                F.col("content_digest").alias("h"),
+            )
+        ).alias("w"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return win.select(
+        "doc_id",
+        F.col("w.c").alias("crawl_id"),
+        F.col("w.ts").alias("fetch_ts"),
+        F.col("n_versions"),
+        F.col("w.h").alias("content_digest"),
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy filtering: apply per-source robots.txt rules to
     document paths with the RFC 9309 precedence — among all matching
@@ -3787,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "html_tables": q_html_tables,
         "robots_filter": q_robots_filter,
+        "crawl_upsert": q_crawl_upsert,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "html_main_content_nested": q_html_main_content_nested,
@@ -4139,6 +4195,31 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # latest-wins merge restated with arg_max on fetch_ts
+        # (distinct by construction: base 1.7e9+id vs batch 1.7005e9+id)
+        "crawl_upsert": """
+            WITH allv AS (
+                SELECT doc_id, 0 AS crawl_id,
+                       1700000000 + doc_id AS fetch_ts,
+                       MD5(text) AS content_digest
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 1, 1700500000 + doc_id,
+                       MD5(text || ' v2')
+                FROM documents WHERE doc_id % 4 = 1
+                UNION ALL
+                SELECT doc_id + 100000, 1, 1700500000 + doc_id,
+                       MD5('new:' || text)
+                FROM documents WHERE doc_id % 10 = 3
+            )
+            SELECT doc_id,
+                   CAST(ARG_MAX(crawl_id, fetch_ts) AS INT) AS crawl_id,
+                   CAST(MAX(fetch_ts) AS BIGINT) AS fetch_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_versions,
+                   ARG_MAX(content_digest, fetch_ts) AS content_digest
+            FROM allv
+            GROUP BY doc_id
         """,
         # RFC 9309 precedence restated as arg_max over rank =
         # 2*len(prefix) + is_allow (tie-free by fixture construction;

@@ -67,6 +67,7 @@ RELATIONAL = [
     "warc_ingest",
     "url_normalize",
     "robots_filter",
+    "crawl_upsert",
     "pii_redact",
     "decontaminate",
     "training_mix",
