@@ -2602,6 +2602,50 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> posting list (sorted
+    doc_ids with term frequencies), document frequency and collection
+    frequency — the retrieval-side artifact a corpus engine emits for
+    BM25/boolean search (the Lucene segment-build expressed as two
+    aggregations).  Postings are exposed as a bounded head (first 10
+    'doc:tf' entries) plus an md5 over the FULL ordered list, so the
+    driver hash pins every posting without shipping unbounded rows.
+
+    100 TB shape: explode -> (token, doc) partial-count -> (token)
+    list-assembly is two shuffles, both map-side combinable; the
+    posting assembly uses sort_array over collect_list (collect_list
+    order is partition-dependent — sorting restores determinism).
+    Stopword-grade tokens make posting rows heavy at web scale:
+    production salts the token key into (token, bucket) shards and
+    concatenates per-bucket lists, same as the span_dedup skew note."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    postings = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat(
+                s["doc_id"].cast("string"), F.lit(":"),
+                s["tf"].cast("string"),
+            ),
+        ).alias("arr"),
+    )
+    return postings.select(
+        "token", "df", "cf",
+        F.array_join(F.slice(F.col("arr"), 1, 10), ",").alias(
+            "posting_head"
+        ),
+        F.md5(F.array_join(F.col("arr"), ",")).alias("posting_digest"),
+    )
+
+
 def q_crawl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl merge, latest version wins (the Iceberg
     MERGE INTO seam of a continuously-refreshed corpus: recrawled
@@ -3843,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "robots_filter": q_robots_filter,
         "crawl_upsert": q_crawl_upsert,
+        "inverted_index": q_inverted_index,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "html_main_content_nested": q_html_main_content_nested,
@@ -4195,6 +4240,33 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # postings rebuilt with LIST(... ORDER BY doc_id) — an ordered
+        # aggregate, vs Spark's sort_array(collect_list) — and the
+        # same 'doc:tf' string form hashed end-to-end
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(LIST_FILTER(
+                    STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT token, doc_id, COUNT(*) AS tf
+                FROM toks GROUP BY token, doc_id
+            ),
+            p AS (
+                SELECT token,
+                       CAST(COUNT(*) AS BIGINT) AS df,
+                       CAST(SUM(tf) AS BIGINT) AS cf,
+                       LIST(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(tf AS VARCHAR)
+                            ORDER BY doc_id) AS arr
+                FROM tf GROUP BY token
+            )
+            SELECT token, df, cf,
+                   ARRAY_TO_STRING(arr[1:10], ',') AS posting_head,
+                   MD5(ARRAY_TO_STRING(arr, ',')) AS posting_digest
+            FROM p
         """,
         # latest-wins merge restated with arg_max on fetch_ts
         # (distinct by construction: base 1.7e9+id vs batch 1.7005e9+id)

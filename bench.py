@@ -68,6 +68,7 @@ RELATIONAL = [
     "url_normalize",
     "robots_filter",
     "crawl_upsert",
+    "inverted_index",
     "pii_redact",
     "decontaminate",
     "training_mix",
