@@ -2602,6 +2602,53 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation (the doc->sentence expansion
+    feeding sentence-level dedup, alignment, and chunking).  The
+    word-list corpus has no punctuation, so terminators and an
+    abbreviation trap are injected deterministically by word index
+    (every 13th word gains '.', every 20th '!', every 29th becomes
+    'e.g.' — which must NOT split); the splitter then (1) protects
+    abbreviation dots with a control byte, (2) marks each terminator-
+    space boundary with a sentinel, (3) splits on the sentinel, (4)
+    restores the protected dots.  No lookbehind anywhere — Java regex
+    has it but RE2 (DuckDB, and Spark's codegen-friendly subset)
+    doesn't, so the sentinel rewrite is the portable formulation.
+
+    100 TB shape: one projection + posexplode — no shuffle, no
+    Python; output rows ~ input sentences.  The replacement-string
+    syntax differs by engine ($1 vs \\1) but every PATTERN is
+    RE2/Java-identical (pii_redact's portability rule)."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(words)
+    marked = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when((i % 29) == 28, "e.g.")
+            .when((i % 13) == 12, F.concat(F.element_at(words, i + 1),
+                                           F.lit(".")))
+            .when((i % 20) == 19, F.concat(F.element_at(words, i + 1),
+                                           F.lit("!")))
+            .otherwise(F.element_at(words, i + 1)),
+        ),
+        " ",
+    )
+    protected = F.replace(marked, F.lit("e.g."), F.lit("e\x02g\x02"))
+    sentinel = F.regexp_replace(protected, r"([.!?]) +", "$1\x01")
+    sents = F.split(sentinel, "\x01")
+    s = d.filter(n > 0).select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "raw")
+    )
+    restored = F.replace(F.col("raw"), F.lit("\x02"), F.lit("."))
+    return s.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.length(restored).cast("long").alias("n_chars"),
+        restored.alias("sentence"),
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token -> posting list (sorted
     doc_ids with term frequencies), document frequency and collection
@@ -3888,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "crawl_upsert": q_crawl_upsert,
         "inverted_index": q_inverted_index,
+        "sentence_split": q_sentence_split,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "html_main_content_nested": q_html_main_content_nested,
@@ -4240,6 +4288,42 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # same protect/sentinel/split/restore chain; control bytes
+        # spelled chr(1)/chr(2), group ref '\1' (RE2 rewrite syntax —
+        # Spark's is '$1'; patterns themselves are engine-identical)
+        "sentence_split": r"""
+            WITH w AS (
+                SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                           x -> x <> '') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, ARRAY_TO_STRING(LIST_TRANSFORM(
+                    range(0, LEN(words)),
+                    i -> CASE WHEN i % 29 = 28 THEN 'e.g.'
+                              WHEN i % 13 = 12
+                                  THEN words[CAST(i + 1 AS INT)] || '.'
+                              WHEN i % 20 = 19
+                                  THEN words[CAST(i + 1 AS INT)] || '!'
+                              ELSE words[CAST(i + 1 AS INT)] END), ' ')
+                    AS marked
+                FROM w WHERE LEN(words) > 0
+            ),
+            p AS (
+                SELECT doc_id, STRING_SPLIT(
+                    regexp_replace(
+                        REPLACE(marked, 'e.g.',
+                                'e' || chr(2) || 'g' || chr(2)),
+                        '([.!?]) +', '\1' || chr(1), 'g'),
+                    chr(1)) AS sents
+                FROM m
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+                   CAST(LENGTH(REPLACE(sents[CAST(i AS INT)], chr(2), '.'))
+                        AS BIGINT) AS n_chars,
+                   REPLACE(sents[CAST(i AS INT)], chr(2), '.') AS sentence
+            FROM p, UNNEST(range(1, LEN(sents) + 1)) AS u(i)
         """,
         # postings rebuilt with LIST(... ORDER BY doc_id) — an ordered
         # aggregate, vs Spark's sort_array(collect_list) — and the

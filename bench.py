@@ -69,6 +69,7 @@ RELATIONAL = [
     "robots_filter",
     "crawl_upsert",
     "inverted_index",
+    "sentence_split",
     "pii_redact",
     "decontaminate",
     "training_mix",
