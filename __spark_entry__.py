@@ -3853,6 +3853,81 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY = ("spark", "table", "row")  # fixture-vocabulary terms
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus — the scoring consumer of
+    q_inverted_index's statistics (Robertson/Sparck Jones BM25 with
+    k1=1.2, b=0.75, the Lucene-default IDF form ln(1+(N-df+0.5)/
+    (df+0.5))): score the 3-term query against every document, return
+    the top 20 by (rounded score desc, doc_id asc) — a total order,
+    so the cut is deterministic in both engines (tfidf_top_terms
+    convention; scores rounded to 6 dp before ranking).
+
+    100 TB shape: the query-term filter prunes the exploded token
+    stream BEFORE any aggregation (only matching postings shuffle);
+    df and avgdl/N are metadata-scale (driver scalars / broadcast);
+    the final top-k is a single global sort of doc-count-bounded
+    scored rows — at retrieval scale this is takeOrdered, not a full
+    sort (Spark's sortBy+limit compiles to TakeOrderedAndProject)."""
+    d = _load_wide(spark, sf_dir, "documents")
+    stats = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.filter(F.split("text", " "), lambda w: w != "")))
+        .alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    toks = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token").isin(*BM25_QUERY))
+    tf = toks.groupBy("doc_id", "token", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        (
+            F.log(
+                1.0
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            )
+        ).alias("s"),
+    )
+    # one conditional sum per query term, added in FIXED order: a
+    # plain SUM over doubles is accumulation-order-dependent in the
+    # last ulp, which can straddle the 6-dp rounding boundary between
+    # engines/runs — per-term partial sums have at most one row each,
+    # so the addition order below is the only order
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    agg = scored.groupBy("doc_id").agg(
+        *per_term, F.count(F.lit(1)).alias("n_terms_hit")
+    )
+    score = F.round(
+        sum((F.col(f"s{i}") for i in range(1, len(BM25_QUERY))),
+            F.col("s0")),
+        6,
+    )
+    out = agg.select("doc_id", score.alias("score"), "n_terms_hit")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprint: per-token md5 -> bit votes
     -> majority per bit -> packed fingerprint; duplicate-fingerprint
@@ -3936,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_upsert": q_crawl_upsert,
         "inverted_index": q_inverted_index,
         "sentence_split": q_sentence_split,
+        "bm25_topk": q_bm25_topk,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "html_main_content_nested": q_html_main_content_nested,
@@ -4288,6 +4364,62 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # BM25 restated with the same left-associated double
+        # arithmetic and FIXED per-term addition order (see the Spark
+        # docstring); float literals all CAST to DOUBLE (bare 1.2 is
+        # DECIMAL in DuckDB)
+        "bm25_topk": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                w -> w <> '')) AS BIGINT) AS dl
+                FROM documents
+            ),
+            meta AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+                FROM d
+            ),
+            tok AS (
+                SELECT doc_id, dl, UNNEST(STRING_SPLIT(text, ' ')) AS token
+                FROM d
+            ),
+            tf AS (
+                SELECT doc_id, dl, token, COUNT(*) AS tf
+                FROM tok WHERE token IN ('spark', 'table', 'row')
+                GROUP BY doc_id, dl, token
+            ),
+            df AS (
+                SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM tf GROUP BY token
+            ),
+            s AS (
+                SELECT doc_id, token,
+                       (LN(CAST(1.0 AS DOUBLE)
+                           + (n - df + CAST(0.5 AS DOUBLE))
+                             / (df + CAST(0.5 AS DOUBLE)))
+                        * (tf * CAST(2.2 AS DOUBLE)))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                              * (CAST(0.25 AS DOUBLE)
+                                 + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+                       AS s
+                FROM tf JOIN df USING (token), meta
+            ),
+            agg AS (
+                SELECT doc_id,
+                       COALESCE(SUM(CASE WHEN token = 'spark' THEN s END),
+                                CAST(0 AS DOUBLE)) AS s0,
+                       COALESCE(SUM(CASE WHEN token = 'table' THEN s END),
+                                CAST(0 AS DOUBLE)) AS s1,
+                       COALESCE(SUM(CASE WHEN token = 'row' THEN s END),
+                                CAST(0 AS DOUBLE)) AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+                FROM s GROUP BY doc_id
+            )
+            SELECT doc_id, ROUND(s0 + s1 + s2, 6) AS score, n_terms_hit
+            FROM agg
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         # same protect/sentinel/split/restore chain; control bytes
         # spelled chr(1)/chr(2), group ref '\1' (RE2 rewrite syntax —

@@ -70,6 +70,7 @@ RELATIONAL = [
     "crawl_upsert",
     "inverted_index",
     "sentence_split",
+    "bm25_topk",
     "pii_redact",
     "decontaminate",
     "training_mix",
