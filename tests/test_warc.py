@@ -109,3 +109,81 @@ def test_ingest_warcs_spark(spark):
     # non-response records carry the raw WARC payload length
     assert rows[0].rec_type == "warcinfo" and rows[0].http_status is None
     assert rows[0].payload_len == len(b"software: test\r\n")
+
+
+def _mk_warc_file(tmp_path, name, pages):
+    """pages: list of (url, html_body). Returns the file path."""
+    recs = []
+    for url, body in pages:
+        b = body.encode()
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(b)
+        ) + b
+        recs.append(("response", [("WARC-Target-URI", url)], resp))
+        # a non-200 and a non-html record that the job must skip
+    recs.append(("request", [("WARC-Target-URI", "https://x/skip")],
+                 b"GET /skip HTTP/1.1\r\n\r\n"))
+    p = tmp_path / name
+    p.write_bytes(write_warc(recs))
+    return p
+
+
+def _interleave_ref(body):
+    """Independent reference for the img-split interleaving."""
+    import re
+
+    frags = re.split(r"(?i)<img[^>]*>", body)
+    srcs = re.findall(r'(?i)<img[^>]*src="([^"]*)"[^>]*>', body)
+    spans, off = [], 0
+    for i, frag in enumerate(frags):
+        spans.append(("text", frag, None, off)); off += 1
+        if i < len(srcs):
+            spans.append(("media", None, srcs[i], off)); off += 1
+    return spans
+
+
+def test_ingest_warc_job_end_to_end(spark, tmp_path):
+    import argparse
+
+    from ocular_spark.jobs.ingest_warc import run
+
+    pages1 = [
+        ("https://a/1", 'intro <IMG src="im/a.png"> middle '
+                        '<img alt="x" src="im/b.png"/> tail'),
+        ("https://a/2", "no images at all"),
+    ]
+    pages2 = [("https://b/1", '<img src="only.png">')]
+    land = tmp_path / "land"; land.mkdir()
+    _mk_warc_file(land, "f1.warc.gz", pages1)
+    _mk_warc_file(land, "f2.warc.gz", pages2)
+    out = str(tmp_path / "docs.parquet")
+    met = str(tmp_path / "metrics.parquet")
+    args = argparse.Namespace(
+        warcs=str(land), output=out, metrics=met, resume_from=None,
+        fail_if_empty=True, num_partitions=2,
+    )
+    run(spark, args)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"https://a/1", "https://a/2", "https://b/1"}
+    for url, body in pages1 + pages2:
+        want = _interleave_ref(body)
+        have = [(s.kind, s.text, s.media_ref, s.offset)
+                for s in sorted(got[url].spans, key=lambda s: s.offset)]
+        assert have == want, url
+    assert got["https://a/1"].n_media == 2
+    m = {r.src_file: r for r in spark.read.parquet(met).collect()}
+    assert sum(r.n_docs for r in m.values()) == 3
+
+    # resume: drop a new file in, re-run with --resume-from; snapshot
+    # must append exactly the new doc (no duplicates of done docs)
+    _mk_warc_file(land, "f3.warc.gz", [("https://c/1", "late arrival")])
+    args2 = argparse.Namespace(
+        warcs=str(land), output=out, metrics=None, resume_from=out,
+        fail_if_empty=True, num_partitions=None,
+    )
+    run(spark, args2)
+    snap = spark.read.parquet(out).collect()
+    ids = [r.doc_id for r in snap]
+    assert sorted(ids) == sorted(set(ids))  # no dup after append
+    assert "https://c/1" in ids and len(ids) == 4
