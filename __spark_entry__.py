@@ -790,6 +790,67 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("doc_id", "split_key", split.alias("split"))
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit: for every VERIFIED near-dup pair,
+    check whether its two members landed in different dataset splits —
+    the eval-leakage event.  Two assignment methods are audited side
+    by side: 'cluster' (q_split_by_cluster — keyed on the connected
+    component, so straddling is structurally impossible and the gate
+    proves n_straddling = 0) and 'naive' (the same Lehmer hash keyed
+    on raw doc_id — the common shortcut, which the fixture shows DOES
+    leak).  This is the measurement that justifies split_by_cluster's
+    extra join at 100 TB: the audit itself is pair-count-sized (the
+    verified near-dup pair list), so it costs nothing next to dedup.
+
+    100 TB shape: pairs are the LSH-verified output (already bounded);
+    each side joins its split assignment on doc_id; the final rollup
+    is a 2-row aggregate."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    assign = q_split_by_cluster(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("cluster_split")
+    )
+    h = _SPLIT_HASH_TMPL.format(k="doc_id")
+    naive = (
+        F.when(F.expr(h) < SPLIT_TRAIN_PCT, "train")
+        .when(F.expr(h) < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    assign = assign.withColumn("naive_split", naive)
+    a = assign.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_split").alias("ca"), F.col("naive_split").alias("na"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("cluster_split").alias("cb"), F.col("naive_split").alias("nb"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    rolled = j.select(
+        (F.col("ca") != F.col("cb")).cast("long").alias("cluster_straddle"),
+        (F.col("na") != F.col("nb")).cast("long").alias("naive_straddle"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cluster_straddle").alias("cluster_n"),
+        F.sum("naive_straddle").alias("naive_n"),
+    )
+    return rolled.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cluster").alias("method"),
+                    F.col("n_pairs").alias("n_pairs"),
+                    F.col("cluster_n").alias("n_straddling"),
+                ),
+                F.struct(
+                    F.lit("naive").alias("method"),
+                    F.col("n_pairs").alias("n_pairs"),
+                    F.col("naive_n").alias("n_straddling"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.method", "r.n_pairs", "r.n_straddling")
+
+
 BLOOM_M, BLOOM_K, BLOOM_W = 1024, 3, 32  # bits, hashes, bits per word
 
 
@@ -4026,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "dedup_cluster": q_dedup_cluster,
         "split_by_cluster": q_split_by_cluster,
+        "split_contamination": q_split_contamination,
         "pack_sequences": q_pack_sequences,
         "dedup_stream": q_dedup_stream,
         "embed_semdedup": q_embed_semdedup,
@@ -5523,6 +5585,41 @@ def _install_pipeline_oracles() -> None:
                         THEN 'valid'
                     ELSE 'test' END AS split
         FROM keyed
+    """
+    # split_contamination: both assignments re-derived (cluster via
+    # the recursive-CTE split oracle, naive via the doc_id hash) and
+    # the straddle census recomputed over the independent pair list
+    _hn = _SPLIT_HASH_TMPL.format(k="doc_id")
+    _ORACLE_SQL["split_contamination"] = f"""
+        WITH pairs AS ({_ORACLE_SQL["ngram_jaccard"]}),
+        asg AS (
+            SELECT doc_id, split AS cluster_split,
+                   CASE WHEN {_hn} < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN {_hn} < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT}
+                            THEN 'valid'
+                        ELSE 'test' END AS naive_split
+            FROM ({_ORACLE_SQL["split_by_cluster"]})
+        ),
+        j AS (
+            SELECT p.id_a, p.id_b,
+                   a.cluster_split AS ca, b.cluster_split AS cb,
+                   a.naive_split AS na, b.naive_split AS nb
+            FROM pairs p
+            JOIN asg a ON p.id_a = a.doc_id
+            JOIN asg b ON p.id_b = b.doc_id
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cluster_n,
+                   CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS naive_n
+            FROM j
+        )
+        SELECT 'cluster' AS method, n_pairs, cluster_n AS n_straddling
+        FROM agg
+        UNION ALL
+        SELECT 'naive', n_pairs, naive_n FROM agg
     """
     # pack_sequences: same Lehmer shard + prefix-sum placement; window
     # SUM(BIGINT) is HUGEINT in DuckDB, so cast before the modular

@@ -77,6 +77,7 @@ RELATIONAL = [
     "embed_quantize",
     "dedup_cluster",
     "split_by_cluster",
+    "split_contamination",
     "pack_sequences",
     "dedup_stream",
     "embed_semdedup",

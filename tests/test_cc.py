@@ -61,3 +61,13 @@ def test_split_by_cluster_leakage_invariant(spark, sf_dir):
     n = len(split_of)
     assert frac["train"] / n > 0.6
     assert frac["valid"] > 0 and frac["test"] > 0
+
+
+def test_split_contamination_audit(spark, sf_dir):
+    """Cluster-keyed split has structurally zero straddling near-dup
+    pairs; the naive doc_id-hash split demonstrably leaks."""
+    rows = {r.method: r for r in
+            entry_mod.q_split_contamination(spark, sf_dir).collect()}
+    assert rows["cluster"].n_straddling == 0
+    assert rows["naive"].n_straddling > 0
+    assert rows["cluster"].n_pairs == rows["naive"].n_pairs > 0
