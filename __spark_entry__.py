@@ -790,6 +790,66 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("doc_id", "split_key", split.alias("split"))
 
 
+C4_LINE_WORDS = 9  # fixture line width (words per injected line)
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2,
+    the third public quality-heuristic family in the library after
+    Gopher and jusText/boilerpipe): split the page into lines, keep
+    lines that (a) end in terminal punctuation, (b) have >= 5 words,
+    (c) don't mention javascript; drop the whole page if it contains
+    'lorem ipsum' or '{' or keeps < 3 lines.  The word-list corpus
+    has neither lines nor punctuation, so the fixture injects them
+    deterministically: 9-word lines, terminal '.' on two of every
+    three lines, a 'javascript' token on every 4th line of doc_id%7=0
+    docs, and page-level 'lorem ipsum' / '{' markers on doc_id%50 in
+    {13, 27}.
+
+    100 TB shape: ONE projection — line split, per-line predicates,
+    and the page gate are all array expressions over the scan; no
+    shuffle, no Python.  The DuckDB oracle mirrors the chain."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_lines_c = F.ceil(F.size(words) / C4_LINE_WORDS).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines_c - 1),
+        lambda k: F.concat(
+            F.when(
+                (did % 7 == 0) & (k % 4 == 1), F.lit("javascript ")
+            ).otherwise(""),
+            F.array_join(F.slice(words, k * C4_LINE_WORDS + 1,
+                                 C4_LINE_WORDS), " "),
+            F.when(k % 3 != 2, ".").otherwise(""),
+        ),
+    )
+    lines = F.when(did % 50 == 13, F.concat(lines, F.array(
+        F.lit("lorem ipsum filler text here.")))).otherwise(
+        F.when(did % 50 == 27, F.concat(lines, F.array(
+            F.lit("config { page marker here.")))).otherwise(lines)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: F.substring(l, -1, 1).isin(".", "!", "?")
+        & (F.size(F.split(l, " ")) >= 5)
+        & (~l.contains("javascript")),
+    )
+    page_text = F.array_join(lines, "\n")
+    page_kept = (
+        (~page_text.contains("lorem ipsum"))
+        & (~page_text.contains("{"))
+        & (F.size(kept) >= 3)
+    )
+    return d.filter(F.size(words) > 0).select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
 def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-contamination audit: for every VERIFIED near-dup pair,
     check whether its two members landed in different dataset splits —
@@ -4088,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "split_by_cluster": q_split_by_cluster,
         "split_contamination": q_split_contamination,
+        "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
         "dedup_stream": q_dedup_stream,
         "embed_semdedup": q_embed_semdedup,
@@ -4426,6 +4487,60 @@ _ORACLE_SQL = {
                    CAST(SUM(CASE WHEN ink THEN 255 ELSE v END) AS BIGINT) AS pix_sum
             FROM px
             GROUP BY doc_id, page_idx, height, width, v
+        """,
+        # same line synthesis + predicates; RIGHT(l,1) stands in for
+        # Spark's substring(l,-1,1); (n+8)//9 for ceil(n/9)
+        "c4_line_filter": """
+            WITH w AS (
+                SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                           x -> x <> '') AS words
+                FROM documents
+            ),
+            l0 AS (
+                SELECT doc_id, LIST_TRANSFORM(
+                    range(0, (LEN(words) + 8) // 9),
+                    k -> (CASE WHEN doc_id % 7 = 0 AND k % 4 = 1
+                               THEN 'javascript ' ELSE '' END)
+                         || ARRAY_TO_STRING(
+                             words[CAST(k * 9 + 1 AS INT)
+                                   :CAST(k * 9 + 9 AS INT)], ' ')
+                         || (CASE WHEN k % 3 <> 2 THEN '.' ELSE '' END)
+                    ) AS lines
+                FROM w WHERE LEN(words) > 0
+            ),
+            l1 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 13 THEN LIST_CONCAT(lines,
+                                ['lorem ipsum filler text here.'])
+                            WHEN doc_id % 50 = 27 THEN LIST_CONCAT(lines,
+                                ['config { page marker here.'])
+                            ELSE lines END AS lines
+                FROM l0
+            ),
+            k AS (
+                SELECT doc_id, lines,
+                       LIST_FILTER(lines,
+                           l -> RIGHT(l, 1) IN ('.', '!', '?')
+                                AND LEN(STRING_SPLIT(l, ' ')) >= 5
+                                AND NOT CONTAINS(l, 'javascript')) AS kept
+                FROM l1
+            ),
+            pk AS (
+                SELECT doc_id, lines, kept,
+                       (NOT CONTAINS(ARRAY_TO_STRING(lines, chr(10)),
+                                     'lorem ipsum'))
+                       AND (NOT CONTAINS(ARRAY_TO_STRING(lines, chr(10)),
+                                         '{'))
+                       AND LEN(kept) >= 3 AS page_kept
+                FROM k
+            )
+            SELECT doc_id,
+                   CAST(LEN(lines) AS BIGINT) AS n_lines,
+                   CAST(LEN(kept) AS BIGINT) AS n_kept_lines,
+                   page_kept,
+                   CASE WHEN page_kept
+                        THEN ARRAY_TO_STRING(kept, chr(10)) END AS clean_text
+            FROM pk
         """,
         # BM25 restated with the same left-associated double
         # arithmetic and FIXED per-term addition order (see the Spark

@@ -78,6 +78,7 @@ RELATIONAL = [
     "dedup_cluster",
     "split_by_cluster",
     "split_contamination",
+    "c4_line_filter",
     "pack_sequences",
     "dedup_stream",
     "embed_semdedup",
