@@ -1327,6 +1327,70 @@ def q_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pngs.mapInPandas(image_meta_kernel(8, 12), schema=IMAGE_META_SCHEMA)
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal analog of
+    dedup_exact: per-doc images are synthesized so that docs sharing
+    g = (doc_id // 5) % 5 have the SAME underlying pattern at a
+    DIFFERENT uniform brightness (offset = doc_id % 40, values kept
+    <= 239 so nothing wraps), pushed through the real codec path
+    (functions/png.py encode -> decode), dHash'd (media.dhash_gray:
+    8x9 nearest-neighbor thumbnail, adjacent-pixel comparison bits),
+    and grouped by hash.  Exact byte-dedup CANNOT group these (every
+    PNG differs — n_offsets > 1 per group certifies it analytically);
+    the brightness-invariant dHash groups them all.
+
+    The DuckDB oracle replays construction + the resize index gather
+    + the comparison bits analytically over a generated (i, j) grid —
+    every bit is integer-derived, so a hash match proves the PNG
+    round-trip AND the dHash kernel bit-for-bit.
+
+    100 TB shape: hashing is Arrow-batched mapInPandas over the binary
+    column (images never leave their scan partition); the only
+    exchange is the final groupBy on the 64-char hash key — the same
+    single-shuffle shape as dedup_exact."""
+    from ocular_spark.functions.media import (
+        IMAGE_DHASH_SCHEMA,
+        image_dhash_kernel,
+    )
+
+    d = (
+        _load_wide(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def make_pngs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocular_spark.functions.png import encode_gray_png
+
+        for b in batches:
+            rows = []
+            for raw in b["doc_id"]:
+                doc_id = int(raw)
+                g = (doc_id // 5) % 5
+                h, w = 16 + g % 5, 24 + g % 3
+                off = doc_id % 40
+                y = np.arange(h, dtype=np.int64)[:, None]
+                x = np.arange(w, dtype=np.int64)[None, :]
+                img = (((g * 37 + y * 13 + x * 29) % 200) + off).astype(
+                    np.uint8
+                )
+                rows.append((doc_id, f"p-{doc_id}", encode_gray_png(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "image"])
+
+    pngs = d.mapInPandas(
+        make_pngs, schema="doc_id long, media_ref string, image binary"
+    )
+    hashes = pngs.mapInPandas(image_dhash_kernel(8, 8), schema=IMAGE_DHASH_SCHEMA)
+    return hashes.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.countDistinct(F.col("doc_id") % 40).alias("n_offsets"),
+    )
+
+
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF page ingest under the driver gate (reference seam:
     data/PdfImageReader.java:23-93 renders PDF pages,
@@ -3329,6 +3393,90 @@ _MIX_CASE = (
 _MIX_HASH = "(doc_id % 1000003) * 48271 % 2147483647 % 100"
 
 
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by how target-like
+    its hashed-unigram distribution is.  Features are word unigrams
+    hashed to DSIR_BUCKETS buckets (md5-prefix — identical bytes in
+    both engines); the target sample is the docs with
+    source = 'src0', the raw distribution is the whole corpus.  Per
+    bucket, the add-one-smoothed log ratio
+    ln((ct+1)/(Tt+B)) - ln((cs+1)/(Ts+B)) is rounded ONCE to integer
+    micro-nats (the exact-integer device of hll/ivf: per-doc weights
+    are then SUMS OF BIGINTS — order-independent, no cross-engine
+    float accumulation), and each doc's weight is the sum of its
+    tokens' bucket ratios.
+
+    100 TB shape: the distributions are ONE 64-row aggregation
+    (map-side partial to 64 keys), collected driver-side (O(B) — the
+    IVF-codebook pattern) and re-emitted as a literal array inside a
+    single whole-stage-codegen projection: the per-doc scoring pass
+    is ZERO-shuffle (no explode survives — the token walk happens
+    inside one `aggregate()` array expression per row)."""
+    import math
+
+    d = _load_wide(spark, sf_dir, "documents")
+    bucket_sql = (
+        "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % "
+        f"{DSIR_BUCKETS}"
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("t"),
+    ).select("source", F.expr(bucket_sql).alias("bucket"))
+    counts = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.sum(
+                F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        .collect()
+    )  # bounded: exactly DSIR_BUCKETS rows
+    ts = sum(r["cs"] for r in counts)
+    tt = sum(r["ct"] for r in counts)
+    # default for never-observed buckets (ct = cs = 0); no token can
+    # reference such a bucket (its token would have counted), so this
+    # value never reaches an output row — it only keeps the literal
+    # array total
+    empty_lr = round(
+        (math.log(ts + DSIR_BUCKETS) - math.log(tt + DSIR_BUCKETS))
+        * 1_000_000
+    )
+    lr = [empty_lr] * DSIR_BUCKETS
+    for r in counts:
+        lr[int(r["bucket"])] = round(
+            (
+                math.log(r["ct"] + 1)
+                - math.log(tt + DSIR_BUCKETS)
+                - math.log(r["cs"] + 1)
+                + math.log(ts + DSIR_BUCKETS)
+            )
+            * 1_000_000
+        )
+    lr_lits = ",".join(f"{int(v)}L" for v in lr)
+    score_sql = f"""aggregate(
+        filter(split(text, ' '), w -> w != ''),
+        0L,
+        (acc, t) -> acc + element_at(array({lr_lits}),
+                                     cast({bucket_sql} + 1 as int)),
+        acc -> acc)"""
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+        F.expr(score_sql).alias("dsir_weight_micro"),
+    )
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for a training-data mix
     (the language/source re-weighting stage of LLM pipelines — the
@@ -3883,6 +4031,41 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet
+    §3.3): per-language head/middle/tail terciles over the per-doc LM
+    perplexities of q_lm_perplexity — the standard quality gate that
+    keeps the 'head' bucket for LM training.  Ranking is total
+    ((perplexity rounded to 4 dp by the scorer, doc_id) within lang),
+    so the NTILE assignment is deterministic cross-engine.
+
+    Oracle: derived from the frozen lm_perplexity golden (same NTILE
+    over the same VALUES) joined to documents for lang — routed to the
+    sf0.01 golden gate via GOLDEN_DERIVED.
+
+    100 TB shape: the scorer is the broadcast dense-table kernel (see
+    q_lm_perplexity); bucketing adds one window partitioned by lang —
+    a per-language shuffle whose skew matches the corpus language mix
+    (salt-by-range if one language dominates; at CCNet scale the
+    published recipe shards per language first, which this partition
+    key reproduces)."""
+    from pyspark.sql import Window
+
+    ppl = q_lm_perplexity(spark, sf_dir)
+    langs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = ppl.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("perplexity").asc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        F.ntile(3).over(w).alias("bucket"),
+        (F.ntile(3).over(w) == 1).alias("keep_head"),
+    )
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping sets) over order priority/status."""
     o = _load(spark, sf_dir, "orders")
@@ -4157,6 +4340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ingest": q_audio_ingest,
         "video_ingest": q_video_ingest,
         "image_ingest": q_image_ingest,
+        "image_phash_dedup": q_image_phash_dedup,
+        "dsir_weights": q_dsir_weights,
+        "ppl_buckets": q_ppl_buckets,
         "bloom_prefilter": q_bloom_prefilter,
         "event_hourly_stream": q_event_hourly_stream,
         "domain_cap": q_domain_cap,
@@ -4169,7 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # goldens (so, like the goldens themselves, they are only checkable
 # at sf0.01 — tests/test_entry_parity.py routes them to the sf0.01
 # golden gate instead of the sf0.001 recomputable gate)
-GOLDEN_DERIVED = frozenset({"transcribe_stream"})
+GOLDEN_DERIVED = frozenset({"transcribe_stream", "ppl_buckets"})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4188,6 +4374,18 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, media_ref, "offset", text FROM ('
             + GOLDEN_ORACLES["transcribe_spans"]
             + ") AS g WHERE kind = 'media'"
+        )
+        # CCNet bucketing over the frozen per-doc perplexities: the
+        # same deterministic NTILE ((perplexity, doc_id) total order
+        # within lang) the Spark query applies
+        out["ppl_buckets"] = (
+            "SELECT g.doc_id, d.lang, g.perplexity, "
+            "NTILE(3) OVER (PARTITION BY d.lang "
+            "ORDER BY g.perplexity ASC, g.doc_id ASC) AS bucket, "
+            "(NTILE(3) OVER (PARTITION BY d.lang "
+            "ORDER BY g.perplexity ASC, g.doc_id ASC)) = 1 AS keep_head "
+            "FROM (" + GOLDEN_ORACLES["lm_perplexity"] + ") g "
+            "JOIN documents d ON g.doc_id = d.doc_id"
         )
     except ImportError:
         pass
@@ -5923,6 +6121,86 @@ def _install_pipeline_oracles() -> None:
                CAST(SUM(v) AS BIGINT) AS px_sum,
                CAST(SUM(v * (i * 12 + j + 1)) AS BIGINT) AS px_wsum
         FROM px GROUP BY doc_id, h, w
+    """
+    # image_phash_dedup: construction + the 8x9 nearest-neighbor index
+    # gather + the adjacent-pixel comparison bits replayed analytically
+    # — every dHash bit is integer-derived, so matching group rows
+    # prove the PNG round-trip and the dHash kernel bit-for-bit
+    _ORACLE_SQL["image_phash_dedup"] = """
+        WITH imgs AS (
+            SELECT doc_id,
+                   (doc_id // 5) % 5 AS g,
+                   16 + ((doc_id // 5) % 5) % 5 AS h,
+                   24 + ((doc_id // 5) % 5) % 3 AS w
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        tpix AS (
+            SELECT doc_id, i, j,
+                   (g * 37
+                    + LEAST((i * h) // 8, h - 1) * 13
+                    + LEAST((j * w) // 9, w - 1) * 29) % 200
+                   + doc_id % 40 AS p
+            FROM imgs,
+                 UNNEST(GENERATE_SERIES(0, 7)) AS a(i),
+                 UNNEST(GENERATE_SERIES(0, 8)) AS b(j)
+        ),
+        bits AS (
+            SELECT doc_id, i, j,
+                   CASE WHEN p < LEAD(p) OVER (
+                            PARTITION BY doc_id, i ORDER BY j)
+                        THEN '1' ELSE '0' END AS bt
+            FROM tpix
+        ),
+        hashes AS (
+            SELECT doc_id, STRING_AGG(bt, '' ORDER BY i, j) AS dhash
+            FROM bits WHERE j < 8 GROUP BY doc_id
+        )
+        SELECT dhash,
+               COUNT(*) AS n_imgs,
+               MIN(doc_id) AS min_doc_id,
+               COUNT(DISTINCT doc_id % 40) AS n_offsets
+        FROM hashes GROUP BY dhash
+    """
+    # dsir_weights: same md5-prefix bucket family, same add-one
+    # smoothed log ratio rounded once to integer micro-nats (so the
+    # per-doc sums are exact BIGINT arithmetic in both engines)
+    _ORACLE_SQL["dsir_weights"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, t FROM (
+                SELECT doc_id, source,
+                       UNNEST(STRING_SPLIT(text, ' ')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        b AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || SUBSTRING(MD5(t), 1, 8))::UBIGINT
+                        AS BIGINT) % {DSIR_BUCKETS} AS bucket
+            FROM toks
+        ),
+        counts AS (
+            SELECT bucket, COUNT(*) AS cs,
+                   SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                            THEN 1 ELSE 0 END) AS ct
+            FROM b GROUP BY bucket
+        ),
+        tot AS (SELECT SUM(cs) AS ts, SUM(ct) AS tt FROM counts),
+        lr AS (
+            SELECT bucket,
+                   CAST(ROUND((LN(ct + 1) - LN(tt + {DSIR_BUCKETS})
+                               - LN(cs + 1) + LN(ts + {DSIR_BUCKETS}))
+                              * 1000000) AS BIGINT) AS lr
+            FROM counts, tot
+        ),
+        scores AS (
+            SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(lr.lr) AS w
+            FROM b JOIN lr USING (bucket)
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_tokens, 0) AS INT) AS n_tokens,
+               CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_weight_micro
+        FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
     """
     # bloom_prefilter: identical hash family (disjoint md5 substrings
     # mod M) and 32-bit word packing; the oracle probes by joining the

@@ -145,6 +145,46 @@ def audio_meta_kernel(batches: Iterator["object"]) -> Iterator["object"]:
         )
 
 
+def dhash_gray(img: np.ndarray, hash_h: int = 8, hash_w: int = 8) -> str:
+    """Difference hash (dHash) of a grayscale image: resize to
+    (hash_h, hash_w + 1) with the engine's nearest-neighbor gather,
+    then bit (i, j) = 1 iff thumb[i][j] < thumb[i][j + 1].  Returned
+    as a row-major '0'/'1' string (hash_h * hash_w chars) so the full
+    64-bit hash needs no signed-overflow convention cross-engine.
+
+    The hash is invariant under a uniform brightness offset (adding a
+    constant to every pixel preserves every adjacent-pixel comparison
+    as long as values stay in [0, 255] without wrap) — the property
+    that lets it catch near-duplicate images exact byte-dedup misses."""
+    thumb = resize_gray(img, hash_h, hash_w + 1).astype(np.int64)
+    bits = thumb[:, :-1] < thumb[:, 1:]
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+IMAGE_DHASH_SCHEMA = "media_ref string, doc_id bigint, dhash string"
+
+
+def image_dhash_kernel(hash_h: int = 8, hash_w: int = 8):
+    """mapInPandas factory: (doc_id, media_ref, image binary PNG) ->
+    (media_ref, doc_id, dhash) via the real decode path
+    (functions/png.py inflate/unfilter) + dhash_gray."""
+    import pandas as pd
+
+    from ocular_spark.functions.png import decode_gray_png
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, blob in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["image"]
+            ):
+                img = decode_gray_png(bytes(blob))
+                rows.append((ref, int(doc_id), dhash_gray(img, hash_h, hash_w)))
+            yield pd.DataFrame(rows, columns=["media_ref", "doc_id", "dhash"])
+
+    return fn
+
+
 IMAGE_META_SCHEMA = (
     "media_ref string, height int, width int, out_h int, out_w int, "
     "px_min int, px_max int, px_sum bigint, px_wsum bigint"

@@ -104,3 +104,27 @@ def test_spark_media_kernels(spark):
     assert (("v0", 0, 0.0) in got) and (("v0", 1, 3.0) in got)
     assert ("v1", 0, 9.0) in got  # fewer frames than k -> all frames
     assert len([g for g in got if g[0] == "v0"]) == 4
+
+
+def test_dhash_gray_brightness_invariance_and_discrimination():
+    from ocular_spark.functions.media import dhash_gray
+    from ocular_spark.functions.png import decode_gray_png, encode_gray_png
+
+    rng = np.random.RandomState(7)
+    base = (rng.randint(0, 200, size=(16, 24))).astype(np.uint8)
+    h0 = dhash_gray(base)
+    assert len(h0) == 64 and set(h0) <= {"0", "1"}
+
+    # uniform brightness offset (no wrap): hash is invariant
+    brighter = (base.astype(np.int64) + 40).astype(np.uint8)
+    assert dhash_gray(brighter) == h0
+
+    # but the PNG bytes differ -> exact dedup could NOT group these
+    assert encode_gray_png(base) != encode_gray_png(brighter)
+
+    # a structurally different image hashes differently
+    other = base.T[:16, :16].copy()
+    assert dhash_gray(other) != h0
+
+    # round-trips through the real codec path unchanged
+    assert dhash_gray(decode_gray_png(encode_gray_png(base))) == h0
