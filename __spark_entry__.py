@@ -4257,6 +4257,250 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min sketch geometry: small enough that the synthetic corpus's
+# ~900 distinct bigrams actually collide (the sketch's error term is
+# the thing under test), deep enough that the min across rows recovers
+# most of it.  At 100 TB the sketch stays EXACTLY this size — that is
+# the point of the structure.
+CMS_D = 4
+CMS_W = 64
+
+
+def _cms_idx_array(item_col: str) -> str:
+    """D register indexes per item as one array expression: row j uses
+    the 2-universal-style family md5(j || ':' || item) — same bytes in
+    Spark and DuckDB, so the oracle replays register-for-register."""
+    cells = ", ".join(
+        f"cast(conv(substring(md5(concat('{j}:', {item_col})), 1, 13), 16, 10)"
+        f" as bigint) % {CMS_W}"
+        for j in range(CMS_D)
+    )
+    return f"array({cells})"
+
+
+def q_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter word bigrams via a HAND-ROLLED Count-Min sketch
+    (Cormode & Muthukrishnan 2005) — the mergeable frequency structure
+    a 100 TB profiler uses where exact per-item counts are too many to
+    keep.  Build: every occurrence increments D=4 registers (one tiny
+    (j, idx) shuffle onto a fixed 4x64 table — map-side partial agg
+    absorbs the corpus; register count is INDEPENDENT of data size).
+    Probe: est(item) = min_j sketch[j][h_j(item)], a broadcast join of
+    the 256-row sketch onto the candidate set.  Top-20 by (est DESC,
+    item ASC) — a deterministic total order, so both engines cut the
+    same boundary.  n_exact is the verification column the sketch
+    exists to avoid; the CMS guarantee est >= n_exact is pinned by
+    tests/test_sketch_join.py.  Candidates here are the distinct items
+    (bounded at test scale); at 100 TB candidates come from a
+    per-partition Misra-Gries pre-pass, the standard companion.
+
+    Exactness devices (HLL lessons reused): hash = conv of 13 md5 hex
+    chars (< 2^52, BIGINT-exact both engines); counts are BIGINTs; the
+    only comparison is on integers."""
+    d = _load_wide(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ts")
+    )
+    items = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1),"
+                " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("item")
+    )
+    idx_arr = _cms_idx_array("item")
+    upd = items.select(F.posexplode(F.expr(idx_arr)).alias("j", "idx"))
+    sketch = upd.groupBy("j", "idx").agg(F.count(F.lit(1)).alias("c"))
+    cand = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = cand.select(
+        "item", "n_exact", F.posexplode(F.expr(idx_arr)).alias("j", "idx")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "idx"])
+        .groupBy("item", "n_exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.orderBy(F.desc("est"), F.asc("item"))
+        .limit(20)
+        .select(
+            "item",
+            F.col("est").cast("long").alias("est"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+    )
+
+
+# Interval-join geometry: 200 hourly-anchored maintenance windows of
+# 90 min over the event stream — width > stride, so boundary events
+# match TWO intervals and the join is genuinely one-to-many.
+IVJ_N = 200
+IVJ_STRIDE_US = 3_600_000_000
+IVJ_WIDTH_US = 5_400_000_000
+IVJ_BIN_US = 1_800_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-overlap) join — the operator Spark has no
+    native physical strategy for (a naive t BETWEEN lo AND hi join
+    plans as BroadcastNestedLoop = all-pairs).  The scale pattern is
+    BINNING: explode each interval to the fixed-width buckets it
+    covers, bucket each event once, equi-join on the bucket, and
+    re-check the exact predicate.  Cost: |intervals| x (width/bin + 1)
+    expansion on the SMALL side, one hash join on the big side, zero
+    cross product.  Here the exploded interval table (200 x 4 rows) is
+    broadcast, so the event stream never shuffles at all — the only
+    exchange is the final per-interval aggregate.  At 100 TB the same
+    plan holds whenever intervals fit a broadcast (calendars, outage
+    windows, campaigns); otherwise the equi-join shuffles on the
+    bucket key, still never a cross product.
+
+    The interval table is synthesized deterministically from the
+    stream's own min timestamp (one O(1) scalar agg) so both engines
+    construct identical windows; time is compared as exact integer
+    MICROSECOND OFFSETS from that anchor (timestampdiff / DATE_DIFF —
+    the events column is TIMESTAMP_NTZ, so epoch conversions would
+    drag in a session timezone; offsets never do), closed on both
+    ends."""
+    raw = _load(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    a_lit = anchor.strftime("%Y-%m-%d %H:%M:%S.%f")
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        ).alias("us"),
+    )
+    iv = spark.range(IVJ_N).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * IVJ_STRIDE_US).alias("lo"),
+        (F.col("id") * IVJ_STRIDE_US + IVJ_WIDTH_US).alias("hi"),
+    )
+    exploded = iv.select(
+        "interval_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.expr(f"sequence(lo div {IVJ_BIN_US}, hi div {IVJ_BIN_US})")
+        ).alias("b"),
+    )
+    joined = (
+        ev.withColumn("b", F.expr(f"us div {IVJ_BIN_US}"))
+        .join(F.broadcast(exploded), "b")
+        .filter((F.col("us") >= F.col("lo")) & (F.col("us") <= F.col("hi")))
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# Set-similarity join threshold 3/5: kept as an exact integer ratio so
+# every filter is integer cross-multiplication (5*min >= 3*max), never
+# a float boundary.
+SSJ_T_NUM = 3
+SSJ_T_DEN = 5
+
+
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join by PREFIX FILTERING (AllPairs /
+    PPJoin family, Bayardo et al. 2007; Xiao et al. 2008) — the
+    candidate generator that, unlike MinHash LSH (`ngram_jaccard`), is
+    EXACT: no false negatives by construction, so the verify step is
+    the only filter.  Same similarity definition as ngram_jaccard
+    (word-trigram shingle Jaccard) — two genuinely different
+    algorithms over one spec.
+
+    Scale shape: (1) one agg for global shingle document frequency;
+    (2) each doc's shingles sorted rarest-first by (df, shingle) — a
+    per-doc array sort after a broadcast df join; (3) only the first
+    |x| - ceil(t|x|) + 1 shingles (the RAREST ones) are exploded as
+    join keys, so the self-join fan-out is bounded by the df of rare
+    tokens, not corpus size — the all-pairs blowup LSH dodges
+    probabilistically is dodged here combinatorially; (4) integer
+    length filter 5*min(|x|,|y|) >= 3*max prunes before verification;
+    (5) verify = array_intersect on the two shingle sets, exact
+    integer |A intersect B| / |A union B|.  Prefix length uses the
+    integer identity ceil(3n/5) = (3n+4) div 5."""
+    toks = (
+        _load_wide(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 3)
+    )
+    sh = toks.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(ts) - 2),"
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),"
+            " ' ', element_at(ts, i + 2))))"
+        ).alias("st"),
+    )
+    ex = sh.select("doc_id", F.explode("st").alias("s"))
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(F.broadcast(df_tbl), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sort_array(collect_list(struct(df, s)))").alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pref = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                f"slice(arr, 1, cast(n - ((({SSJ_T_NUM} * n) + {SSJ_T_DEN} - 1)"
+                f" div {SSJ_T_DEN}) + 1 as int))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "n", F.col("p.s").alias("s"))
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            SSJ_T_DEN * F.least(F.col("a.n"), F.col("b.n"))
+            >= SSJ_T_NUM * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("st").alias("st_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("st").alias("st_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(st_a, st_b))").alias("n_inter"),
+            F.expr(
+                "size(st_a) + size(st_b) - size(array_intersect(st_a, st_b))"
+            ).alias("n_union"),
+        )
+        .filter(
+            F.col("n_inter") * SSJ_T_DEN >= F.col("n_union") * SSJ_T_NUM
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 6
+        ).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -4348,6 +4592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "corpus_profile": q_corpus_profile,
         "event_sessions_custom": q_event_sessions_custom,
+        "count_min_topk": q_count_min_topk,
+        "interval_join": q_interval_join,
+        "similarity_join": q_similarity_join,
     }
 
 
@@ -6325,3 +6572,96 @@ def _install_pipeline_oracles() -> None:
 
 
 _install_pipeline_oracles()
+
+
+def _install_sketch_join_oracles() -> None:
+    """count_min_topk / interval_join / similarity_join: the sketch
+    replayed register-for-register, the range join restated as a plain
+    theta join (DuckDB plans BETWEEN natively — an independent
+    physical strategy), and the prefix-filter join restated as
+    brute-force all-pairs (the O(n^2) formulation prefix filtering
+    exists to avoid — feasible at oracle scale, and exactly the
+    semantics the exact join must reproduce)."""
+    duck_idx = (
+        "CAST(('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':' || item),"
+        f" 1, 13))::UBIGINT AS BIGINT) % {CMS_W}"
+    )
+    _ORACLE_SQL["count_min_topk"] = f"""
+        WITH js AS (SELECT j FROM generate_series(0, {CMS_D - 1}) t(j)),
+        toks AS (
+            SELECT string_split(text, ' ') AS ts FROM documents
+        ),
+        items AS (
+            SELECT unnest(CASE WHEN len(ts) >= 2 THEN list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS item
+            FROM toks
+        ),
+        upd AS (
+            SELECT js.j, {duck_idx} AS idx FROM items CROSS JOIN js
+        ),
+        sketch AS (
+            SELECT j, idx, COUNT(*) AS c FROM upd GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT item, COUNT(*) AS n_exact FROM items GROUP BY 1
+        ),
+        probes AS (
+            SELECT item, n_exact, js.j, {duck_idx} AS idx
+            FROM cand CROSS JOIN js
+        )
+        SELECT item, CAST(MIN(c) AS BIGINT) AS est,
+               CAST(n_exact AS BIGINT) AS n_exact
+        FROM probes JOIN sketch USING (j, idx)
+        GROUP BY item, n_exact
+        ORDER BY est DESC, item ASC
+        LIMIT 20
+    """
+    _ORACLE_SQL["interval_join"] = f"""
+        WITH mn AS (SELECT MIN(ts) AS m FROM events),
+        iv AS (
+            SELECT i AS interval_id,
+                   i * {IVJ_STRIDE_US} AS lo,
+                   i * {IVJ_STRIDE_US} + {IVJ_WIDTH_US} AS hi
+            FROM generate_series(0, {IVJ_N - 1}) t(i)
+        ),
+        ev AS (
+            SELECT user_id, value,
+                   DATE_DIFF('microseconds', mn.m, ts) AS us
+            FROM events CROSS JOIN mn
+        )
+        SELECT interval_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM ev JOIN iv ON us BETWEEN lo AND hi
+        GROUP BY interval_id
+    """
+    _ORACLE_SQL["similarity_join"] = f"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS st
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.st, b.st)) AS n_inter,
+                   len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))
+                       AS n_union
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_union AS BIGINT) AS n_union,
+               ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+        FROM pairs
+        WHERE n_inter * {SSJ_T_DEN} >= n_union * {SSJ_T_NUM}
+    """
+
+
+_install_sketch_join_oracles()

@@ -98,6 +98,12 @@ RELATIONAL = [
     "link_pagerank",
     "hll_distinct",
     "dup_substring",
+    "image_phash_dedup",
+    "dsir_weights",
+    "ppl_buckets",
+    "count_min_topk",
+    "interval_join",
+    "similarity_join",
 ]
 
 
