@@ -4501,6 +4501,116 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE geometry: few enough merges that common words still tokenize to
+# multiple subwords (the interesting regime), capped vocab so the
+# driver-side merge loop is bounded at any corpus size.
+BPE_MERGES = 24
+BPE_MAX_VOCAB = 10000
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    """Learned merge list, memoized per data fingerprint (the IVF
+    codebook pattern): word counting is the distributed stage (one
+    groupBy shuffle — the only corpus-sized cost); the merge loop runs
+    driver-side over the collected dictionary, bounded at
+    BPE_MAX_VOCAB rows by a deterministic (count DESC, word ASC) cut
+    — the SentencePiece / HF-tokenizers architecture, where training
+    cost grows with vocabulary, not corpus."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = (p, st.st_size, st.st_mtime_ns)
+    if key not in _BPE_CACHE:
+        from ocular_spark.functions.bpe import train_bpe
+
+        wc = (
+            _load_wide(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(BPE_MAX_VOCAB)
+            .collect()
+        )
+        _BPE_CACHE[key] = train_bpe({r.w: r.c for r in wc}, BPE_MERGES)
+    return _BPE_CACHE[key]
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (Sennrich et al. 2016) — rank order IS
+    the model.  Oracle is a frozen golden computed by an INDEPENDENT
+    regex-based implementation (the original learn_bpe formulation:
+    space-joined symbol strings, lookaround-anchored substitution) in
+    tools/freeze_goldens.py — a two-implementation gate over the full
+    determinism contract (overlapping pair counts, lexicographic
+    tie-break, greedy left-to-right merging)."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string, merged string",
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the learned BPE model.  Scale shape:
+    encoding runs once per DISTINCT word (Zipf: cost grows with
+    vocabulary, not corpus) in an Arrow-batched mapInPandas kernel
+    with the merge ranks broadcast; documents then join the tiny
+    word->tokens map (broadcast here; sort-merge at vocabularies past
+    broadcast size) and reassemble per-doc token sequences by word
+    position — one groupBy, no Python in the corpus-sized path.
+    tokens_hash pins the exact token SEQUENCE (subword order within
+    and across words) against the independent regex encoder's
+    golden."""
+    from ocular_spark.functions.bpe import encode_words
+
+    merges = _bpe_merges(spark, sf_dir)
+    merges_bc = spark.sparkContext.broadcast(merges)
+    docs = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    words = (
+        docs.select(F.explode("ts").alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+
+    def enc_iter(batches):
+        for pdf in batches:
+            enc = encode_words(pdf["w"].tolist(), merges_bc.value)
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "toks": [" ".join(enc[w]) for w in pdf["w"]],
+                    "n_toks": [len(enc[w]) for w in pdf["w"]],
+                }
+            )
+
+    wmap = words.mapInPandas(enc_iter, "w string, toks string, n_toks int")
+    exploded = docs.select(
+        "doc_id", F.posexplode("ts").alias("pos", "w")
+    ).filter(F.col("w") != "")
+    return (
+        exploded.join(F.broadcast(wmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.expr(
+                "md5(array_join(transform(sort_array(collect_list("
+                "struct(pos, toks))), x -> x.toks), ' '))"
+            ).alias("tokens_hash"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_tokens",
+            "tokens_hash",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -4595,6 +4705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_topk": q_count_min_topk,
         "interval_join": q_interval_join,
         "similarity_join": q_similarity_join,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
     }
 
 

@@ -104,6 +104,7 @@ RELATIONAL = [
     "count_min_topk",
     "interval_join",
     "similarity_join",
+    "bpe_encode",
 ]
 
 

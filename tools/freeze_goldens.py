@@ -311,6 +311,117 @@ def freeze_transcribe_spans_crop() -> Tuple[List[str], List[str], List[tuple]]:
     return SPAN_COLS, SPAN_TYPES, _flatten_spans(out)
 
 
+# --------------------------------------------------------------- BPE
+# INDEPENDENT implementation of the BPE determinism contract
+# (ocular_spark/functions/bpe.py docstring): this is the Sennrich
+# learn_bpe/apply_bpe FORMULATION — words as space-joined symbol
+# strings, merges applied by lookaround-anchored regex substitution —
+# structurally different from the production tuple-based kernel, so
+# the frozen golden is a genuine two-implementation gate.  Symbol
+# sequences are injective images of words (their concatenation always
+# equals word + '</w>'), so the dict comprehensions cannot collapse
+# two vocab keys.
+
+_BPE_EOW = "</w>"
+_BPE_MERGES_N = 24
+_BPE_MAX_VOCAB = 10000
+
+
+def _bpe_pat(a: str, b: str):
+    import re
+
+    return re.compile(r"(?<!\S)" + re.escape(a) + r" " + re.escape(b) + r"(?!\S)")
+
+
+def _bpe_train_regex(word_counts, n_merges):
+    import collections
+
+    vocab = {
+        " ".join(list(w)) + " " + _BPE_EOW: c for w, c in word_counts.items() if w
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for s, c in vocab.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        pat = _bpe_pat(*best)
+        vocab = {pat.sub(best[0] + best[1], s): c for s, c in vocab.items()}
+    return merges
+
+
+def _bpe_encode_regex(word, merges):
+    s = " ".join(list(word)) + " " + _BPE_EOW
+    while True:
+        syms = s.split(" ")
+        present = set(zip(syms, syms[1:]))
+        hit = next((p for p in merges if p in present), None)
+        if hit is None:
+            return syms
+        s = _bpe_pat(*hit).sub(hit[0] + hit[1], s)
+
+
+def _bpe_reference():
+    import collections
+
+    df = _documents()
+    counts = collections.Counter()
+    doc_words = {}
+    for r in df.itertuples():
+        ws = [w for w in r.text.split(" ") if w]
+        if ws:
+            doc_words[int(r.doc_id)] = ws
+        counts.update(ws)
+    capped = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_MAX_VOCAB]
+    )
+    merges = _bpe_train_regex(capped, _BPE_MERGES_N)
+    return merges, doc_words
+
+
+def freeze_bpe_train() -> Tuple[List[str], List[str], List[tuple]]:
+    merges, _ = _bpe_reference()
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return (
+        ["rank", "left", "right", "merged"],
+        ["BIGINT", "VARCHAR", "VARCHAR", "VARCHAR"],
+        rows,
+    )
+
+
+def freeze_bpe_encode() -> Tuple[List[str], List[str], List[tuple]]:
+    import hashlib
+
+    merges, doc_words = _bpe_reference()
+    enc = {}
+    rows = []
+    for doc_id in sorted(doc_words):
+        ws = doc_words[doc_id]
+        for w in ws:
+            if w not in enc:
+                enc[w] = _bpe_encode_regex(w, merges)
+        token_str = " ".join(" ".join(enc[w]) for w in ws)
+        n_tokens = sum(len(enc[w]) for w in ws)
+        rows.append(
+            (
+                doc_id,
+                len(ws),
+                n_tokens,
+                hashlib.md5(token_str.encode()).hexdigest(),
+            )
+        )
+    return (
+        ["doc_id", "n_words", "n_tokens", "tokens_hash"],
+        ["BIGINT", "BIGINT", "BIGINT", "VARCHAR"],
+        rows,
+    )
+
+
 FREEZERS = {
     "transcribe_spans": freeze_transcribe_spans,
     "transcribe_spans_crop": freeze_transcribe_spans_crop,
@@ -321,12 +432,27 @@ FREEZERS = {
     "train_font_step": freeze_train_font_step,
     "train_font_step_cs": freeze_train_font_step_cs,
     "lm_perplexity": freeze_lm_perplexity,
+    "bpe_train": freeze_bpe_train,
+    "bpe_encode": freeze_bpe_encode,
 }
 
 
 def main() -> None:
+    # --only NAME...: recompute just the named goldens, preserving the
+    # rest byte-for-byte from the existing module (decode goldens
+    # carry float near-ties whose argmax can legitimately differ
+    # across CPU generations — never re-freeze them as a side effect
+    # of adding an unrelated golden)
+    only = sys.argv[2:] if len(sys.argv) > 2 and sys.argv[1] == "--only" else None
     out = {}
+    if only:
+        from golden_oracles import GOLDEN_ORACLES as _existing
+
+        for name, sql in _existing.items():
+            out[name] = sql.strip()
     for name, fn in FREEZERS.items():
+        if only is not None and name not in only:
+            continue
         cols, types, rows = fn()
         out[name] = _values_sql(cols, types, rows)
         print(f"froze {name}: {len(rows)} rows", file=sys.stderr)
