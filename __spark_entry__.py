@@ -4611,6 +4611,140 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cluster-balanced sampling: keep ceil(3/10) of each cluster — exact
+# integer ratio so the cut is never a float boundary
+CLUSTER_SAMPLE_NUM = 3
+CLUSTER_SAMPLE_DEN = 10
+CLUSTER_SAMPLE_K = 16
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the embedding-space curation rule
+    (SemDeDup / DoReMi-adjacent): sample uniformly WITHIN clusters so
+    the kept subset preserves cluster coverage instead of mirroring
+    the corpus's cluster skew.  Assignment reuses the IVF
+    literal-argmax projection (_ivf_assign_expr) over the
+    deterministic seed codebook (first K raw vectors — the SAMPLING
+    logic is this operator; codebook quality is embed_ivf_topk's
+    concern).  Within each cluster, keep ceil(0.3*n_c) rows by the
+    Lehmer-hash order domain_cap uses (reproducible across retries,
+    unbiased w.r.t. id order); every kept row carries the exact
+    inverse-propensity weight n_c / cap.  100 TB shape: assignment is
+    a map-side projection; ONE hash exchange on cluster feeds both
+    the window rank and the cluster size — no second scan."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "embeddings")
+    cb = [
+        {"cent_id": int(r.cent_id), "cent_vec": list(r.cent_vec)}
+        for r in e.filter(F.col("vec_id") < CLUSTER_SAMPLE_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").cast("array<double>").alias("cent_vec"),
+        )
+        .collect()
+    ]
+    assigned = e.select(
+        "vec_id", "embedding", _ivf_assign_expr(cb).alias("cluster")
+    )
+    order = Window.partitionBy("cluster").orderBy(
+        F.expr("(vec_id % 1000003) * 48271 % 2147483647"), "vec_id"
+    )
+    whole = Window.partitionBy("cluster")
+    cap = F.expr(
+        f"({CLUSTER_SAMPLE_NUM} * n_c + {CLUSTER_SAMPLE_DEN - 1})"
+        f" div {CLUSTER_SAMPLE_DEN}"
+    )
+    return (
+        assigned.select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.row_number().over(order).alias("rk"),
+            F.count(F.lit(1)).over(whole).alias("n_c"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.when(F.col("rk") <= cap, 1).otherwise(0).cast("int").alias("kept"),
+            F.round(
+                F.when(F.col("rk") <= cap, F.col("n_c").cast("double") / cap)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+# Johnson-Lindenstrauss sign projection: k output dims, signs are a
+# FIXED d x k matrix derived once from md5 (a model constant, not a
+# per-row computation — inlined as literals so the projection is one
+# shuffle-free integer expression at any corpus size)
+RPROJ_K = 16
+RPROJ_D = 64
+RPROJ_SCALE = 1_000_000  # quantization: exact integer sums, order-free
+
+
+def _rproj_signs() -> list:
+    """Deterministic ±1 sign matrix (Achlioptas 2001 database-friendly
+    random projections, sign variant): sign(i,j) from one md5 bit —
+    reproducible in any engine/language, no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{i}_{j}".encode()).digest()[0] & 1 else -1
+            for i in range(RPROJ_D)
+        ]
+        for j in range(RPROJ_K)
+    ]
+
+
+def q_embed_rproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random sign projection of the embedding column to RPROJ_K dims
+    (Johnson-Lindenstrauss; Achlioptas 2001's ±1 matrix) — the cheap
+    dimensionality reduction a 100 TB pipeline runs before LSH or
+    clustering when d is large.  Exactness device: components are
+    quantized to integers (floor(x * 1e6), float32->double cast is
+    exact) so every projected coordinate is an exact BIGINT sum —
+    order-independent, no float summation anywhere.  The sign matrix
+    is inlined as literal arrays (O(d*k) plan bytes, data-independent)
+    so the whole operator is ONE shuffle-free projection; the JL
+    cosine-preservation property is pinned by tests/test_sketch_join.py
+    siblings in test_rproj.py."""
+    signs = _rproj_signs()
+    sg = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in signs]
+    )
+    e = _load_wide(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                f" x -> cast(floor(x * {RPROJ_SCALE}.0) as bigint))"
+            ).alias("xq"),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(RPROJ_K - 1)),
+                    lambda j: F.aggregate(
+                        F.sequence(F.lit(1), F.lit(RPROJ_D)),
+                        F.lit(0).cast("long"),
+                        lambda acc, i: acc
+                        + F.element_at(F.col("xq"), i)
+                        * F.element_at(F.element_at(sg, j + 1), i),
+                    ),
+                )
+            ).alias("j", "y"),
+        )
+        .select("vec_id", F.col("j").cast("long").alias("j"), "y")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -4707,6 +4841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "cluster_sample": q_cluster_sample,
+        "embed_rproj": q_embed_rproj,
     }
 
 
@@ -6777,3 +6913,73 @@ def _install_sketch_join_oracles() -> None:
 
 
 _install_sketch_join_oracles()
+
+
+def _install_embed_curation_oracles() -> None:
+    """cluster_sample / embed_rproj: assignment + windowed sampling
+    restated over DuckDB's native LIST_DOT_PRODUCT (the Spark side
+    uses the sequential-fold _dot64 — the same cross-engine pair the
+    IVF gate bit-matched), and the sign projection replayed from the
+    same md5-derived literal matrix (a model constant computed once at
+    import, identical bytes in both engines)."""
+    cap = (
+        f"(({CLUSTER_SAMPLE_NUM} * n_c + {CLUSTER_SAMPLE_DEN - 1})"
+        f" // {CLUSTER_SAMPLE_DEN})"
+    )
+    _ORACLE_SQL["cluster_sample"] = f"""
+        WITH cb AS (
+            SELECT CAST(vec_id AS INT) AS cent_id,
+                   CAST(embedding AS DOUBLE[]) AS cent_vec
+            FROM embeddings WHERE vec_id < {CLUSTER_SAMPLE_K}
+        ),
+        s AS (
+            SELECT e.vec_id, c.cent_id,
+                   LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                    c.cent_vec) AS cdot
+            FROM embeddings e CROSS JOIN cb c
+        ),
+        a AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                FROM s
+            ) WHERE rn = 1
+        ),
+        r AS (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+                       (vec_id % 1000003) * 48271 % 2147483647, vec_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY cluster) AS n_c
+            FROM a
+        )
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(rk AS BIGINT) AS rk, CAST(n_c AS BIGINT) AS n_c,
+               CASE WHEN rk <= {cap} THEN 1 ELSE 0 END AS kept,
+               ROUND(CASE WHEN rk <= {cap}
+                     THEN CAST(n_c AS DOUBLE) / {cap}
+                     ELSE 0.0 END, 6) AS weight
+        FROM r
+    """
+    signs_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(s) for s in row) + "]" for row in _rproj_signs()
+        )
+        + "]"
+    )
+    _ORACLE_SQL["embed_rproj"] = f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {RPROJ_SCALE}.0) AS BIGINT)) AS xq
+            FROM embeddings
+        ),
+        js AS (SELECT j FROM generate_series(0, {RPROJ_K - 1}) t(j))
+        SELECT vec_id, CAST(js.j AS BIGINT) AS j,
+               CAST(list_sum(list_transform(generate_series(1, {RPROJ_D}),
+                   i -> xq[i] * ({signs_sql})[js.j + 1][i])) AS BIGINT) AS y
+        FROM q CROSS JOIN js
+    """
+
+
+_install_embed_curation_oracles()

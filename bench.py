@@ -105,6 +105,8 @@ RELATIONAL = [
     "interval_join",
     "similarity_join",
     "bpe_encode",
+    "cluster_sample",
+    "embed_rproj",
 ]
 
 
