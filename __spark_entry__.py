@@ -4745,6 +4745,60 @@ def q_embed_rproj(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# skew-join salting: fan the hot key across this many sub-keys
+SKEW_NSALT = 8
+
+
+def _skew_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically skewed join key over the event stream: 70% of
+    rows collapse onto key 0 (the mega-key), the rest keep their
+    user_id — the Zipf-head shape that breaks shuffle joins."""
+    return _load_wide(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.expr(
+            "CASE WHEN user_id % 10 < 7 THEN CAST(0 AS BIGINT)"
+            " ELSE user_id END"
+        ).alias("k"),
+    )
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join — the explicit mitigation for the
+    Zipf-head key that AQE's skew split cannot always save (AQE splits
+    a skewed PARTITION only in sort-merge joins after materialization;
+    salting prevents the skew from ever existing).  Pattern: the big
+    side gets salt = hash(row id) % S as an extra join key; the small
+    side is exploded S ways (S rows per key — tiny); the join runs on
+    (k, salt), so the mega-key's rows spread across S tasks instead of
+    one.  The sort-merge hint FORCES the shuffle-join regime (a
+    broadcast would hide the skew problem this operator exists to
+    solve — at 100 TB the dimension side is often too big to
+    broadcast).  Salting is partitioning-only: the aggregated result
+    is provably identical to the plain join, which is exactly what the
+    DuckDB oracle computes (plain join, no salt — the gate proves the
+    rewrite is semantics-preserving).  tests/test_skew_join.py pins
+    the mechanics: salt present in the join keys, no broadcast, and
+    the mega-key's rows actually spread S-ways."""
+    ev = _skew_keyed_events(spark, sf_dir)
+    dim = ev.select("k").distinct().select(
+        "k", (F.col("k") % 7).alias("category")
+    )
+    salted_ev = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SKEW_NSALT))
+    )
+    salted_dim = dim.select(
+        "k",
+        "category",
+        F.explode(F.sequence(F.lit(0), F.lit(SKEW_NSALT - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_ev.hint("merge").join(salted_dim, ["k", "salt"])
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -4843,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "cluster_sample": q_cluster_sample,
         "embed_rproj": q_embed_rproj,
+        "skew_join": q_skew_join,
     }
 
 
@@ -6983,3 +7038,25 @@ def _install_embed_curation_oracles() -> None:
 
 
 _install_embed_curation_oracles()
+
+
+def _install_skew_join_oracle() -> None:
+    """skew_join: the plain unsalted join + aggregate — the gate proves
+    the salting rewrite is semantics-preserving."""
+    _ORACLE_SQL["skew_join"] = """
+        WITH ev AS (
+            SELECT event_id, value,
+                   CASE WHEN user_id % 10 < 7 THEN CAST(0 AS BIGINT)
+                        ELSE user_id END AS k
+            FROM events
+        ),
+        dim AS (SELECT DISTINCT k, k % 7 AS category FROM ev)
+        SELECT category,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM ev JOIN dim USING (k)
+        GROUP BY category
+    """
+
+
+_install_skew_join_oracle()

@@ -107,6 +107,7 @@ RELATIONAL = [
     "bpe_encode",
     "cluster_sample",
     "embed_rproj",
+    "skew_join",
 ]
 
 
