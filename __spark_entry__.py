@@ -4799,6 +4799,107 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rendezvous sharding: old and new cluster sizes under test
+HRW_N_OLD = 10
+HRW_N_NEW = 11
+
+
+def _hrw_shard_expr(n_shards: int) -> str:
+    """Rendezvous (highest-random-weight) shard pick as one SQL
+    expression: shard = argmax over s of h(doc_id, s), h = the same
+    conv-of-13-md5-hex-chars BIGINT both engines compute identically.
+    First-occurrence argmax + distinct hash inputs make ties
+    impossible in practice and deterministic anyway."""
+    cells = ", ".join(
+        f"cast(conv(substring(md5(concat(cast(doc_id as string), '#', '{s}')),"
+        " 1, 13), 16, 10) as bigint)"
+        for s in range(n_shards)
+    )
+    return (
+        f"array_position(array({cells}), array_max(array({cells}))) - 1"
+    )
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998) — how a 100 TB store assigns documents to shards so that
+    GROWING the cluster moves the theoretical minimum of data: going
+    N -> N+1, a doc moves only if the NEW shard wins its rendezvous,
+    so exactly ~1/(N+1) of docs move and every move lands ON the new
+    shard — no old->old churn (consistent hashing's property without
+    the ring).  The operator emits both assignments and the moved
+    flag; the property itself (all moves target shard N_OLD, moved
+    fraction ~ 1/N_NEW) is pinned by tests/test_shard_assign.py.
+    Pure map-side projection — O(N) hashes per row, zero shuffle."""
+    d = _load_wide(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(_hrw_shard_expr(HRW_N_OLD)).cast("long").alias("shard_old"),
+        F.expr(_hrw_shard_expr(HRW_N_NEW)).cast("long").alias("shard_new"),
+    ).select(
+        "doc_id",
+        "shard_old",
+        "shard_new",
+        (F.col("shard_old") != F.col("shard_new")).cast("int").alias("moved"),
+    )
+
+
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial aggregation — the incremental-rollup pattern a
+    100 TB warehouse lives on: per-day PARTIAL aggregate states
+    (count / exact-integer sum / min / max — all algebraic, all
+    mergeable) are materialized once per day and MERGED for any range,
+    instead of rescanning the raw events.  The query computes both the
+    merged-from-partials answer and the direct full-scan answer per
+    event_type and proves them equal (`consistent`) — the algebraic-
+    mergeability law itself under the driver's value gate.  value is
+    quantized floor(value*100) so the sums are exact BIGINTs (order-
+    and grouping-independent — the property that MAKES the merge
+    lawful; float sums would differ by grouping).  Scale shape: the
+    partial table is days x types rows; merging any range is an
+    O(range) fold, never a rescan."""
+    ev = _load_wide(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("v"),
+    )
+    partials = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("n").alias("n_merged"),
+        F.sum("s").alias("sum_merged"),
+        F.min("mn").alias("min_merged"),
+        F.max("mx").alias("max_merged"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_direct"),
+        F.sum("v").alias("sum_direct"),
+        F.min("v").alias("min_direct"),
+        F.max("v").alias("max_direct"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        F.col("n_merged").cast("long").alias("n_merged"),
+        "sum_merged",
+        "min_merged",
+        "max_merged",
+        F.col("n_direct").cast("long").alias("n_direct"),
+        "sum_direct",
+        "min_direct",
+        "max_direct",
+        (
+            (F.col("n_merged") == F.col("n_direct"))
+            & (F.col("sum_merged") == F.col("sum_direct"))
+            & (F.col("min_merged") == F.col("min_direct"))
+            & (F.col("max_merged") == F.col("max_direct"))
+        ).cast("int").alias("consistent"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -4898,6 +4999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": q_cluster_sample,
         "embed_rproj": q_embed_rproj,
         "skew_join": q_skew_join,
+        "shard_assign": q_shard_assign,
+        "partial_agg_merge": q_partial_agg_merge,
     }
 
 
@@ -7060,3 +7163,68 @@ def _install_skew_join_oracle() -> None:
 
 
 _install_skew_join_oracle()
+
+
+def _install_infra_oracles() -> None:
+    """shard_assign / partial_agg_merge: the rendezvous argmax replayed
+    with DuckDB's list functions over the same md5-derived hashes, and
+    the partial-vs-direct aggregation law recomputed independently."""
+
+    def duck_hrw(n: int) -> str:
+        cells = ", ".join(
+            "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' ||"
+            f" '{s}'), 1, 13))::UBIGINT AS BIGINT)"
+            for s in range(n)
+        )
+        return (
+            f"(list_position([{cells}], list_max([{cells}])) - 1)"
+        )
+
+    _ORACLE_SQL["shard_assign"] = f"""
+        SELECT doc_id,
+               CAST({duck_hrw(HRW_N_OLD)} AS BIGINT) AS shard_old,
+               CAST({duck_hrw(HRW_N_NEW)} AS BIGINT) AS shard_new,
+               CASE WHEN {duck_hrw(HRW_N_OLD)} != {duck_hrw(HRW_N_NEW)}
+                    THEN 1 ELSE 0 END AS moved
+        FROM documents
+    """
+    _ORACLE_SQL["partial_agg_merge"] = """
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        partials AS (
+            SELECT event_type, day, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   MIN(v) AS mn, MAX(v) AS mx
+            FROM ev GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS n_merged,
+                   CAST(SUM(s) AS BIGINT) AS sum_merged,
+                   MIN(mn) AS min_merged, MAX(mx) AS max_merged
+            FROM partials GROUP BY 1
+        ),
+        direct AS (
+            SELECT event_type,
+                   COUNT(*) AS n_direct,
+                   CAST(SUM(v) AS BIGINT) AS sum_direct,
+                   MIN(v) AS min_direct, MAX(v) AS max_direct
+            FROM ev GROUP BY 1
+        )
+        SELECT m.event_type,
+               CAST(n_merged AS BIGINT) AS n_merged, sum_merged,
+               min_merged, max_merged,
+               CAST(n_direct AS BIGINT) AS n_direct, sum_direct,
+               min_direct, max_direct,
+               CASE WHEN n_merged = n_direct AND sum_merged = sum_direct
+                         AND min_merged = min_direct
+                         AND max_merged = max_direct
+                    THEN 1 ELSE 0 END AS consistent
+        FROM merged m JOIN direct d ON m.event_type = d.event_type
+    """
+
+
+_install_infra_oracles()

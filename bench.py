@@ -108,6 +108,8 @@ RELATIONAL = [
     "cluster_sample",
     "embed_rproj",
     "skew_join",
+    "shard_assign",
+    "partial_agg_merge",
 ]
 
 
