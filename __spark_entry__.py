@@ -4900,6 +4900,106 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_LEX_COMMON = ("the", "a", "and", "of", "to")
+_SPAN_LEX_TECH = ("spark", "join", "hash", "query", "table")
+
+
+def q_span_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SPAN language ID over the interleaved table shape (the
+    north_rule input: (doc_id, spans array<struct<kind, text,
+    media_ref, offset>>)): each doc becomes [text(first half),
+    media(ref), text(second half)], and the lexicon-vote classifier
+    (q_lang_id's integer rule — exact, no float scores) runs INSIDE
+    the spans array as one transform() projection; media spans pass
+    through with NULL votes and the (kind, media_ref, offset) order is
+    preserved — the per-row invariant, here for span-granular
+    analytics.  Zero shuffle: classification happens before the
+    flatten, and the flatten exists only for the driver's hashable
+    shape.  At 100 TB this is the pattern for every span-level
+    annotator: annotate in place in the array, never explode-shuffle-
+    regroup."""
+    d = _load_wide(spark, sf_dir, "documents")
+    common = ", ".join(f"'{w}'" for w in _SPAN_LEX_COMMON)
+    tech = ", ".join(f"'{w}'" for w in _SPAN_LEX_TECH)
+    spans = F.expr(
+        "array("
+        "named_struct('kind', 'text',"
+        " 'text', substring(text, 1, length(text) div 2),"
+        " 'media_ref', cast(null as string), 'offset', 0), "
+        "named_struct('kind', 'media', 'text', cast(null as string),"
+        " 'media_ref', concat('m-', doc_id), 'offset', 1), "
+        "named_struct('kind', 'text',"
+        " 'text', substring(text, length(text) div 2 + 1),"
+        " 'media_ref', cast(null as string), 'offset', 2))"
+    )
+    annotated = F.expr(
+        "transform(spans, sp -> named_struct("
+        "'kind', sp.kind, 'media_ref', sp.media_ref, 'offset', sp.offset, "
+        "'n_common', case when sp.kind = 'text' then "
+        f"size(filter(split(sp.text, ' '), t -> t in ({common})))"
+        " else cast(null as int) end, "
+        "'n_tech', case when sp.kind = 'text' then "
+        f"size(filter(split(sp.text, ' '), t -> t in ({tech})))"
+        " else cast(null as int) end))"
+    )
+    return (
+        d.select("doc_id", spans.alias("spans"))
+        .select("doc_id", annotated.alias("spans"))
+        .select("doc_id", F.explode("spans").alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.kind").alias("kind"),
+            F.col("sp.media_ref").alias("media_ref"),
+            F.col("sp.offset").cast("long").alias("offset"),
+            F.col("sp.n_common").cast("long").alias("n_common"),
+            F.col("sp.n_tech").cast("long").alias("n_tech"),
+            F.when(F.col("sp.kind") != "text", F.lit(None).cast("string"))
+            .when(F.col("sp.n_common") >= F.col("sp.n_tech"), F.lit("common"))
+            .otherwise(F.lit("tech"))
+            .alias("lang_guess"),
+        )
+    )
+
+
+# compaction target: group files into ~this many chars of payload
+COMPACT_TARGET = 4000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the Iceberg/lakehouse
+    maintenance job that bin-packs many small data files into
+    target-sized rewrite groups.  Files (one per doc here, size =
+    n_chars) are packed per source partition by PREFIX-SUM BINNING:
+    group = (running_size - size) div TARGET, i.e. a file joins the
+    group its first byte lands in — a deterministic, single-window
+    formulation of first-fit that parallelizes (greedy first-fit is
+    inherently sequential; prefix-sum binning is the distributed
+    stand-in, overshooting a group by at most one file).  One hash
+    exchange on source + one window; output is the rewrite manifest
+    (group sizes, file counts, id ranges)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("sz")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = d.select(
+        "doc_id", "source", "sz", F.sum("sz").over(w).alias("run")
+    ).select(
+        "doc_id",
+        "source",
+        "sz",
+        # integer div end-to-end: no float rounding in the group id
+        F.expr(f"(run - sz) div {COMPACT_TARGET}").cast("long").alias("grp"),
+    )
+    return binned.groupBy("source", "grp").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("sz").alias("bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5001,6 +5101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "shard_assign": q_shard_assign,
         "partial_agg_merge": q_partial_agg_merge,
+        "span_lang_id": q_span_lang_id,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -7228,3 +7330,62 @@ def _install_infra_oracles() -> None:
 
 
 _install_infra_oracles()
+
+
+def _install_span_compaction_oracles() -> None:
+    """span_lang_id / compaction_plan restated in DuckDB: the same
+    half-split span synthesis + lexicon votes, and the same prefix-sum
+    binning over a window."""
+    common = ", ".join(f"'{w}'" for w in _SPAN_LEX_COMMON)
+    tech = ", ".join(f"'{w}'" for w in _SPAN_LEX_TECH)
+    _ORACLE_SQL["span_lang_id"] = f"""
+        WITH halves AS (
+            SELECT doc_id,
+                   substring(text, 1, length(text) // 2) AS t0,
+                   substring(text, length(text) // 2 + 1) AS t2
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, 'text' AS kind, CAST(NULL AS VARCHAR) AS media_ref,
+                   0 AS "offset", t0 AS t FROM halves
+            UNION ALL
+            SELECT doc_id, 'media', 'm-' || CAST(doc_id AS VARCHAR), 1,
+                   CAST(NULL AS VARCHAR) FROM halves
+            UNION ALL
+            SELECT doc_id, 'text', CAST(NULL AS VARCHAR), 2, t2 FROM halves
+        )
+        SELECT doc_id, kind, media_ref, CAST("offset" AS BIGINT) AS "offset",
+               CASE WHEN kind = 'text' THEN CAST(len(list_filter(
+                   string_split(t, ' '), x -> x IN ({common}))) AS BIGINT)
+                    ELSE NULL END AS n_common,
+               CASE WHEN kind = 'text' THEN CAST(len(list_filter(
+                   string_split(t, ' '), x -> x IN ({tech}))) AS BIGINT)
+                    ELSE NULL END AS n_tech,
+               CASE WHEN kind != 'text' THEN NULL
+                    WHEN len(list_filter(string_split(t, ' '),
+                             x -> x IN ({common})))
+                         >= len(list_filter(string_split(t, ' '),
+                                x -> x IN ({tech})))
+                    THEN 'common' ELSE 'tech' END AS lang_guess
+        FROM spans
+    """
+    _ORACLE_SQL["compaction_plan"] = f"""
+        WITH f AS (
+            SELECT doc_id, source, n_chars AS sz,
+                   SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, source, sz,
+                   CAST((run - sz) // {COMPACT_TARGET} AS BIGINT) AS grp
+            FROM f
+        )
+        SELECT source, grp, COUNT(*) AS n_files,
+               CAST(SUM(sz) AS BIGINT) AS bytes,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM b GROUP BY 1, 2
+    """
+
+
+_install_span_compaction_oracles()

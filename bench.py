@@ -110,6 +110,8 @@ RELATIONAL = [
     "skew_join",
     "shard_assign",
     "partial_agg_merge",
+    "span_lang_id",
+    "compaction_plan",
 ]
 
 
