@@ -4267,15 +4267,21 @@ CMS_W = 64
 
 
 def _cms_idx_array(item_col: str) -> str:
-    """D register indexes per item as one array expression: row j uses
-    the 2-universal-style family md5(j || ':' || item) — same bytes in
-    Spark and DuckDB, so the oracle replays register-for-register."""
-    cells = ", ".join(
-        f"cast(conv(substring(md5(concat('{j}:', {item_col})), 1, 13), 16, 10)"
-        f" as bigint) % {CMS_W}"
-        for j in range(CMS_D)
+    """D register indexes per item as one array expression from ONE
+    md5 per item (not D): the 52-bit conv value's disjoint 6-bit
+    fields index the D rows — md5 bits are independent, and hashing
+    once per occurrence is the difference between 1x and Dx hash cost
+    on the corpus-sized stream.  Same bytes in Spark and DuckDB, so
+    the oracle replays register-for-register."""
+    h = (
+        f"cast(conv(substring(md5({item_col}), 1, 13), 16, 10) as bigint)"
     )
-    return f"array({cells})"
+    cells = ", ".join(
+        f"(h div {CMS_W ** j}) % {CMS_W}" for j in range(CMS_D)
+    )
+    # two-step: bind h once as a named column (projection-level CSE is
+    # not guaranteed in interpreted mode), then slice its bit fields
+    return h, f"array({cells})"
 
 
 def q_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4309,13 +4315,15 @@ def q_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("item")
     )
-    idx_arr = _cms_idx_array("item")
-    upd = items.select(F.posexplode(F.expr(idx_arr)).alias("j", "idx"))
+    h_expr, idx_arr = _cms_idx_array("item")
+    upd = items.select(F.expr(h_expr).alias("h")).select(
+        F.posexplode(F.expr(idx_arr)).alias("j", "idx")
+    )
     sketch = upd.groupBy("j", "idx").agg(F.count(F.lit(1)).alias("c"))
     cand = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
     probes = cand.select(
-        "item", "n_exact", F.posexplode(F.expr(idx_arr)).alias("j", "idx")
-    )
+        "item", "n_exact", F.expr(h_expr).alias("h")
+    ).select("item", "n_exact", F.posexplode(F.expr(idx_arr)).alias("j", "idx"))
     est = (
         probes.join(F.broadcast(sketch), ["j", "idx"])
         .groupBy("item", "n_exact")
@@ -7091,8 +7099,10 @@ def _install_sketch_join_oracles() -> None:
     exists to avoid — feasible at oracle scale, and exactly the
     semantics the exact join must reproduce)."""
     duck_idx = (
-        "CAST(('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':' || item),"
-        f" 1, 13))::UBIGINT AS BIGINT) % {CMS_W}"
+        f"((h // power({CMS_W}, js.j)::BIGINT) % {CMS_W})"
+    )
+    duck_h = (
+        "CAST(('0x' || substring(md5(item), 1, 13))::UBIGINT AS BIGINT)"
     )
     _ORACLE_SQL["count_min_topk"] = f"""
         WITH js AS (SELECT j FROM generate_series(0, {CMS_D - 1}) t(j)),
@@ -7105,14 +7115,16 @@ def _install_sketch_join_oracles() -> None:
                        i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS item
             FROM toks
         ),
+        hashed AS (SELECT item, {duck_h} AS h FROM items),
         upd AS (
-            SELECT js.j, {duck_idx} AS idx FROM items CROSS JOIN js
+            SELECT js.j, {duck_idx} AS idx FROM hashed CROSS JOIN js
         ),
         sketch AS (
             SELECT j, idx, COUNT(*) AS c FROM upd GROUP BY 1, 2
         ),
         cand AS (
-            SELECT item, COUNT(*) AS n_exact FROM items GROUP BY 1
+            SELECT item, {duck_h} AS h, COUNT(*) AS n_exact
+            FROM items GROUP BY 1, 2
         ),
         probes AS (
             SELECT item, n_exact, js.j, {duck_idx} AS idx

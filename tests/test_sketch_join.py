@@ -48,13 +48,15 @@ def test_cms_one_sided_error_and_nonvacuous(spark):
             )
         ).alias("item")
     )
-    idx_arr = entry_mod._cms_idx_array("item")
-    upd = items.select(F.posexplode(F.expr(idx_arr)).alias("j", "idx"))
+    h_expr, idx_arr = entry_mod._cms_idx_array("item")
+    upd = items.select(F.expr(h_expr).alias("h")).select(
+        F.posexplode(F.expr(idx_arr)).alias("j", "idx")
+    )
     sketch = upd.groupBy("j", "idx").agg(F.count(F.lit(1)).alias("c"))
     cand = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
     probes = cand.select(
-        "item", "n_exact", F.posexplode(F.expr(idx_arr)).alias("j", "idx")
-    )
+        "item", "n_exact", F.expr(h_expr).alias("h")
+    ).select("item", "n_exact", F.posexplode(F.expr(idx_arr)).alias("j", "idx"))
     est = (
         probes.join(F.broadcast(sketch), ["j", "idx"])
         .groupBy("item", "n_exact")
