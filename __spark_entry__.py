@@ -1923,6 +1923,9 @@ _STREAM_TMP_ROOT = None
 # bench/driver loops hold at most one cached copy
 _NGRAM_BASE_PREV = None
 
+# same one-live-copy scope for q_similarity_join's hash-set cache
+_SIMJOIN_BASE_PREV = None
+
 # kernel-path codebook broadcasts still owned by a live serving plan;
 # unpersisted (executor copies dropped, handle stays re-usable) at the
 # next q_embed_ivf_topk call — same one-live-copy scope as above
@@ -4423,39 +4426,47 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word-trigram shingle Jaccard) — two genuinely different
     algorithms over one spec.
 
-    Scale shape: (1) one agg for global shingle document frequency;
-    (2) each doc's shingles sorted rarest-first by (df, shingle) — a
-    per-doc array sort after a broadcast df join; (3) only the first
-    |x| - ceil(t|x|) + 1 shingles (the RAREST ones) are exploded as
-    join keys, so the self-join fan-out is bounded by the df of rare
-    tokens, not corpus size — the all-pairs blowup LSH dodges
-    probabilistically is dodged here combinatorially; (4) integer
-    length filter 5*min(|x|,|y|) >= 3*max prunes before verification;
-    (5) verify = array_intersect on the two shingle sets, exact
-    integer |A intersect B| / |A union B|.  Prefix length uses the
+    Scale shape (the ngram_jaccard single-pass lessons applied):
+    (1) shingles are HASHED to int64 inside the array expression —
+    the strings never leave the projection, never shuffle; the per-doc
+    hash-set column is persisted once and feeds candidate generation
+    AND both verify sides (one corpus scan, not three); (2) one agg
+    for global shingle document frequency; (3) each doc's shingles
+    sorted rarest-first by (df, hash), and only the first
+    |x| - ceil(t|x|) + 1 (the RAREST) explode as 8-byte join keys, so
+    the self-join fan-out is bounded by the df of rare shingles, not
+    corpus size — the all-pairs blowup LSH dodges probabilistically is
+    dodged combinatorially (a hash collision can only ADD a candidate,
+    never lose one — verification decides); (4) integer length filter
+    5*min >= 3*max prunes before verification; (5) verify =
+    array_intersect on the two int64 hash sets (same set identity as
+    ngram_jaccard, mirrored by the oracle).  Prefix length uses the
     integer identity ceil(3n/5) = (3n+4) div 5."""
-    toks = (
-        _load_wide(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("ts"))
-        .filter(F.size("ts") >= 3)
+    global _SIMJOIN_BASE_PREV
+    if _SIMJOIN_BASE_PREV is not None:  # previous call's cache, now idle
+        _SIMJOIN_BASE_PREV.unpersist(blocking=False)
+    d = _load_wide(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
     )
-    sh = toks.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(1, size(ts) - 2),"
-            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),"
-            " ' ', element_at(ts, i + 2))))"
-        ).alias("st"),
-    )
-    ex = sh.select("doc_id", F.explode("st").alias("s"))
-    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        ex.join(F.broadcast(df_tbl), "s")
-        .groupBy("doc_id")
-        .agg(
-            F.expr("sort_array(collect_list(struct(df, s)))").alias("arr"),
-            F.count(F.lit(1)).alias("n"),
+    base = (
+        d.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform({WORD_TRIGRAMS},"
+                f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                f" % {MINHASH_P}))"
+            ).alias("hs"),
         )
+        .withColumn("n", F.size("hs"))
+        .persist()
+    )
+    _SIMJOIN_BASE_PREV = base
+    ex = base.select("doc_id", "n", F.explode("hs").alias("sid"))
+    df_tbl = ex.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(F.broadcast(df_tbl), "sid")
+        .groupBy("doc_id", "n")
+        .agg(F.expr("sort_array(collect_list(struct(df, sid)))").alias("arr"))
     )
     pref = ordered.select(
         "doc_id",
@@ -4466,11 +4477,11 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" div {SSJ_T_DEN}) + 1 as int))"
             )
         ).alias("p"),
-    ).select("doc_id", "n", F.col("p.s").alias("s"))
+    ).select("doc_id", "n", F.col("p.sid").alias("sid"))
     a = pref.alias("a")
     b = pref.alias("b")
     cand = (
-        a.join(b, F.col("a.s") == F.col("b.s"))
+        a.join(b, F.col("a.sid") == F.col("b.sid"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(
             SSJ_T_DEN * F.least(F.col("a.n"), F.col("b.n"))
@@ -4481,17 +4492,17 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("st").alias("st_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("st").alias("st_b"))
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.expr("size(array_intersect(st_a, st_b))").alias("n_inter"),
+            F.expr("size(array_intersect(hs_a, hs_b))").alias("n_inter"),
             F.expr(
-                "size(st_a) + size(st_b) - size(array_intersect(st_a, st_b))"
+                "size(hs_a) + size(hs_b) - size(array_intersect(hs_a, hs_b))"
             ).alias("n_union"),
         )
         .filter(
@@ -7160,11 +7171,14 @@ def _install_sketch_join_oracles() -> None:
     _ORACLE_SQL["similarity_join"] = f"""
         WITH s AS (
             SELECT doc_id,
-                   list_distinct(list_transform(
-                       generate_series(1, len(string_split(text, ' ')) - 2),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i + 1] || ' ' ||
-                            string_split(text, ' ')[i + 2])) AS st
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       LIST_TRANSFORM(
+                           GENERATE_SERIES(1, GREATEST(
+                               LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+                           i -> ARRAY_TO_STRING(
+                               STRING_SPLIT(text, ' ')[i:i+2], ' ')),
+                       s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15))::UBIGINT
+                                 AS BIGINT) % {MINHASH_P})) AS st
             FROM documents
             WHERE len(string_split(text, ' ')) >= 3
         ),

@@ -101,6 +101,10 @@ def test_interval_join_plan_event_side_never_shuffles(spark):
 
 
 def test_similarity_join_equals_bruteforce(spark):
+    # the query operates on hashed shingle sets (2^31 space); this
+    # reference uses the raw STRING sets — agreement additionally
+    # certifies the fixture corpus is collision-free, the same
+    # double-duty the dup_substring oracle performs
     out = entry_mod.q_similarity_join(spark, SF).toPandas()
     got = {
         (int(r.doc_a), int(r.doc_b)): (int(r.n_inter), int(r.n_union))
