@@ -94,3 +94,54 @@ def test_distributive_counting_property(lines, max_order):
         assert seq.counts[o].counts == derived[o].counts, o
         assert seq.counts[o].num_tokens == derived[o].num_tokens
     assert seq.counts[0].num_bigram_types == derived[0].num_bigram_types
+
+
+# ---------------------------------------------------------------- BPE
+
+from ocular_spark.functions.bpe import EOW, encode_word, merge_pair, train_bpe
+
+_WORD = st.text(alphabet="abcde", min_size=1, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(_WORD, st.integers(1, 50), min_size=1, max_size=20),
+       st.integers(0, 30))
+def test_bpe_encode_concatenation_invariant(words, n_merges):
+    """Every token sequence concatenates back to word + EOW — for any
+    corpus, any merge budget, any word (seen or unseen)."""
+    merges = train_bpe(words, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in list(words) + ["zz", "abcabc"]:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
+        assert all(t for t in toks)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from("ab"), min_size=1, max_size=14))
+def test_bpe_merge_pair_greedy_left_to_right(syms):
+    """merge_pair('a','a') output never contains two adjacent
+    originals that were mergeable — the greedy scan consumed leftmost
+    occurrences first — and concatenation is preserved."""
+    out = merge_pair(tuple(syms), ("a", "a"))
+    assert "".join(out) == "".join(syms)
+    for i in range(len(out) - 1):
+        # an ('a','a') adjacency may only survive if the left element
+        # was already consumed as the RIGHT half of a prior merge —
+        # i.e. the left element is the 2-char merged token
+        if out[i] == "a" and out[i + 1] == "a":
+            raise AssertionError((syms, out))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(_WORD, st.integers(1, 50), min_size=1, max_size=15))
+def test_bpe_more_merges_never_lengthen_tokenization(words):
+    """Token counts are monotone non-increasing in the merge budget
+    for the words the model was trained on."""
+    m_small = train_bpe(words, 3)
+    m_big = train_bpe(words, 12)
+    assert m_big[: len(m_small)] == m_small  # training is a prefix chain
+    r_small = {p: i for i, p in enumerate(m_small)}
+    r_big = {p: i for i, p in enumerate(m_big)}
+    for w in words:
+        assert len(encode_word(w, r_big)) <= len(encode_word(w, r_small))
