@@ -1926,6 +1926,10 @@ _NGRAM_BASE_PREV = None
 # same one-live-copy scope for q_similarity_join's hash-set cache
 _SIMJOIN_BASE_PREV = None
 
+# one tmp tree per session for the streaming upsert gate (previous
+# invocation's tree removed at the next call, transcribe_stream rule)
+_UPSERT_STREAM_TMP_ROOT = None
+
 # kernel-path codebook broadcasts still owned by a live serving plan;
 # unpersisted (executor copies dropped, handle stays re-usable) at the
 # next q_embed_ivf_topk call — same one-live-copy scope as above
@@ -2881,6 +2885,31 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_version_frames(d: DataFrame):
+    """The deterministic crawl-version synthesis shared by the batch
+    merge (q_crawl_upsert) and its streaming foreachBatch counterpart
+    (q_crawl_upsert_stream) — one definition so the two gates can
+    never drift: crawl 0 = every doc; crawl 1 refetches doc_id%4==1
+    with changed content and discovers doc_id%10==3 as new URLs."""
+    did = F.col("doc_id")
+    base = d.select(
+        "doc_id", F.lit(0).alias("crawl_id"),
+        (F.lit(1_700_000_000) + did).alias("fetch_ts"),
+        F.md5("text").alias("content_digest"),
+    )
+    refetch = d.filter(did % 4 == 1).select(
+        "doc_id", F.lit(1).alias("crawl_id"),
+        (F.lit(1_700_500_000) + did).alias("fetch_ts"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("content_digest"),
+    )
+    new = d.filter(did % 10 == 3).select(
+        (did + 100_000).alias("doc_id"), F.lit(1).alias("crawl_id"),
+        (F.lit(1_700_500_000) + did).alias("fetch_ts"),
+        F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("content_digest"),
+    )
+    return base, refetch, new
+
+
 def q_crawl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl merge, latest version wins (the Iceberg
     MERGE INTO seam of a continuously-refreshed corpus: recrawled
@@ -2900,22 +2929,7 @@ def q_crawl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, ts, digest) tuples, and the winning version's body is
     re-read column-pruned from the winning snapshot's files."""
     d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id")
-    base = d.select(
-        "doc_id", F.lit(0).alias("crawl_id"),
-        (F.lit(1_700_000_000) + did).alias("fetch_ts"),
-        F.md5("text").alias("content_digest"),
-    )
-    refetch = d.filter(did % 4 == 1).select(
-        "doc_id", F.lit(1).alias("crawl_id"),
-        (F.lit(1_700_500_000) + did).alias("fetch_ts"),
-        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("content_digest"),
-    )
-    new = d.filter(did % 10 == 3).select(
-        (did + 100_000).alias("doc_id"), F.lit(1).alias("crawl_id"),
-        (F.lit(1_700_500_000) + did).alias("fetch_ts"),
-        F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("content_digest"),
-    )
+    base, refetch, new = _crawl_version_frames(d)
     allv = base.unionByName(refetch).unionByName(new)
     win = allv.groupBy("doc_id").agg(
         F.max(
@@ -5019,6 +5033,45 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins crawl merge (7th streaming surface, the
+    foreachBatch MERGE-sink API class): the SAME crawl versions as
+    q_crawl_upsert (shared synthesis — _crawl_version_frames) land as
+    three separate files, maxFilesPerTrigger=1 forces each into its
+    own micro-batch, and the foreachBatch sink merges every batch
+    into the target table — so a refetch arriving in a LATER
+    micro-batch must still produce n_versions=2 cross-batch lineage.
+    The final table must hash-equal the BATCH merge's oracle (the
+    same SQL), which is the whole point: streaming-incremental and
+    batch recompute agree row-for-row."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import upsert_crawl_stream
+
+    global _UPSERT_STREAM_TMP_ROOT
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base, refetch, new = _crawl_version_frames(d)
+
+    if _UPSERT_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_UPSERT_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_upsert_stream_")
+    _UPSERT_STREAM_TMP_ROOT = root
+    versions_dir = os.path.join(root, "versions")
+    table_dir = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    base.coalesce(1).write.parquet(versions_dir)
+    refetch.coalesce(1).write.mode("append").parquet(versions_dir)
+    new.coalesce(1).write.mode("append").parquet(versions_dir)
+    q = upsert_crawl_stream(spark, versions_dir, table_dir, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming upsert did not finish in 600s")
+    return spark.read.parquet(table_dir).select(
+        "doc_id", "crawl_id", "fetch_ts", "n_versions", "content_digest"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5122,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_agg_merge": q_partial_agg_merge,
         "span_lang_id": q_span_lang_id,
         "compaction_plan": q_compaction_plan,
+        "crawl_upsert_stream": q_crawl_upsert_stream,
     }
 
 
@@ -7415,3 +7469,9 @@ def _install_span_compaction_oracles() -> None:
 
 
 _install_span_compaction_oracles()
+
+
+# streaming upsert oracle = the BATCH merge's oracle verbatim: the
+# gate's claim is exactly that incremental foreachBatch merging and
+# batch recompute agree
+_ORACLE_SQL["crawl_upsert_stream"] = _ORACLE_SQL["crawl_upsert"]

@@ -112,6 +112,7 @@ RELATIONAL = [
     "partial_agg_merge",
     "span_lang_id",
     "compaction_plan",
+    "crawl_upsert_stream",
 ]
 
 

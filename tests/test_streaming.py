@@ -386,3 +386,40 @@ def test_custom_sessionization_state_across_batches(spark, tmp_path):
     # arrival... but ALSO only emitted once; session 3 (event 3) stays
     # open: watermark = 09:00 - 1h = 08:00 < 09:00 + gap
     assert got == [(1, 4.0), (2, 3.0)], got
+
+
+def test_upsert_stream_cross_batch_lineage_and_resume(spark, tmp_path):
+    """foreachBatch MERGE sink: (a) a refetch arriving in a LATER
+    micro-batch still increments n_versions (the target table carries
+    the cross-batch state); (b) a second stream run with the same
+    checkpoint processes ONLY newly-arrived files and keeps
+    accumulating (incremental resume)."""
+    from pyspark.sql import functions as F
+
+    from ocular_spark.streaming.jobs import upsert_crawl_stream
+
+    versions = str(tmp_path / "versions")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, crawl_id int, fetch_ts bigint, content_digest string"
+    f1 = [(1, 0, 100, "a1"), (2, 0, 101, "b1"), (3, 0, 102, "c1")]
+    f2 = [(1, 1, 200, "a2")]  # refetch of doc 1, later batch
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(versions)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(versions)
+    q = upsert_crawl_stream(spark, versions, table, ckpt)
+    assert q.awaitTermination(300)
+    t = {r.doc_id: r for r in spark.read.parquet(table).collect()}
+    assert t[1].n_versions == 2 and t[1].content_digest == "a2"
+    assert t[1].crawl_id == 1 and t[1].fetch_ts == 200
+    assert t[2].n_versions == 1 and t[3].n_versions == 1
+
+    # resume: a third file arrives; same checkpoint -> only it processes
+    f3 = [(1, 2, 300, "a3"), (4, 2, 301, "d1")]
+    spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(versions)
+    q2 = upsert_crawl_stream(spark, versions, table, ckpt)
+    assert q2.awaitTermination(300)
+    t2 = {r.doc_id: r for r in spark.read.parquet(table).collect()}
+    assert t2[1].n_versions == 3 and t2[1].content_digest == "a3"
+    assert t2[4].n_versions == 1
+    assert t2[2].n_versions == 1  # untouched rows survive the rewrite
+    assert len(t2) == 4
