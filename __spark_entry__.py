@@ -5072,6 +5072,91 @@ def q_crawl_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the link graph — the graph-local
+    clustering operator (community signal, spam-farm detection) whose
+    naive formulation is the textbook shuffle bomb.  The scale-aware
+    plan is DEGREE ORDERING (Cohen 2009 / Suri-Vassilvitskii 2011):
+    orient every undirected edge from the lower-(degree, id) endpoint
+    to the higher, so every vertex's out-degree is O(sqrt(m)) and the
+    wedge self-join is bounded by sum(outdeg^2) ~ m^(3/2) instead of
+    sum(deg^2), which a single hub vertex makes quadratic.  Wedges
+    then probe the canonical edge set once.  Each triangle is found
+    exactly once (at its lowest-ranked vertex, wedge arms ordered).
+
+    Edges = the SAME href-extracted crawl links the pagerank row gates
+    UNION deterministic 5-clique 'related docs' groups (doc_id div 5)
+    — the synthetic crawl links are linear maps that close no
+    triangles, so the cliques make the gate non-vacuous (10 triangles
+    per full group, plus any mixed closures).  The oracle counts the
+    same canonical edge set by the NAIVE 3-way self-join — feasible at
+    oracle scale, and a genuinely different formulation than the
+    degree-oriented wedge probe.  Output: per-node triangle counts."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    crawl = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select("src", F.col("dd").cast("long").alias("dst"))
+    clique = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr("transform(sequence(0, 4), j -> (doc_id div 5) * 5 + j)")
+        ).alias("dst"),
+    )
+    und = (
+        crawl.unionByName(clique)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # cut re-extraction lineage (pagerank lesson)
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i"))
+                < F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i")),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    )
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedges = a.join(b, (F.col("a.lo") == F.col("b.lo")) & (F.col("a.hi") < F.col("b.hi"))).select(
+        F.col("a.lo").alias("x"),
+        F.least(F.col("a.hi"), F.col("b.hi")).alias("u"),
+        F.greatest(F.col("a.hi"), F.col("b.hi")).alias("v"),
+    )
+    tris = wedges.join(und, ["u", "v"]).select(
+        F.col("x").alias("n1"), F.col("u").alias("n2"), F.col("v").alias("n3")
+    )
+    return (
+        tris.select(
+            F.explode(F.array("n1", "n2", "n3")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5176,6 +5261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_lang_id": q_span_lang_id,
         "compaction_plan": q_compaction_plan,
         "crawl_upsert_stream": q_crawl_upsert_stream,
+        "link_triangles": q_link_triangles,
     }
 
 
@@ -7475,3 +7561,39 @@ _install_span_compaction_oracles()
 # gate's claim is exactly that incremental foreachBatch merging and
 # batch recompute agree
 _ORACLE_SQL["crawl_upsert_stream"] = _ORACLE_SQL["crawl_upsert"]
+
+
+def _install_triangle_oracle() -> None:
+    """link_triangles: same page synthesis + href extraction fragments
+    as the pagerank oracle, same 5-clique injection, but counted by
+    the NAIVE 3-way self-join on canonical undirected edges — a
+    different algorithm than the Spark side's degree-oriented wedge
+    probe (the two-formulation gate)."""
+    from ocular_spark.functions import html as _H
+
+    pages = (
+        "pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents)"
+    )
+    _ORACLE_SQL["link_triangles"] = (
+        "WITH " + pages + ", "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "crawl AS (SELECT src, CAST(d AS BIGINT) AS dst FROM ex), "
+        "clique AS (SELECT doc_id AS src, (doc_id // 5) * 5 + j AS dst "
+        "FROM documents CROSS JOIN generate_series(0, 4) t(j)), "
+        "allv AS (SELECT * FROM crawl UNION ALL SELECT * FROM clique), "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM allv WHERE src != dst), "
+        "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM und a "
+        "JOIN und b ON b.u = a.u AND b.v > a.v "
+        "JOIN und c ON c.u = a.v AND c.v = b.v), "
+        "nodes AS (SELECT x AS node FROM tri "
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+        "SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node"
+    )
+
+
+_install_triangle_oracle()

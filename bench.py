@@ -113,6 +113,7 @@ RELATIONAL = [
     "span_lang_id",
     "compaction_plan",
     "crawl_upsert_stream",
+    "link_triangles",
 ]
 
 

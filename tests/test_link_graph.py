@@ -87,3 +87,56 @@ def test_pagerank_plan_no_cartesian(spark, sf_dir):
     plan = _plan(entry_mod.q_link_pagerank(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_link_triangles_equals_adjacency_reference(spark, sf_dir):
+    """The degree-oriented wedge probe must count each triangle
+    exactly once per participating vertex — checked against a plain
+    adjacency-set intersection count over the same edge set."""
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    out = {
+        int(r.node): int(r.n_triangles)
+        for r in entry_mod.q_link_triangles(spark, sf_dir).collect()
+    }
+    # rebuild the same edges serially
+    from pyspark.sql import functions as F
+
+    from ocular_spark.functions import html as H
+
+    d = entry_mod._load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    crawl = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select("src", F.col("dd").cast("long").alias("dst")).toPandas()
+    docs = d.select("doc_id").toPandas()
+    und = set()
+    for r in crawl.itertuples():
+        if r.src != r.dst:
+            und.add((min(r.src, r.dst), max(r.src, r.dst)))
+    for i in docs["doc_id"]:
+        g = (int(i) // 5) * 5
+        for j in range(5):
+            if g + j != int(i):
+                und.add((min(int(i), g + j), max(int(i), g + j)))
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            for n in (u, v, w):
+                want[n] = want.get(n, 0) + 1
+    # each triangle visited 3x (once per edge), credited 3 nodes each
+    # time -> every node's tally is 3x its true triangle count
+    want = {n: c // 3 for n, c in want.items()}
+    assert out == want
+    # full 5-groups guarantee >= C(4,2) = 6 triangles per member
+    full_groups = {g for g in range(0, len(docs), 5)
+                   if all((g + j) in adj for j in range(5))}
+    for g in list(full_groups)[:5]:
+        assert out[g] >= 6
