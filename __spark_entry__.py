@@ -1929,6 +1929,7 @@ _SIMJOIN_BASE_PREV = None
 # one tmp tree per session for the streaming upsert gate (previous
 # invocation's tree removed at the next call, transcribe_stream rule)
 _UPSERT_STREAM_TMP_ROOT = None
+_HLL_STREAM_TMP_ROOT = None
 
 # kernel-path codebook broadcasts still owned by a live serving plan;
 # unpersisted (executor copies dropped, handle stays re-usable) at the
@@ -3141,6 +3142,47 @@ HLL_M = 64
 HLL_ALPHA_M2_SCALED = "2.6157483096520143e+19"
 
 
+def _hll_items(d: DataFrame) -> DataFrame:
+    """(source, gram, item) token stream — unigrams + bigrams — shared
+    by the batch sketch (q_hll_distinct) and the streaming register
+    merge (q_hll_distinct_stream) so the two gates can't drift."""
+    t = d.select("source", F.split("text", " ").alias("ts"))
+    uni = t.select(
+        "source", F.lit(1).alias("gram"), F.explode("ts").alias("item")
+    ).filter(F.col("item") != "")
+    bi = t.select(
+        "source",
+        F.lit(2).alias("gram"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1),"
+                " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("item"),
+    )
+    return uni.unionByName(bi)
+
+
+def _hll_registers(items: DataFrame) -> DataFrame:
+    """(source, gram, idx, r) HLL register maxes for an item stream —
+    see q_hll_distinct for the exactness devices."""
+    hashed = items.select(
+        "source",
+        "gram",
+        F.expr(
+            "cast(conv(substring(md5(item), 1, 4), 16, 10) as bigint) % 64"
+        ).alias("idx"),
+        F.expr("cast(conv(substring(md5(item), 5, 13), 16, 10) as bigint)").alias("x"),
+    ).select(
+        "source",
+        "gram",
+        "idx",
+        F.expr("CASE WHEN x = 0 THEN 53 ELSE length(bin(x & -x)) END").alias("rho"),
+    )
+    return hashed.groupBy("source", "gram", "idx").agg(F.max("rho").alias("r"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct counting by HAND-ROLLED HyperLogLog sketch — the
     mergeable cardinality structure every 100 TB profiler needs
@@ -3161,40 +3203,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (64 rows per group); the register -> estimate fold is a second
     tiny agg.  n_exact (the verification column) would be dropped at
     scale — it is the quantity HLL exists to avoid."""
-    d = _load_wide(spark, sf_dir, "documents").select(
-        "source", F.split("text", " ").alias("ts")
-    )
-    uni = d.select(
-        "source", F.lit(1).alias("gram"), F.explode("ts").alias("item")
-    ).filter(F.col("item") != "")
-    bi = d.select(
-        "source",
-        F.lit(2).alias("gram"),
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1),"
-                " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
-                " ELSE array() END"
-            )
-        ).alias("item"),
-    )
-    items = uni.unionByName(bi)
-    hashed = items.select(
-        "source",
-        "gram",
-        "item",
-        F.expr("cast(conv(substring(md5(item), 1, 4), 16, 10) as bigint) % 64").alias("idx"),
-        F.expr("cast(conv(substring(md5(item), 5, 13), 16, 10) as bigint)").alias("x"),
-    ).select(
-        "source",
-        "gram",
-        "item",
-        "idx",
-        F.expr(
-            "CASE WHEN x = 0 THEN 53 ELSE length(bin(x & -x)) END"
-        ).alias("rho"),
-    )
-    regs = hashed.groupBy("source", "gram", "idx").agg(F.max("rho").alias("r"))
+    d = _load_wide(spark, sf_dir, "documents").select("source", "text")
+    items = _hll_items(d)
+    regs = _hll_registers(items)
     folded = regs.groupBy("source", "gram").agg(
         F.expr("sum(cast(shiftleft(1L, 53 - r) as bigint))").alias("s_used"),
         F.count(F.lit(1)).alias("used"),
@@ -5157,6 +5168,54 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register maintenance (8th streaming surface, the
+    mergeable-sketch class): the corpus lands as TWO files split by
+    doc_id parity, maxFilesPerTrigger=1 merges each half's registers
+    into the persistent sketch in separate micro-batches, and the
+    final register table must equal the BATCH sketch over the whole
+    corpus register-for-register (the DuckDB oracle recomputes it
+    independently).  This is the distributivity law HLL exists for —
+    max-merge over time == max-merge over partitions — made a driver
+    gate; item extraction is shared with q_hll_distinct
+    (_hll_items/_hll_registers) so the two surfaces can't drift."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import sketch_merge_stream
+
+    global _HLL_STREAM_TMP_ROOT
+    d = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    if _HLL_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_HLL_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_hll_stream_")
+    _HLL_STREAM_TMP_ROOT = root
+    src = os.path.join(root, "docs")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = sketch_merge_stream(
+        spark,
+        src,
+        "doc_id bigint, source string, text string",
+        lambda batch: _hll_registers(_hll_items(batch)),
+        table,
+        ckpt,
+        key_cols=["source", "gram", "idx"],
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming HLL merge did not finish in 600s")
+    return spark.read.parquet(table).select(
+        "source",
+        F.col("gram").cast("long").alias("gram"),
+        F.col("idx").cast("long").alias("idx"),
+        F.col("r").cast("long").alias("r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5262,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "crawl_upsert_stream": q_crawl_upsert_stream,
         "link_triangles": q_link_triangles,
+        "hll_distinct_stream": q_hll_distinct_stream,
     }
 
 
@@ -7597,3 +7657,42 @@ def _install_triangle_oracle() -> None:
 
 
 _install_triangle_oracle()
+
+
+def _install_hll_stream_oracle() -> None:
+    """hll_distinct_stream: the register table recomputed from scratch
+    in DuckDB over the WHOLE corpus — streaming max-merge across
+    micro-batches must equal the one-shot batch sketch exactly."""
+    _ORACLE_SQL["hll_distinct_stream"] = """
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS ts FROM documents
+        ),
+        uni AS (SELECT source, 1 AS gram, unnest(ts) AS item FROM toks),
+        bi AS (
+            SELECT source, 2 AS gram,
+                   unnest(CASE WHEN len(ts) >= 2 THEN list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS item
+            FROM toks
+        ),
+        items AS (
+            SELECT * FROM uni WHERE item != ''
+            UNION ALL SELECT * FROM bi
+        ),
+        hashed AS (
+            SELECT source, gram,
+                   CAST(('0x' || substring(md5(item), 1, 4))::UBIGINT
+                        AS BIGINT) % 64 AS idx,
+                   CAST(('0x' || substring(md5(item), 5, 13))::UBIGINT
+                        AS BIGINT) AS x
+            FROM items
+        )
+        SELECT source, CAST(gram AS BIGINT) AS gram,
+               CAST(idx AS BIGINT) AS idx,
+               CAST(MAX(CASE WHEN x = 0 THEN 53
+                             ELSE length(bin(x & -x)) END) AS BIGINT) AS r
+        FROM hashed GROUP BY 1, 2, 3
+    """
+
+
+_install_hll_stream_oracle()

@@ -114,6 +114,7 @@ RELATIONAL = [
     "compaction_plan",
     "crawl_upsert_stream",
     "link_triangles",
+    "hll_distinct_stream",
 ]
 
 

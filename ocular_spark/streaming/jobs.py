@@ -416,3 +416,60 @@ def upsert_crawl_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sketch_merge_stream(
+    spark,
+    src_dir: str,
+    src_schema: str,
+    batch_registers_fn,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list,
+    val_col: str = "r",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming MERGEABLE-SKETCH maintenance (8th streaming surface):
+    each micro-batch's register table is folded into a persistent
+    sketch by key-wise MAX — the algebra that makes HLL (and any
+    max-mergeable summary) distribute across time exactly as it
+    distributes across partitions.  Because max is commutative,
+    idempotent, and monotone, the merged sketch is independent of file
+    arrival order AND of replays (an at-least-once re-delivery cannot
+    change a register) — strictly stronger delivery semantics than the
+    argmax upsert, for free, by algebra.  State = the sketch itself
+    (fixed size per group), carried in the target table; same
+    localCheckpoint-before-overwrite discipline as
+    upsert_crawl_stream.  At 100 TB the sink is an Iceberg MERGE with
+    GREATEST(), or registers live in the state store keyed by
+    (group, idx)."""
+    from pyspark.errors import AnalysisException
+
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def _merge(batch_df, batch_id):
+        regs = batch_registers_fn(batch_df)
+        try:
+            cur = batch_df.sparkSession.read.parquet(table_dir).select(
+                *key_cols, val_col
+            )
+            allv = cur.unionByName(regs.select(*key_cols, val_col))
+        except AnalysisException:
+            allv = regs.select(*key_cols, val_col)
+        merged = allv.groupBy(*key_cols).agg(F.max(val_col).alias(val_col))
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            table_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -423,3 +423,46 @@ def test_upsert_stream_cross_batch_lineage_and_resume(spark, tmp_path):
     assert t2[4].n_versions == 1
     assert t2[2].n_versions == 1  # untouched rows survive the rewrite
     assert len(t2) == 4
+
+
+def test_hll_sketch_stream_idempotent_and_monotone(spark, tmp_path):
+    """Mergeable-sketch streaming: max-merge is idempotent (a replayed
+    file cannot change any register — at-least-once delivery is safe
+    by algebra) and monotone (new items only raise registers)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from ocular_spark.streaming.jobs import sketch_merge_stream
+
+    schema = "doc_id bigint, source string, text string"
+    src = str(tmp_path / "docs")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    f1 = [(1, "s0", "alpha beta gamma"), (2, "s0", "beta delta")]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+
+    def run():
+        q = sketch_merge_stream(
+            spark, src, schema,
+            lambda b: entry_mod._hll_registers(entry_mod._hll_items(b)),
+            table, ckpt, key_cols=["source", "gram", "idx"],
+        )
+        assert q.awaitTermination(300)
+        return {
+            (r.source, r.gram, r.idx): r.r
+            for r in spark.read.parquet(table).collect()
+        }
+
+    regs1 = run()
+    # replay: identical content arrives again as a new file
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    regs2 = run()
+    assert regs2 == regs1, "replay must not change any register"
+    # new items: registers may only grow, never shrink
+    f3 = [(3, "s0", "epsilon zeta eta theta iota kappa")]
+    spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(src)
+    regs3 = run()
+    for k, v in regs1.items():
+        assert regs3[k] >= v
+    assert len(regs3) >= len(regs1)
+    assert regs3 != regs1, "genuinely new items must move the sketch"
