@@ -5216,6 +5216,54 @@ def q_hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_DECILES = 10
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) — the corpus statistic
+    that sizes tokenizers, embedding tables, and dictionary-bounded
+    stages (the BPE_MAX_VOCAB cap's empirical justification): distinct
+    words accumulated as the corpus is consumed in doc_id order,
+    reported per corpus decile.  The naive formulation (count distinct
+    per prefix) rescans the corpus once per point; the scale shape is
+    FIRST-OCCURRENCE: one shuffle to min(doc_id) per word, then a
+    decile histogram + running sum over a 10-row frame — cost is one
+    pass regardless of how many curve points are asked for.
+
+    Measured over unigrams AND bigrams (the same item stream the HLL
+    sketch profiles): the synthetic corpus's closed word vocabulary
+    saturates in the first decile — exactly what the curve is FOR
+    (a flat curve says the unit is closed-class) — while bigram
+    first-occurrences keep spreading across the corpus."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar (bounded metadata)
+    per_decile = max(1, n_docs // VOCAB_DECILES)
+    items = _hll_items(
+        d.select(F.col("doc_id").cast("string").alias("source"), "text")
+    ).select(F.col("source").cast("long").alias("doc_id"), "gram", "item")
+    first = items.groupBy("gram", "item").agg(F.min("doc_id").alias("first_doc"))
+    hist = first.select(
+        "gram",
+        F.least(
+            (F.col("first_doc") / per_decile).cast("long"),
+            F.lit(VOCAB_DECILES - 1),
+        ).alias("decile"),
+    ).groupBy("gram", "decile").agg(F.count(F.lit(1)).alias("new_items"))
+    w = (
+        Window.partitionBy("gram")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.select(
+        F.col("gram").cast("long").alias("gram"),
+        "decile",
+        F.col("new_items").cast("long").alias("new_items"),
+        F.sum("new_items").over(w).cast("long").alias("cum_items"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5322,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_upsert_stream": q_crawl_upsert_stream,
         "link_triangles": q_link_triangles,
         "hll_distinct_stream": q_hll_distinct_stream,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -7696,3 +7745,49 @@ def _install_hll_stream_oracle() -> None:
 
 
 _install_hll_stream_oracle()
+
+
+def _install_vocab_growth_oracle() -> None:
+    """vocab_growth: the same first-occurrence formulation (the naive
+    per-prefix COUNT DISTINCT would also work at oracle scale, but
+    per-decile boundaries make first-occurrence equally simple)."""
+    _ORACLE_SQL["vocab_growth"] = f"""
+        WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+        pd AS (SELECT GREATEST(1, n // {VOCAB_DECILES}) AS p FROM nd),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, 1 AS gram, unnest(ts) AS item FROM toks
+        ),
+        bi AS (
+            SELECT doc_id, 2 AS gram,
+                   unnest(CASE WHEN len(ts) >= 2 THEN list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS item
+            FROM toks
+        ),
+        items AS (
+            SELECT * FROM uni WHERE item != ''
+            UNION ALL SELECT * FROM bi
+        ),
+        first AS (
+            SELECT gram, item, MIN(doc_id) AS first_doc
+            FROM items GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT gram,
+                   LEAST(first_doc // (SELECT p FROM pd),
+                         {VOCAB_DECILES - 1}) AS decile,
+                   COUNT(*) AS new_items
+            FROM first GROUP BY 1, 2
+        )
+        SELECT CAST(gram AS BIGINT) AS gram, decile,
+               CAST(new_items AS BIGINT) AS new_items,
+               CAST(SUM(new_items) OVER (PARTITION BY gram ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_items
+        FROM hist
+    """
+
+
+_install_vocab_growth_oracle()

@@ -115,6 +115,7 @@ RELATIONAL = [
     "crawl_upsert_stream",
     "link_triangles",
     "hll_distinct_stream",
+    "vocab_growth",
 ]
 
 
