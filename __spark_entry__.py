@@ -5246,9 +5246,11 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = items.groupBy("gram", "item").agg(F.min("doc_id").alias("first_doc"))
     hist = first.select(
         "gram",
+        # integer div, not float-divide-then-cast: exact at any corpus
+        # size (a double quotient can land one ulp under a boundary)
         F.least(
-            (F.col("first_doc") / per_decile).cast("long"),
-            F.lit(VOCAB_DECILES - 1),
+            F.expr(f"first_doc div {per_decile}"),
+            F.lit(VOCAB_DECILES - 1).cast("long"),
         ).alias("decile"),
     ).groupBy("gram", "decile").agg(F.count(F.lit(1)).alias("new_items"))
     w = (
