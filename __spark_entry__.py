@@ -5266,6 +5266,210 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- exact order statistics
+
+# quantile targets as exact rationals (num/den) so k = ceil(p*n) is
+# integer arithmetic in BOTH engines — float ceil(0.99 * n) can land
+# one ulp under the boundary at large n
+QUANTILE_TARGETS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+                    ("p90", 9, 10), ("p99", 99, 100))
+QUANTILE_HIST_BUCKETS = 4096   # per-pass fan-out B
+QUANTILE_FINAL_WIDTH = 8192    # switch to exact groupBy(v) below this
+
+
+def _exact_kth(df: DataFrame, ks: dict[str, int], lo0: int, hi0: int):
+    """Distributed EXACT order statistics (k-th smallest of bigint
+    column `v`) by shared-pass histogram refinement — the selection
+    algorithm for 10^12-row tables where a global sort is off the
+    table (multi-pass selection in the Munro-Paterson 1980 streaming
+    model; the classic iterative-bisection / histogram-refinement
+    distributed SELECT).
+
+    Per pass, EVERY unresolved target's live range is histogrammed in
+    ONE job: targets ride an exploded struct array so the input is
+    scanned once per pass, not once per quantile.  Each pass narrows a
+    range by the fan-out B, so passes = ceil(log_B(domain)) — 2 passes
+    for a 10^9-wide integer domain at B=4096 — then one final exact
+    groupBy(v) job over ranges of width <= QUANTILE_FINAL_WIDTH.
+    Driver memory is O(targets * B) bucket counts per pass, never the
+    data; the only shuffle per pass is the groupBy on <= targets * B
+    keys.  Returns ({label: v}, histogram_pass_count)."""
+    # state per target: [lo, hi, below] with the invariant
+    #   below == |{rows: v < lo}|  and  below < k <= below + |rows in [lo,hi]|
+    state = {t: [lo0, hi0, 0] for t in ks}
+    passes = 0
+    while True:
+        live = {t: s for t, s in state.items()
+                if s[1] - s[0] + 1 > QUANTILE_FINAL_WIDTH}
+        if not live:
+            break
+        passes += 1
+        B = QUANTILE_HIST_BUCKETS
+        tids = sorted(live)
+        widths = {}
+        cols = []
+        for i, t in enumerate(tids):
+            lo, hi, _ = live[t]
+            widths[t] = (hi - lo + B) // B  # ceil((hi-lo+1)/B)
+            cols.append(
+                F.when(
+                    (F.col("v") >= lo) & (F.col("v") <= hi),
+                    F.struct(
+                        F.lit(i).alias("tid"),
+                        F.expr(f"(v - {lo}) div {widths[t]}").alias("b"),
+                    ),
+                )
+            )
+        got = (
+            df.select(F.explode(F.array(*cols)).alias("s"))
+            .where(F.col("s").isNotNull())
+            .groupBy("s.tid", "s.b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts: dict[int, dict[int, int]] = {}
+        for r in got:
+            counts.setdefault(r["tid"], {})[r["b"]] = r["c"]
+        for i, t in enumerate(tids):
+            lo, hi, below = live[t]
+            w = widths[t]
+            kloc = ks[t] - below  # 1-based rank within [lo, hi]
+            acc = 0
+            for b in sorted(counts.get(i, {})):
+                c = counts[i][b]
+                if acc + c >= kloc:
+                    state[t] = [lo + b * w,
+                                min(hi, lo + (b + 1) * w - 1),
+                                below + acc]
+                    break
+                acc += c
+    # final exact pass: one groupBy(v) job over the union of all live
+    # ranges; collect is bounded by targets * QUANTILE_FINAL_WIDTH rows
+    cond = None
+    for lo, hi, _ in state.values():
+        c = (F.col("v") >= lo) & (F.col("v") <= hi)
+        cond = c if cond is None else (cond | c)
+    by_v = sorted(
+        (r["v"], r["c"])
+        for r in df.where(cond)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    out = {}
+    for t, (lo, hi, below) in state.items():
+        acc = below
+        for v, c in by_v:
+            if v < lo or v > hi:
+                continue
+            acc += c
+            if acc >= ks[t]:
+                out[t] = v
+                break
+    return out, passes
+
+
+def q_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global quantiles (p25/p50/p75/p90/p99) of events.value
+    WITHOUT a global sort — the order-statistics primitive behind
+    quality-score cutoffs, perplexity-bucket boundaries, and length
+    caps, computed exactly at any scale: approxQuantile's error bounds
+    are fine for dashboards but a training-data FILTER boundary wants
+    the exact value (reproducibility: the kept set must not depend on
+    sketch parameters).  Values are quantized to integer micro-units
+    (floor(value*1e6)) so the order statistic is well-defined and
+    engine-independent.  Cost: stats pass + ceil(log_4096(domain))
+    shared histogram passes + one exact pass over <= 5*8192-wide
+    ranges — 4 map-side scans total here, independent of row count;
+    see _exact_kth for the scale contract."""
+    ev = _load_wide(spark, sf_dir, "events").select(
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("v")
+    )
+    ev = ev.persist()
+    try:
+        row = ev.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = int(row["n"])
+        if n == 0:
+            return spark.createDataFrame(
+                [], "p_label string, k bigint, quantile_v bigint")
+        ks = {lab: (num * n + den - 1) // den
+              for lab, num, den in QUANTILE_TARGETS}
+        res, _ = _exact_kth(ev, ks, int(row["lo"]), int(row["hi"]))
+    finally:
+        ev.unpersist()
+    rows = [(lab, ks[lab], res[lab]) for lab, _, _ in QUANTILE_TARGETS]
+    return spark.createDataFrame(
+        rows, "p_label string, k bigint, quantile_v bigint")
+
+
+# ------------------------------------------------------- z-order layout
+
+ZORDER_FILE_DIV = 16777216  # top 8 of 32 z-bits -> 256 z-tiles ("files")
+
+
+def _morton_expr(xe: str, ye: str, shl) -> str:
+    """32-bit Morton/Z-curve interleave of two 16-bit lanes as a pure
+    integer expression (Morton 1966; the magic-mask bit spread used by
+    every z-order implementation, e.g. Delta Lake OPTIMIZE ZORDER BY).
+    `shl` formats a left-shift for the target engine (Spark:
+    shiftleft(e, n); DuckDB: e << n) so the SAME algebra runs in both
+    engines; all arithmetic stays in BIGINT.  Inputs must already be
+    in [0, 65535]."""
+    def spread(e: str) -> str:
+        e = f"(({e} | {shl(e, 8)}) & 16711935)"      # 0x00FF00FF
+        e = f"(({e} | {shl(e, 4)}) & 252645135)"     # 0x0F0F0F0F
+        e = f"(({e} | {shl(e, 2)}) & 858993459)"     # 0x33333333
+        e = f"(({e} | {shl(e, 1)}) & 1431655765)"    # 0x55555555
+        return e
+    return f"({spread(xe)} | {shl(spread(ye), 1)})"
+
+
+_ZORDER_X = "(((user_id % 65536) + 65536) % 65536)"
+_ZORDER_Y = "(((cast(floor(value * 100) as bigint) % 65536) + 65536) % 65536)"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout clustering — how a 100 TB lakehouse makes
+    min/max file pruning work on TWO columns at once (Morton 1966;
+    Delta OPTIMIZE ZORDER): rows are keyed by the bit-interleave of
+    quantized (user_id, value) lanes and tiled into 256 z-ranges
+    ("files" = zval div 2^24, a pure projection — at production scale
+    this is a range-repartition on zval; the tiling stand-in keeps the
+    operator shuffle-free).  The emitted per-file min/max envelopes of
+    BOTH lanes are the clustering evidence: under z-layout each file's
+    x AND y ranges are tight, so a two-column predicate prunes ~all
+    files; a single-column sort would leave the second column's
+    envelope full-width.  tests/test_zorder.py pins the interleave
+    against an independent bit-twiddling reference and the pruning
+    benefit vs linear layout.  Plan: projection + one 256-key groupBy."""
+    shl = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+    z = _morton_expr(_ZORDER_X, _ZORDER_Y, shl)
+    proj = _load_wide(spark, sf_dir, "events").select(
+        F.expr(_ZORDER_X).alias("x16"),
+        F.expr(_ZORDER_Y).alias("y16"),
+        F.expr(z).alias("zval"),
+    )
+    return (
+        proj.select("x16", "y16", "zval",
+                    F.expr(f"zval div {ZORDER_FILE_DIV}").alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x16").alias("x_min"), F.max("x16").alias("x_max"),
+            F.min("y16").alias("y_min"), F.max("y16").alias("y_max"),
+            F.min("zval").alias("z_min"), F.max("zval").alias("z_max"),
+        )
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "x_min", "x_max", "y_min", "y_max", "z_min", "z_max",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5373,6 +5577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": q_link_triangles,
         "hll_distinct_stream": q_hll_distinct_stream,
         "vocab_growth": q_vocab_growth,
+        "exact_quantile": q_exact_quantile,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -7793,3 +7999,52 @@ def _install_vocab_growth_oracle() -> None:
 
 
 _install_vocab_growth_oracle()
+
+
+def _install_exact_quantile_oracle() -> None:
+    """exact_quantile: oracle-scale formulation = ROW_NUMBER over the
+    sorted values (fine at sf0.01; the Spark side must NOT sort — that
+    is the point).  k uses the same exact-rational ceil as the Spark
+    driver loop."""
+    vals = ", ".join(f"('{lab}', {num}, {den})"
+                     for lab, num, den in QUANTILE_TARGETS)
+    _ORACLE_SQL["exact_quantile"] = f"""
+        WITH q AS (
+            SELECT CAST(floor(value * 1000000) AS BIGINT) AS v FROM events
+        ),
+        n AS (SELECT COUNT(*) AS c FROM q),
+        r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM q),
+        ks AS (
+            SELECT p_label, CAST((num * c + den - 1) // den AS BIGINT) AS k
+            FROM (VALUES {vals}) t(p_label, num, den) CROSS JOIN n
+        )
+        SELECT ks.p_label AS p_label, ks.k AS k, r.v AS quantile_v
+        FROM ks JOIN r ON r.rn = ks.k
+    """
+
+
+_install_exact_quantile_oracle()
+
+
+def _install_zorder_oracle() -> None:
+    """zorder_layout: the SAME Morton algebra emitted by _morton_expr,
+    with DuckDB's << as the shift formatter — a genuinely independent
+    evaluation engine over an identical bit-twiddling formula."""
+    shl = lambda e, n: f"({e} << {n})"  # noqa: E731
+    x = "(((user_id % 65536) + 65536) % 65536)"
+    y = "(((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536)"
+    z = _morton_expr(x, y, shl)
+    _ORACLE_SQL["zorder_layout"] = f"""
+        WITH p AS (
+            SELECT {x} AS x16, {y} AS y16, {z} AS zval FROM events
+        )
+        SELECT CAST(zval // {ZORDER_FILE_DIV} AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(x16) AS x_min, MAX(x16) AS x_max,
+               MIN(y16) AS y_min, MAX(y16) AS y_max,
+               MIN(zval) AS z_min, MAX(zval) AS z_max
+        FROM p GROUP BY 1
+    """
+
+
+_install_zorder_oracle()

@@ -116,6 +116,8 @@ RELATIONAL = [
     "link_triangles",
     "hll_distinct_stream",
     "vocab_growth",
+    "exact_quantile",
+    "zorder_layout",
 ]
 
 
