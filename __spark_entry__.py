@@ -5405,6 +5405,117 @@ def q_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "p_label string, k bigint, quantile_v bigint")
 
 
+# ------------------------------------------------- funnel / retention
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+RETENTION_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def _event_us(spark: SparkSession, sf_dir: str):
+    """events with time as exact integer MICROSECOND OFFSETS from the
+    stream's min(ts) anchor (timestampdiff on the TIMESTAMP_NTZ column
+    — epoch casts would drag in the session timezone; offsets never
+    do).  One O(1) scalar agg for the anchor, then a pure projection."""
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    a_lit = anchor.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return raw.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        ).alias("us"),
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase with STRICTLY
+    increasing timestamps) — the sequential-pattern operator every
+    product-analytics engine ships (windowFunnel in ClickHouse terms)
+    and Spark has no builtin for.  Semantics: greedy earliest
+    completion — t1 = first view, t2 = first click after t1, t3 =
+    first purchase after t2 (greedy is optimal for earliest feasible
+    completion, so it equals the oracle's min-chain formulation).
+
+    Scale shape: ONE shuffle (groupBy user), then the per-user event
+    list is sorted and folded entirely inside a JVM `aggregate()`
+    lambda — no window sort over the raw stream, no per-user Python,
+    no N passes for N steps.  Per-user state is 3 bigints; the
+    collect_list is bounded by per-user activity (the same bound any
+    per-user sessionizer carries); a pathological mega-user would be
+    handled by the skew_join salting pattern."""
+    ev = _event_us(spark, sf_dir).where(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias("seq")
+    )
+    folded = per_user.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+              seq,
+              named_struct('t1', -1L, 't2', -1L, 't3', -1L),
+              (acc, x) -> named_struct(
+                't1', CASE WHEN acc.t1 = -1L AND x.event_type = 'view'
+                           THEN x.us ELSE acc.t1 END,
+                't2', CASE WHEN acc.t2 = -1L AND acc.t1 <> -1L
+                                AND x.event_type = 'click'
+                                AND x.us > acc.t1
+                           THEN x.us ELSE acc.t2 END,
+                't3', CASE WHEN acc.t3 = -1L AND acc.t2 <> -1L
+                                AND x.event_type = 'purchase'
+                                AND x.us > acc.t2
+                           THEN x.us ELSE acc.t3 END))
+            """
+        ).alias("f"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.t1").alias("t_view"),
+        F.col("f.t2").alias("t_click"),
+        F.col("f.t3").alias("t_purchase"),
+        (
+            (F.col("f.t1") != -1).cast("long")
+            + (F.col("f.t2") != -1).cast("long")
+            + (F.col("f.t3") != -1).cast("long")
+        ).alias("steps_reached"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users cohorted by their first active
+    week, counted per (cohort_week, week_offset) cell: the growth
+    metric behind every "week-N retention" dashboard.  Scale shape:
+    distinct (user, week) first (collapses the raw stream to at most
+    users x weeks rows BEFORE any join), per-user min for the cohort,
+    one equi-join back on user_id (at 10^12 events the distinct is the
+    only stream-sized shuffle; the join operates on the collapsed
+    activity table), then a cells-sized aggregate.  cohort_size rides
+    a broadcast join of the week-sized cohort table."""
+    uw = (
+        _event_us(spark, sf_dir)
+        .select("user_id", F.expr(f"us div {RETENTION_WEEK_US}").alias("week"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+    )
+
+
 # ------------------------------------------------------- z-order layout
 
 ZORDER_FILE_DIV = 16777216  # top 8 of 32 z-bits -> 256 z-tiles ("files")
@@ -5579,6 +5690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "exact_quantile": q_exact_quantile,
         "zorder_layout": q_zorder_layout,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -8048,3 +8161,72 @@ def _install_zorder_oracle() -> None:
 
 
 _install_zorder_oracle()
+
+
+def _install_funnel_retention_oracles() -> None:
+    """funnel_steps: the min-chain formulation (t1 = min view, t2 = min
+    click after t1, t3 = min purchase after t2) — provably equal to the
+    Spark side's greedy sorted fold.  retention_cohorts: direct
+    relational recomputation.  Both share the interval_join oracle's
+    exact-microsecond-offset time base."""
+    _ORACLE_SQL["funnel_steps"] = f"""
+        WITH mn AS (SELECT MIN(ts) AS m FROM events),
+        ev AS (
+            SELECT user_id, event_type,
+                   DATE_DIFF('microseconds', mn.m, ts) AS us
+            FROM events CROSS JOIN mn
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        s1 AS (
+            SELECT user_id, MIN(us) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.us) AS t2
+            FROM ev e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.us) AS t3
+            FROM ev e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1
+        )
+        SELECT u.user_id,
+               COALESCE(s1.t1, -1) AS t_view,
+               COALESCE(s2.t2, -1) AS t_click,
+               COALESCE(s3.t3, -1) AS t_purchase,
+               CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+                    + (s3.t3 IS NOT NULL)::INT AS BIGINT) AS steps_reached
+        FROM u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """
+    _ORACLE_SQL["retention_cohorts"] = f"""
+        WITH mn AS (SELECT MIN(ts) AS m FROM events),
+        uw AS (
+            SELECT DISTINCT user_id,
+                   DATE_DIFF('microseconds', mn.m, ts)
+                       // {RETENTION_WEEK_US} AS week
+            FROM events CROSS JOIN mn
+        ),
+        cohort AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+        ),
+        sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM cohort GROUP BY 1
+        )
+        SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+               CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size
+        FROM uw
+        JOIN cohort c USING (user_id)
+        JOIN sizes s ON s.cohort_week = c.cohort_week
+        GROUP BY 1, 2, 4
+    """
+
+
+_install_funnel_retention_oracles()

@@ -118,6 +118,8 @@ RELATIONAL = [
     "vocab_growth",
     "exact_quantile",
     "zorder_layout",
+    "funnel_steps",
+    "retention_cohorts",
 ]
 
 
