@@ -5277,7 +5277,15 @@ QUANTILE_HIST_BUCKETS = 4096   # per-pass fan-out B
 QUANTILE_FINAL_WIDTH = 8192    # switch to exact groupBy(v) below this
 
 
-def _exact_kth(df: DataFrame, ks: dict[str, int], lo0: int, hi0: int):
+def _exact_kth(
+    df: DataFrame,
+    ks: dict[str, int],
+    lo0: int,
+    hi0: int,
+    preds: dict[str, str] | None = None,
+    los: dict[str, int] | None = None,
+    his: dict[str, int] | None = None,
+):
     """Distributed EXACT order statistics (k-th smallest of bigint
     column `v`) by shared-pass histogram refinement — the selection
     algorithm for 10^12-row tables where a global sort is off the
@@ -5290,13 +5298,30 @@ def _exact_kth(df: DataFrame, ks: dict[str, int], lo0: int, hi0: int):
     scanned once per pass, not once per quantile.  Each pass narrows a
     range by the fan-out B, so passes = ceil(log_B(domain)) — 2 passes
     for a 10^9-wide integer domain at B=4096 — then one final exact
-    groupBy(v) job over ranges of width <= QUANTILE_FINAL_WIDTH.
-    Driver memory is O(targets * B) bucket counts per pass, never the
-    data; the only shuffle per pass is the groupBy on <= targets * B
-    keys.  Returns ({label: v}, histogram_pass_count)."""
-    # state per target: [lo, hi, below] with the invariant
+    pass grouped on (target, v) over ranges of width <=
+    QUANTILE_FINAL_WIDTH.  Driver memory is O(targets * B) bucket
+    counts per pass, never the data; the only shuffle per pass is the
+    groupBy on <= targets * B keys.
+
+    GROUPED order statistics ride the same passes: `preds[t]` is an
+    extra SQL predicate (e.g. "g = 'click'") ANDed into target t's
+    row condition, and `los`/`his` give per-target initial ranges —
+    per-group quantiles cost the SAME number of jobs as one global
+    quantile.  Returns ({label: v}, histogram_pass_count)."""
+    preds = preds or {}
+    los = los or {}
+    his = his or {}
+
+    def _cond(t: str, lo: int, hi: int):
+        c = (F.col("v") >= lo) & (F.col("v") <= hi)
+        if t in preds:
+            c = c & F.expr(preds[t])
+        return c
+
+    # state per target: [lo, hi, below] with the invariant (within the
+    # target's predicate stratum)
     #   below == |{rows: v < lo}|  and  below < k <= below + |rows in [lo,hi]|
-    state = {t: [lo0, hi0, 0] for t in ks}
+    state = {t: [los.get(t, lo0), his.get(t, hi0), 0] for t in ks}
     passes = 0
     while True:
         live = {t: s for t, s in state.items()
@@ -5313,7 +5338,7 @@ def _exact_kth(df: DataFrame, ks: dict[str, int], lo0: int, hi0: int):
             widths[t] = (hi - lo + B) // B  # ceil((hi-lo+1)/B)
             cols.append(
                 F.when(
-                    (F.col("v") >= lo) & (F.col("v") <= hi),
+                    _cond(t, lo, hi),
                     F.struct(
                         F.lit(i).alias("tid"),
                         F.expr(f"(v - {lo}) div {widths[t]}").alias("b"),
@@ -5343,25 +5368,32 @@ def _exact_kth(df: DataFrame, ks: dict[str, int], lo0: int, hi0: int):
                                 below + acc]
                     break
                 acc += c
-    # final exact pass: one groupBy(v) job over the union of all live
-    # ranges; collect is bounded by targets * QUANTILE_FINAL_WIDTH rows
-    cond = None
-    for lo, hi, _ in state.values():
-        c = (F.col("v") >= lo) & (F.col("v") <= hi)
-        cond = c if cond is None else (cond | c)
-    by_v = sorted(
-        (r["v"], r["c"])
-        for r in df.where(cond)
-        .groupBy("v")
+    # final exact pass: ONE job grouped on (target, v) over each
+    # target's remaining range (per-target structs again, so grouped
+    # targets with overlapping v ranges stay separated); collect is
+    # bounded by targets * QUANTILE_FINAL_WIDTH rows
+    tids = sorted(state)
+    cols = [
+        F.when(
+            _cond(t, state[t][0], state[t][1]),
+            F.struct(F.lit(i).alias("tid"), F.col("v").alias("v")),
+        )
+        for i, t in enumerate(tids)
+    ]
+    got = (
+        df.select(F.explode(F.array(*cols)).alias("s"))
+        .where(F.col("s").isNotNull())
+        .groupBy("s.tid", "s.v")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
+    by_tid: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_tid.setdefault(r["tid"], []).append((r["v"], r["c"]))
     out = {}
-    for t, (lo, hi, below) in state.items():
-        acc = below
-        for v, c in by_v:
-            if v < lo or v > hi:
-                continue
+    for i, t in enumerate(tids):
+        acc = state[t][2]
+        for v, c in sorted(by_tid.get(i, [])):
             acc += c
             if acc >= ks[t]:
                 out[t] = v
@@ -5403,6 +5435,49 @@ def q_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(lab, ks[lab], res[lab]) for lab, _, _ in QUANTILE_TARGETS]
     return spark.createDataFrame(
         rows, "p_label string, k bigint, quantile_v bigint")
+
+
+GROUP_QUANTILE_TARGETS = (("p50", 1, 2), ("p90", 9, 10))
+
+
+def q_group_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PER-GROUP quantiles (p50/p90 of events.value per
+    event_type) in the SAME shared histogram passes as one global
+    quantile — the grouped generalization of exact_quantile: every
+    (group, quantile) target carries its own predicate and live range
+    through _exact_kth, so G groups x Q quantiles cost
+    ceil(log_B(domain)) jobs, not G*Q sorts and not G*Q jobs.  This is
+    the shape that matters at scale: per-language length cutoffs,
+    per-domain quality boundaries, per-source perplexity medians — all
+    one pass-set over the corpus.  A window-rank formulation would
+    shuffle and sort the FULL stream per group; here the stream is
+    only ever scanned and counted."""
+    ev = _load_wide(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("v"),
+    )
+    ev = ev.persist()
+    try:
+        stats = ev.groupBy("g").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        ks, preds, los, his, meta = {}, {}, {}, {}, []
+        for r in sorted(stats, key=lambda r: r["g"]):
+            gsql = r["g"].replace("'", "''")
+            for lab, num, den in GROUP_QUANTILE_TARGETS:
+                t = f"{r['g']}|{lab}"
+                ks[t] = (num * int(r["n"]) + den - 1) // den
+                preds[t] = f"g = '{gsql}'"
+                los[t] = int(r["lo"])
+                his[t] = int(r["hi"])
+                meta.append((r["g"], lab, t))
+        res, _ = _exact_kth(ev, ks, 0, 0, preds, los, his)
+    finally:
+        ev.unpersist()
+    rows = [(g, lab, ks[t], res[t]) for g, lab, t in meta]
+    return spark.createDataFrame(
+        rows, "event_type string, p_label string, k bigint, quantile_v bigint")
 
 
 # ------------------------------------------------- funnel / retention
@@ -5692,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
+        "group_quantile": q_group_quantile,
     }
 
 
@@ -8230,3 +8306,34 @@ def _install_funnel_retention_oracles() -> None:
 
 
 _install_funnel_retention_oracles()
+
+
+def _install_group_quantile_oracle() -> None:
+    """group_quantile: per-group ROW_NUMBER formulation with the same
+    exact-rational k."""
+    vals = ", ".join(f"('{lab}', {num}, {den})"
+                     for lab, num, den in GROUP_QUANTILE_TARGETS)
+    _ORACLE_SQL["group_quantile"] = f"""
+        WITH q AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 1000000) AS BIGINT) AS v
+            FROM events
+        ),
+        n AS (SELECT g, COUNT(*) AS c FROM q GROUP BY 1),
+        r AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+            FROM q
+        ),
+        ks AS (
+            SELECT n.g, p_label,
+                   CAST((num * c + den - 1) // den AS BIGINT) AS k
+            FROM (VALUES {vals}) t(p_label, num, den) CROSS JOIN n
+        )
+        SELECT ks.g AS event_type, ks.p_label AS p_label, ks.k AS k,
+               r.v AS quantile_v
+        FROM ks JOIN r ON r.g = ks.g AND r.rn = ks.k
+    """
+
+
+_install_group_quantile_oracle()

@@ -120,6 +120,7 @@ RELATIONAL = [
     "zorder_layout",
     "funnel_steps",
     "retention_cohorts",
+    "group_quantile",
 ]
 
 

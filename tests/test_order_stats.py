@@ -78,3 +78,49 @@ def test_kth_duplicate_heavy(spark):
     sv = np.sort(v)
     for lab, k in ks.items():
         assert out[lab] == int(sv[k - 1]), lab
+
+
+def test_group_quantile_matches_per_group_sort(spark, sf_dir):
+    from __spark_entry__ import GROUP_QUANTILE_TARGETS, q_group_quantile
+    import pyarrow.parquet as pq
+
+    got = {(r["event_type"], r["p_label"]): (r["k"], r["quantile_v"])
+           for r in q_group_quantile(spark, sf_dir).collect()}
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "value"]).to_pandas()
+    t["v"] = np.floor(t["value"].to_numpy() * 1_000_000).astype(np.int64)
+    for g, sub in t.groupby("event_type"):
+        v = sub["v"].to_numpy()
+        n = len(v)
+        for lab, num, den in GROUP_QUANTILE_TARGETS:
+            k = (num * n + den - 1) // den
+            assert got[(g, lab)] == (k, _numpy_kth(v, k)), (g, lab)
+
+
+def test_kth_grouped_shares_passes(spark):
+    # two groups on DISJOINT wide value scales: grouped targets must
+    # resolve in the same pass bound as a single global target — the
+    # pass count is a function of the widest live range, not of the
+    # number of (group, quantile) targets
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 1 << 40, size=2000).astype(np.int64)
+    b = rng.randint(1 << 50, 1 << 52, size=2000).astype(np.int64)
+    rows = [("a", int(x)) for x in a] + [("b", int(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ks = {"a|mid": 1000, "a|hi": 1999, "b|mid": 1000, "b|hi": 1999}
+    preds = {t: f"g = '{t[0]}'" for t in ks}
+    los = {"a|mid": int(a.min()), "a|hi": int(a.min()),
+           "b|mid": int(b.min()), "b|hi": int(b.min())}
+    his = {"a|mid": int(a.max()), "a|hi": int(a.max()),
+           "b|mid": int(b.max()), "b|hi": int(b.max())}
+    out, passes = _exact_kth(df, ks, 0, 0, preds, los, his)
+    assert out["a|mid"] == _numpy_kth(a, 1000)
+    assert out["a|hi"] == _numpy_kth(a, 1999)
+    assert out["b|mid"] == _numpy_kth(b, 1000)
+    assert out["b|hi"] == _numpy_kth(b, 1999)
+    widest = max(int(a.max()) - int(a.min()), int(b.max()) - int(b.min())) + 1
+    bound = math.ceil(
+        math.log(max(2, widest // QUANTILE_FINAL_WIDTH))
+        / math.log(QUANTILE_HIST_BUCKETS)
+    ) + 1
+    assert 1 <= passes <= bound
