@@ -2951,6 +2951,44 @@ def q_crawl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history (Kimball SCD2) over
+    the crawl versions — the OTHER half of the lakehouse upsert story:
+    q_crawl_upsert keeps only the latest row; a training-data audit
+    ("which snapshot was doc X when run R read it?") needs every
+    version as a validity interval [valid_from, valid_to) with an
+    is_current flag.  Built from the SAME _crawl_version_frames
+    synthesis as the upsert gates, so the three surfaces can't drift.
+
+    Scale shape: ONE hash shuffle on doc_id, then lead()/row_number()
+    windows that sort only the per-key version lists (2-3 rows per
+    URL) — never the corpus; digests computed before the shuffle so
+    bodies never move.  -1 is the open-interval sentinel (BIGINT
+    column, no NULL-vs-hash ambiguity in the driver compare)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    base, refetch, new = _crawl_version_frames(d)
+    allv = base.unionByName(refetch).unionByName(new)
+    w = Window.partitionBy("doc_id").orderBy("valid_from", "crawl_id")
+    return allv.select(
+        "doc_id",
+        F.col("crawl_id").cast("long").alias("crawl_id"),
+        F.col("fetch_ts").cast("long").alias("valid_from"),
+        "content_digest",
+    ).select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("version_seq"),
+        "crawl_id",
+        "valid_from",
+        F.coalesce(F.lead("valid_from").over(w), F.lit(-1))
+        .cast("long")
+        .alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().cast("long").alias("is_current"),
+        "content_digest",
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy filtering: apply per-source robots.txt rules to
     document paths with the RFC 9309 precedence — among all matching
@@ -5768,6 +5806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "group_quantile": q_group_quantile,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -8337,3 +8376,43 @@ def _install_group_quantile_oracle() -> None:
 
 
 _install_group_quantile_oracle()
+
+
+def _install_scd2_oracle() -> None:
+    """scd2_history: the same version synthesis as crawl_upsert's
+    oracle, windowed into validity intervals."""
+    _ORACLE_SQL["scd2_history"] = """
+        WITH allv AS (
+            SELECT doc_id, 0 AS crawl_id,
+                   1700000000 + doc_id AS fetch_ts,
+                   MD5(text) AS content_digest
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 1700500000 + doc_id,
+                   MD5(text || ' v2')
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT doc_id + 100000, 1, 1700500000 + doc_id,
+                   MD5('new:' || text)
+            FROM documents WHERE doc_id % 10 = 3
+        ),
+        v AS (
+            SELECT doc_id, crawl_id, fetch_ts, content_digest,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY fetch_ts, crawl_id) AS version_seq,
+                   LEAD(fetch_ts) OVER (PARTITION BY doc_id
+                       ORDER BY fetch_ts, crawl_id) AS nxt
+            FROM allv
+        )
+        SELECT doc_id,
+               CAST(version_seq AS BIGINT) AS version_seq,
+               CAST(crawl_id AS BIGINT) AS crawl_id,
+               CAST(fetch_ts AS BIGINT) AS valid_from,
+               CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to,
+               CAST((nxt IS NULL)::INT AS BIGINT) AS is_current,
+               content_digest
+        FROM v
+    """
+
+
+_install_scd2_oracle()

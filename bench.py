@@ -121,6 +121,7 @@ RELATIONAL = [
     "funnel_steps",
     "retention_cohorts",
     "group_quantile",
+    "scd2_history",
 ]
 
 
