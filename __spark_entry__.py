@@ -5694,6 +5694,130 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- exact heavy hitters
+
+# Misra-Gries counter budget.  The stream has 39 distinct items (31
+# fixture words + 'dup' + 7 synthetic hot levels), so K=15 forces real
+# evictions in every partition summary AND in the merge; the exactness
+# guarantee (any item with freq > n/(K+1) survives the merged summary)
+# is what makes the two-pass output EXACT, not approximate.
+HH_K = 15
+HH_LEVELS = 7  # synthetic Zipf head: hot_v has expected freq ~ N * 2^(6-v)
+
+
+def _mg_partition_kernel(k: int):
+    """Arrow-batched per-partition Misra-Gries summary (Misra & Gries
+    1982; batched/mergeable form from Agarwal et al., "Mergeable
+    Summaries", PODS 2012).  Per batch: value_counts() (vectorized,
+    vocab-sized dict work only) is added into the counter dict; when
+    more than k counters are live, subtract the (k+1)-th largest count
+    from all and drop non-positives — the standard batched decrement,
+    equivalent to a sequence of single-item MG steps.  Invariant: for
+    any item x, freq_partition(x) - n_partition/(k+1) <= est(x) <=
+    freq_partition(x), and the summary never exceeds k items between
+    batches."""
+
+    def fn(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                t = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - t for i, c in counters.items() if c > t}
+        yield pd.DataFrame(
+            {
+                "item": pd.Series(list(counters.keys()), dtype=object),
+                "est": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def _mg_merge(summaries: list, k: int) -> dict:
+    """Merge per-partition MG summaries: sum per item, then one batched
+    decrement back to <= k counters.  Mergeable-summaries theorem: the
+    merged error stays <= n_total/(k+1), so any item with global freq
+    > n/(k+1) survives with est > 0 — candidates are a SUPERSET of the
+    true heavy hitters (the recount pass makes the output exact)."""
+    merged: dict = {}
+    for item, est in summaries:
+        merged[item] = merged.get(item, 0) + est
+    if len(merged) > k:
+        t = sorted(merged.values(), reverse=True)[k]
+        merged = {i: c - t for i, c in merged.items() if c > t}
+    return merged
+
+
+def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-hitter item stream: whitespace tokens (natural data,
+    near-uniform by construction of the fixture vocab) UNION a
+    deterministic synthetic Zipf head — hot_v replicated 2^(6-v) times
+    per doc unless the doc's md5 draw (25% of docs) caps it at 1.
+    Real crawl token streams are Zipf (the reason MG exists); the
+    synthetic head restores the skew the uniform fixture lacks, with
+    md5-derived multiplicities both engines replay byte-for-byte."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(F.explode(F.split("text", " ")).alias("item"))
+    hot = d.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {HH_LEVELS - 1}), v ->"
+                " transform(sequence(1, CASE WHEN"
+                " cast(conv(substring(md5(concat(cast(doc_id as string),"
+                " '#hh', cast(v as string))), 1, 13), 16, 10) as bigint)"
+                f" % 4 = 0 THEN 1 ELSE shiftleft(1, {HH_LEVELS - 1} - v)"
+                " END), j -> concat('hot_', cast(v as string)))))"
+            )
+        ).alias("item")
+    )
+    return toks.unionByName(hot)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (freq > n/(K+1)) with NO corpus-wide
+    groupBy — the two-pass Misra-Gries + recount pattern
+    q_count_min_topk's docstring names as the production candidate
+    generator.  Pass 1 is map-side ONLY: each partition emits a <= K
+    row MG summary (mapInPandas, vectorized value_counts); summaries
+    (<= K x P rows, the same bounded-collect class as the IVF
+    codebook) merge driver-side into <= K candidates that provably
+    contain every true heavy hitter.  Pass 2 recounts exactly: items
+    are tagged candidate-or-NULL, so map-side partial aggregation
+    collapses each partition to <= K+1 rows before the only shuffle
+    in the whole job — at 100 TB the exchange moves O(K x partitions)
+    rows regardless of corpus size, where a naive exact top-k shuffles
+    the full token multiset.  The NULL group still contributes to n,
+    so the final integer filter cnt*(K+1) > n uses the exact stream
+    size from the same single job.
+
+    Oracle: plain GROUP BY + HAVING over the identical stream — the
+    exactness claim IS the gate.  tests/test_heavy_hitters.py pins the
+    MG guarantee on adversarial streams and partitioning-invariance of
+    the final output."""
+    stream = _hh_stream(spark, sf_dir)
+    parts = stream.mapInPandas(
+        _mg_partition_kernel(HH_K), schema="item string, est long"
+    ).collect()
+    merged = _mg_merge([(r["item"], r["est"]) for r in parts], HH_K)
+    cands = sorted(merged)
+    tagged = stream.select(
+        F.when(F.col("item").isin(cands), F.col("item")).alias("g")
+    )
+    counts = tagged.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("g").isNotNull() & (F.col("cnt") * (HH_K + 1) > F.col("n")))
+        .select(
+            F.col("g").alias("item"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("n").cast("long").alias("n_stream"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5807,6 +5931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "group_quantile": q_group_quantile,
         "scd2_history": q_scd2_history,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -8416,3 +8541,38 @@ def _install_scd2_oracle() -> None:
 
 
 _install_scd2_oracle()
+
+
+def _install_heavy_hitters_oracle() -> None:
+    # heavy_hitters: the oracle is the plain corpus-wide GROUP BY +
+    # HAVING the two-pass operator exists to avoid — exactness of the
+    # MG-candidates + recount path IS the gate.  Same token stream,
+    # same md5-derived synthetic Zipf head (DuckDB's scalar
+    # generate_series(1, m) accepts column bounds where the TABLE
+    # function refuses lateral parameters), same integer threshold.
+    _ORACLE_SQL["heavy_hitters"] = f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS item FROM documents
+        ),
+        hot AS (
+            SELECT unnest(list_transform(generate_series(1,
+                       CASE WHEN CAST(('0x' || substring(md5(
+                                CAST(doc_id AS VARCHAR) || '#hh' ||
+                                CAST(v AS VARCHAR)), 1, 13))::UBIGINT
+                            AS BIGINT) % 4 = 0
+                            THEN 1 ELSE (1 << ({HH_LEVELS - 1} - v)) END),
+                   j -> 'hot_' || CAST(v AS VARCHAR))) AS item
+            FROM documents, generate_series(0, {HH_LEVELS - 1}) t(v)
+        ),
+        stream AS (
+            SELECT item FROM toks UNION ALL SELECT item FROM hot
+        ),
+        counts AS (SELECT item, COUNT(*) AS cnt FROM stream GROUP BY item),
+        tot AS (SELECT SUM(cnt) AS n FROM counts)
+        SELECT item, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n_stream
+        FROM counts CROSS JOIN tot
+        WHERE cnt * {HH_K + 1} > n
+    """
+
+
+_install_heavy_hitters_oracle()
