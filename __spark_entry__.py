@@ -5818,6 +5818,76 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- PMI collocations
+
+PMI_MIN_COUNT = 5  # prune singleton bigrams BEFORE any join (the tail
+# of a Zipf bigram distribution is most of its distinct keys)
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990) — the standard phrase/multi-word-expression detector a
+    tokenizer-training pipeline runs before merging phrases: PMI(x,y)
+    = ln(p(x,y) / (p(x)p(y))) over adjacent word bigrams.
+
+    Scale shape: ONE corpus-sized shuffle (the bigram groupBy, map-side
+    combined); the unigram count table is vocab-sized and joins back
+    BROADCAST twice (w1, w2 sides); corpus totals come from per-doc
+    token counts (a scalar agg on the same scan, cross-joined back).
+    The min-count filter runs BEFORE the joins, cutting the Zipf tail
+    where most distinct bigram keys live.  Float discipline (the
+    bm25_topk lesson): the PMI ratio is assembled in ONE fixed
+    multiplication order from exact BIGINT counts cast to DOUBLE, so
+    both engines round the identical IEEE value at 6 dp."""
+    d = _load_wide(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ts")
+    )
+    tot = d.agg(
+        F.sum(F.size("ts")).cast("long").alias("n_uni"),
+        F.sum(F.greatest(F.size("ts") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_big"),
+    )
+    big = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 2 THEN transform(sequence(1,"
+                " size(ts) - 1), i -> struct(element_at(ts, i) AS w1,"
+                " element_at(ts, i + 1) AS w2)) ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cxy = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= PMI_MIN_COUNT)
+    )
+    uni = d.select(F.explode("ts").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    joined = (
+        cxy.join(
+            F.broadcast(cu.select(F.col("w").alias("w1"),
+                                  F.col("cw").alias("cw1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(cu.select(F.col("w").alias("w2"),
+                                  F.col("cw").alias("cw2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr(
+            "round(ln((cast(cnt as double) * n_uni * n_uni) /"
+            " (cast(n_big as double) * cw1 * cw2)), 6)"
+        ).alias("pmi"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -5932,6 +6002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantile": q_group_quantile,
         "scd2_history": q_scd2_history,
         "heavy_hitters": q_heavy_hitters,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -8576,3 +8647,40 @@ def _install_heavy_hitters_oracle() -> None:
 
 
 _install_heavy_hitters_oracle()
+
+
+def _install_pmi_oracle() -> None:
+    # pmi_collocations: same bigram/unigram counts, same one-order
+    # DOUBLE assembly of the PMI ratio (ln of identical IEEE doubles,
+    # rounded at 6 dp — the bm25_topk float discipline).
+    _ORACLE_SQL["pmi_collocations"] = f"""
+        WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        tot AS (
+            SELECT CAST(SUM(len(ts)) AS BIGINT) AS n_uni,
+                   CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS n_big
+            FROM t
+        ),
+        big AS (
+            SELECT unnest(CASE WHEN len(ts) >= 2 THEN list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> {{'w1': ts[i], 'w2': ts[i + 1]}}) ELSE [] END)
+                   AS bg
+            FROM t
+        ),
+        cxy AS (
+            SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt
+            FROM big GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        ),
+        uni AS (SELECT unnest(ts) AS w FROM t),
+        cu AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w)
+        SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+               ROUND(LN((CAST(cnt AS DOUBLE) * n_uni * n_uni) /
+                        (CAST(n_big AS DOUBLE) * u1.cw * u2.cw)), 6) AS pmi
+        FROM cxy
+        JOIN cu u1 ON u1.w = cxy.w1
+        JOIN cu u2 ON u2.w = cxy.w2
+        CROSS JOIN tot
+    """
+
+
+_install_pmi_oracle()
