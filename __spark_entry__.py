@@ -5888,6 +5888,83 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- robust outliers
+
+RO_CONTAM_MOD = 83     # deterministic contamination: doc_id % 83 == 0
+RO_CONTAM_SHIFT = 2000  # gets +2000 chars — the corrupted-record stand-in
+RO_FENCE = 3           # flag |x - median| > 3 * MAD
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier detection with median/MAD fences — the
+    data-cleaning gate a corpus pipeline runs before length/quality
+    filters are tuned: mean/stddev fences MOVE when the corruption
+    they exist to catch arrives; median and MAD have a 50% breakdown
+    point, so the injected contamination (doc_id % 83 docs get +2000
+    chars) leaves the per-language fences where the clean data put
+    them and the corrupted rows land OUTSIDE.  Flag: |x - med| >
+    3*MAD, all in exact BIGINT arithmetic.
+
+    Scale shape: both the median and the MAD round ride _exact_kth's
+    shared histogram passes (G groups x 2 statistics = the job count
+    of ONE global quantile per round; the stream is scanned and
+    counted, never sorted); the per-group fences are a 5-row broadcast
+    joined back for the final projection-filter.  A window-rank
+    median would sort the full corpus per group."""
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"n_chars + CASE WHEN doc_id % {RO_CONTAM_MOD} = 0"
+            f" THEN {RO_CONTAM_SHIFT} ELSE 0 END"
+        ).alias("x"),
+    ).persist()
+    try:
+        stats = d.groupBy("lang").agg(
+            F.min("x").alias("lo"), F.max("x").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        langs = sorted(r["lang"] for r in stats)
+        by_lang = {r["lang"]: r for r in stats}
+        ks = {g: (int(by_lang[g]["n"]) + 1) // 2 for g in langs}
+        preds = {g: f"lang = '{g}'" for g in langs}
+        med, _ = _exact_kth(
+            d.select("lang", F.col("x").alias("v")), ks, 0, 0, preds,
+            {g: int(by_lang[g]["lo"]) for g in langs},
+            {g: int(by_lang[g]["hi"]) for g in langs},
+        )
+        med_df = spark.createDataFrame(
+            [(g, med[g]) for g in langs], "lang string, med bigint"
+        )
+        dev = d.join(F.broadcast(med_df), "lang").select(
+            "lang", F.abs(F.col("x") - F.col("med")).alias("v")
+        )
+        dev_hi = {
+            g: max(int(by_lang[g]["hi"]) - med[g],
+                   med[g] - int(by_lang[g]["lo"]))
+            for g in langs
+        }
+        mad, _ = _exact_kth(dev, ks, 0, 0, preds,
+                            {g: 0 for g in langs}, dev_hi)
+        fence_df = spark.createDataFrame(
+            [(g, med[g], mad[g]) for g in langs],
+            "lang string, med bigint, mad bigint",
+        )
+        return (
+            d.join(F.broadcast(fence_df), "lang")
+            .filter(F.abs(F.col("x") - F.col("med"))
+                    > RO_FENCE * F.col("mad"))
+            .select(
+                "doc_id", "lang",
+                F.col("x").cast("long").alias("x"),
+                F.col("med").cast("long").alias("med"),
+                F.col("mad").cast("long").alias("mad"),
+            )
+        )
+    finally:
+        d.unpersist()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6003,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "heavy_hitters": q_heavy_hitters,
         "pmi_collocations": q_pmi_collocations,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -8684,3 +8762,48 @@ def _install_pmi_oracle() -> None:
 
 
 _install_pmi_oracle()
+
+
+def _install_robust_outliers_oracle() -> None:
+    # robust_outliers: the oracle computes the SAME lower-median
+    # (k = ceil(n/2)-th order statistic) via window ranks — the
+    # full-sort formulation the histogram-refinement kernel avoids.
+    _ORACLE_SQL["robust_outliers"] = f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   n_chars + CASE WHEN doc_id % {RO_CONTAM_MOD} = 0
+                                  THEN {RO_CONTAM_SHIFT} ELSE 0 END AS x
+            FROM documents
+        ),
+        r AS (
+            SELECT lang, x,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM d
+        ),
+        med AS (
+            SELECT lang, MIN(x) AS med FROM r
+            WHERE rn = (n + 1) // 2 GROUP BY lang
+        ),
+        dev AS (
+            SELECT d.lang, ABS(d.x - med.med) AS dv
+            FROM d JOIN med USING (lang)
+        ),
+        r2 AS (
+            SELECT lang, dv,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dv) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT lang, MIN(dv) AS mad FROM r2
+            WHERE rn = (n + 1) // 2 GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, CAST(d.x AS BIGINT) AS x,
+               CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
+        FROM d JOIN med USING (lang) JOIN mad USING (lang)
+        WHERE ABS(d.x - med.med) > {RO_FENCE} * mad.mad
+    """
+
+
+_install_robust_outliers_oracle()
