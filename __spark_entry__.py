@@ -5965,6 +5965,55 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unpersist()
 
 
+# --------------------------------------------------- weighted sample
+
+WS_K = 20  # sample size
+WS_U53 = 9007199254740992.0  # 2^53: md5 draw -> uniform in (0, 1]
+
+
+def _weighted_sample_df(
+    spark: SparkSession, sf_dir: str, salt: int = 0
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (Inf. Proc. Letters 2006): each row draws u ~ U(0,1] and the k
+    rows with the largest u^(1/w) ARE a weight-proportional sample
+    without replacement.  The draw is an md5 hash of (doc_id, salt),
+    not an RNG: re-running the job — after a retry, on different
+    partitioning, at either engine — selects the IDENTICAL sample,
+    which is what makes sampling auditable in a lineage-tracked
+    pipeline (and what a seeded RNG over nondeterministic partition
+    order does NOT give).  The key is computed as ln(u)/w, a monotone
+    transform of u^(1/w) that avoids pow() entirely.
+
+    Scale shape: pure projection + orderBy(key).limit(k), which Spark
+    plans as TakeOrderedAndProject — per-partition top-k heaps merged
+    on the driver, NEVER a global sort; the exchange carries k rows
+    per partition."""
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    key = (
+        f"ln((cast(conv(substring(md5(concat(cast(doc_id as string),"
+        f" '#ws{salt}')), 1, 13), 16, 10) as bigint) + 1) / {WS_U53})"
+        f" / w"
+    )
+    return (
+        d.filter(F.col("w") > 0)
+        .select("doc_id", "lang", "w", F.expr(key).alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WS_K)
+        .select("doc_id", "lang", "w", F.round("es_key", 9).alias("es_key"))
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (k=20, weight = n_chars) — see
+    _weighted_sample_df.  tests/test_weighted_sample.py pins the
+    weight-proportionality law over many salts and Spark == pandas
+    replay of the identical draw."""
+    return _weighted_sample_df(spark, sf_dir, salt=0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6081,6 +6130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "pmi_collocations": q_pmi_collocations,
         "robust_outliers": q_robust_outliers,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -8807,3 +8857,23 @@ def _install_robust_outliers_oracle() -> None:
 
 
 _install_robust_outliers_oracle()
+
+
+def _install_weighted_sample_oracle() -> None:
+    # weighted_sample: identical md5 draw, identical ln(u)/w key,
+    # identical (key DESC, doc_id) cut.  Keys of adjacent ranks differ
+    # by ~1/n — far beyond any ln() ulp divergence between engines.
+    _ORACLE_SQL["weighted_sample"] = f"""
+        WITH d AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+                   LN((CAST(('0x' || substring(md5(
+                         CAST(doc_id AS VARCHAR) || '#ws0'), 1, 13))::UBIGINT
+                       AS BIGINT) + 1) / {WS_U53}) / w AS es_key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, w, ROUND(es_key, 9) AS es_key
+        FROM d ORDER BY es_key DESC, doc_id ASC LIMIT {WS_K}
+    """
+
+
+_install_weighted_sample_oracle()
