@@ -6014,6 +6014,184 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weighted_sample_df(spark, sf_dir, salt=0)
 
 
+# ------------------------------------------------------- group top-k
+
+GTK_K = 3  # per-language winners
+
+
+def _gtk_partition_topk(k: int):
+    """Per-partition pre-top-k: keep only each group's k best
+    (score DESC, doc_id ASC) rows inside the partition — vectorized
+    pandas sort + groupby.head, no per-row Python.  The union of
+    per-partition top-k sets is trivially a SUPERSET of the global
+    per-group top-k (any globally kept row is top-k within its own
+    partition a fortiori), which is what makes the two-stage answer
+    exact."""
+
+    def fn(batches):
+        state = None
+        for pdf in batches:
+            cur = pdf if state is None else pd.concat(
+                [state, pdf], ignore_index=True
+            )
+            cur = cur.sort_values(
+                ["lang", "score", "doc_id"], ascending=[True, False, True]
+            )
+            # fold: task memory stays O(k x groups + one Arrow batch),
+            # never the partition
+            state = cur.groupby("lang", sort=False).head(k)
+        if state is not None:
+            yield state
+
+    return fn
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the k longest docs per language) WITHOUT a
+    corpus-wide window sort — the row_number()-over-partition
+    formulation shuffles and sorts the FULL table per group key; at
+    10^12 rows that sort is the job.  Two stages instead: (1)
+    mapInPandas pre-top-k inside each partition (superset law in
+    _gtk_partition_topk), (2) the survivors — <= k x partitions x
+    groups rows, corpus-size-independent — take one tiny shuffle and
+    a final per-group rank.  This is TakeOrderedAndProject
+    generalized from one global top-k to per-group top-k.
+
+    Ties break (score DESC, doc_id ASC) in both stages and both
+    engines, so the cut is deterministic."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("score")
+    )
+    cand = d.mapInPandas(
+        _gtk_partition_topk(GTK_K),
+        schema="doc_id long, lang string, score long",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        cand.select(
+            "lang",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "score",
+        )
+        .filter(F.col("rank") <= GTK_K)
+    )
+
+
+# ---------------------------------------------------- ECDF normalize
+
+
+def q_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank (ECDF) normalization of a quantized score
+    within each language — how heterogeneous quality signals are made
+    comparable before blending (rank normalization): for each doc,
+    rank_lt = #docs in its language with a strictly smaller score, so
+    ecdf = rank_lt / n is the exact empirical CDF at the doc.
+
+    Scale shape: when the score is QUANTIZED (every real quality
+    score is — here n_chars), the CDF is a distinct-value table, not a
+    corpus sort: one groupBy on (lang, v) [the only corpus-sized
+    shuffle, map-side combined to the distinct-value count], a
+    cumulative sum over that DOMAIN-sized table (the window sorts
+    hundreds of rows, never the corpus), then a BROADCAST join back.
+    The window-rank formulation the oracle uses would shuffle + sort
+    every row per group.  All outputs exact integers (rank_lt, n) —
+    the division is left to the consumer so the gate stays
+    float-free."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    vc = d.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("v")
+    cdf = vc.select(
+        "lang",
+        "v",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("rank_lt"),
+        F.sum("c").over(Window.partitionBy("lang"))
+        .cast("long").alias("n_g"),
+    )
+    return d.join(F.broadcast(cdf), ["lang", "v"]).select(
+        "doc_id", "lang", "v", "rank_lt", "n_g"
+    )
+
+
+# ------------------------------------------------------- Pareto front
+
+
+def _pareto_front_pandas(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline of (x, y) maximization by one descending
+    sweep: process equal-x groups in x-DESC order, carrying M = max y
+    over all strictly-greater x.  A point survives iff its y equals
+    its group's max AND beats M strictly; exact (x, y) duplicates all
+    survive (neither strictly dominates the other)."""
+    keep = []
+    m = None
+    for _x, grp in df.sort_values("x", ascending=False).groupby(
+        "x", sort=False
+    ):
+        gmax = grp["y"].max()
+        if m is None or gmax > m:
+            keep.append(grp[grp["y"] == gmax])
+            m = gmax if m is None else max(m, gmax)
+    return (
+        pd.concat(keep, ignore_index=True)
+        if keep
+        else df.iloc[0:0]
+    )
+
+
+def _pareto_kernel(batches):
+    state = None
+    for pdf in batches:
+        cur = pdf if state is None else pd.concat(
+            [state, pdf], ignore_index=True
+        )
+        state = _pareto_front_pandas(cur)  # fold: state = running front
+    if state is not None:
+        yield state
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-front (skyline) selection over two maximization
+    objectives — multi-objective data curation ("longest AND highest
+    quality, keep everything not dominated"); Spark has no skyline
+    operator.  Objectives: x = n_chars, y = a deterministic md5
+    quality score, so both engines synthesize identical points.
+
+    Distributed shape (the classic two-phase skyline): (1) each
+    partition computes its LOCAL front (mapInPandas sweep, folded so
+    task memory is the running front + one Arrow batch); (2) the
+    union of local fronts — small: a 2-D front of n independent-ish
+    points is ~O(log n .. sqrt(n)) — collapses on ONE task for the
+    exact global front.  Correctness: front(union of local fronts) =
+    global front, because domination is transitive: if q dominates p
+    globally then either q is in its partition's front, or something
+    in that front dominates q and hence p; either way p is eliminated
+    in phase 2, and no undominated p can be eliminated anywhere.
+    tests/test_selection_ops.py pins equality with the NOT EXISTS
+    brute force and partitioning invariance."""
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string),"
+            " '#pq')), 1, 13), 16, 10) as bigint) % 1000"
+        ).alias("y"),
+    )
+    local = d.mapInPandas(
+        _pareto_kernel, schema="doc_id long, x long, y long"
+    )
+    return local.repartition(1).mapInPandas(
+        _pareto_kernel, schema="doc_id long, x long, y long"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6131,6 +6309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "robust_outliers": q_robust_outliers,
         "weighted_sample": q_weighted_sample,
+        "group_topk": q_group_topk,
+        "ecdf_normalize": q_ecdf_normalize,
+        "pareto_front": q_pareto_front,
     }
 
 
@@ -8877,3 +9058,53 @@ def _install_weighted_sample_oracle() -> None:
 
 
 _install_weighted_sample_oracle()
+
+
+def _install_group_topk_oracle() -> None:
+    # group_topk: the oracle is the full window-rank formulation the
+    # two-stage operator avoids; same (score DESC, doc_id ASC) order.
+    _ORACLE_SQL["group_topk"] = f"""
+        WITH r AS (
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+        )
+        SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score
+        FROM r WHERE rank <= {GTK_K}
+    """
+
+
+_install_group_topk_oracle()
+
+
+def _install_selection_oracles() -> None:
+    # ecdf_normalize: the oracle uses the window-rank formulation the
+    # broadcast-CDF operator avoids (RANK()-1 == #rows strictly below).
+    _ORACLE_SQL["ecdf_normalize"] = """
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v,
+               CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+                    - 1 AS BIGINT) AS rank_lt,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_g
+        FROM documents
+    """
+    # pareto_front: NOT EXISTS domination brute force — quadratic, the
+    # formulation the two-phase skyline avoids; identical md5 y-score.
+    _ORACLE_SQL["pareto_front"] = """
+        WITH pts AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                   CAST(('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#pq'), 1, 13))::UBIGINT
+                        AS BIGINT) % 1000 AS y
+            FROM documents
+        )
+        SELECT p.doc_id, p.x, p.y FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.x >= p.x AND q.y >= p.y
+              AND (q.x > p.x OR q.y > p.y)
+        )
+    """
+
+
+_install_selection_oracles()
