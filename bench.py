@@ -122,6 +122,13 @@ RELATIONAL = [
     "retention_cohorts",
     "group_quantile",
     "scd2_history",
+    "heavy_hitters",
+    "pmi_collocations",
+    "robust_outliers",
+    "weighted_sample",
+    "group_topk",
+    "ecdf_normalize",
+    "pareto_front",
 ]
 
 
