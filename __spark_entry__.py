@@ -6192,6 +6192,67 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- end-to-end curation
+
+CURATE_DUP_MOD = 13  # docs doc_id % 100 == 13 get an exact +10M copy
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END curation chain as ONE hard driver gate: quality
+    (Gopher rules) -> exact dedup (min-doc_id survivor) -> PII
+    redaction -> benchmark decontamination (13-gram shingles) ->
+    training-mix selection -> sequence packing.  The stages are the
+    jobs/curate_corpus.py functions THEMSELVES (imported, not
+    restated), so this row gates the exact composition spark-submit
+    runs — previously the chain had pytest coverage only, while each
+    stage had its own driver row; stage interaction (e.g. redaction
+    running before decontamination, packing over the post-mix
+    survivor set) was un-gated.
+
+    Audit fixture (all deterministic, mirrored in the oracle): decon
+    canon sentences injected for doc_id % 100 == 7 / % 10 in {4, 9};
+    PII suffixes for % 3/4/5 classes; exact duplicate copies
+    (doc_id + 10_000_000) for % 100 == 13, injected BEFORE the union
+    so copies are byte-identical and dedup is non-vacuous.  Output
+    carries md5(text) so the gate pins the redacted BYTES, and the
+    packing layout columns so it pins the final physical placement.
+
+    Scale shape: inherited from the gated stages — quality/PII are
+    codegen projections, dedup digests before its one shuffle, decon
+    is a broadcast semi-join on hashed shingles, mix is a projection,
+    packing is per-shard prefix sums."""
+    from ocular_spark.jobs import curate_corpus as cc
+
+    base = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    injected = base.select(
+        "doc_id", "lang", _decon_injected_text().alias("text")
+    ).select("doc_id", "lang", _pii_injected_text().alias("text"))
+    dups = injected.filter(
+        F.col("doc_id") % 100 == CURATE_DUP_MOD
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "text"
+    )
+    d0 = injected.unionByName(dups)
+    cur = cc.quality_stage(d0)
+    cur = cc.dedup_stage(cur)
+    cur = cc.pii_stage(cur)
+    cur = cc.decontaminate_stage(cur, [DECON_CANON, DECON_CANON2])
+    cur = cc.mix_stage(cur)
+    out = cc.pack_stage(cur, epoch=0)
+    return out.select(
+        "doc_id",
+        "lang",
+        "weight",
+        F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+        F.md5("text").alias("text_digest"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6312,6 +6373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topk": q_group_topk,
         "ecdf_normalize": q_ecdf_normalize,
         "pareto_front": q_pareto_front,
+        "curate_pipeline": q_curate_pipeline,
     }
 
 
@@ -9108,3 +9170,110 @@ def _install_selection_oracles() -> None:
 
 
 _install_selection_oracles()
+
+
+def _install_curate_pipeline_oracle() -> None:
+    # curate_pipeline: the WHOLE six-stage chain restated as one CTE
+    # composition — each stage in the exact shape its single-stage
+    # oracle already proved, composed in the job's fixed order
+    # (quality -> dedup -> redact -> decontaminate -> mix -> pack).
+    qgate = """
+        LEN(STRING_SPLIT(text, ' ')) >= 30
+        AND LEN(STRING_SPLIT(text, ' ')) <= 100000
+        AND ROUND(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+              w -> LEN(w))) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4)
+            BETWEEN 3.0 AND 10.0
+        AND LEN(LIST_DISTINCT(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+              ['the', 'a', 'of', 'to', 'and', 'in']))) >= 2
+        AND ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              w -> REGEXP_FULL_MATCH(w, '[a-zA-Z]+'))) * 1.0
+              / LEN(STRING_SPLIT(text, ' ')), 4) >= 0.8
+    """
+    grams = (
+        "unnest(list_distinct(list_transform("
+        "range(1, greatest(len(toks) - 11, 1)),"
+        " i -> array_to_string(toks[i:i+12], ' '))))"
+    )
+    _ORACLE_SQL["curate_pipeline"] = f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   text
+                   || CASE WHEN doc_id % 100 = 7
+                             THEN ' {DECON_CANON} {DECON_CANON2}'
+                           WHEN doc_id % 10 = 4 THEN ' {DECON_CANON}'
+                           WHEN doc_id % 10 = 9
+                             THEN ' {DECON_CANON} {DECON_CANON2}'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                        || CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' today' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 2 THEN ' from 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                        || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        || ' logged' ELSE '' END
+                   AS text
+            FROM documents
+        ),
+        d0 AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT doc_id + 10000000, lang, text FROM base
+            WHERE doc_id % 100 = {CURATE_DUP_MOD}
+        ),
+        q AS (SELECT * FROM d0 WHERE {qgate}),
+        surv AS (
+            SELECT MD5(text) AS h, MIN(doc_id) AS doc_id FROM q GROUP BY 1
+        ),
+        dd AS (SELECT q.* FROM q JOIN surv USING (doc_id)),
+        p AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                       '{PII_IP_RE}', '<IP>', 'g') AS text
+            FROM dd
+        ),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM p),
+        g AS (SELECT doc_id, {grams} AS gram FROM tok),
+        bench AS (
+            SELECT {grams} AS gram FROM (
+                SELECT string_split(s, ' ') AS toks
+                FROM (VALUES ('{DECON_CANON}'), ('{DECON_CANON2}')) b(s)
+            )
+        ),
+        hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)),
+        dc AS (
+            SELECT * FROM p
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ),
+        m AS (
+            SELECT doc_id, lang, text,
+                   round(CAST(100.0 AS DOUBLE) / rate, 4) AS weight
+            FROM (SELECT *, ({_MIX_CASE}) AS rate FROM dc)
+            WHERE {_MIX_HASH} < rate
+        ),
+        t AS (
+            SELECT *, {_PACK_SHARD} AS shard,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM m
+        ),
+        c AS (
+            SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, lang, weight, CAST(shard AS BIGINT) AS shard,
+               n_tokens,
+               CAST(FLOOR(cum_before / {PACK_SEQLEN}.0) AS BIGINT) AS seq_id,
+               cum_before % {PACK_SEQLEN} AS seq_offset,
+               MD5(text) AS text_digest
+        FROM c
+    """
+
+
+_install_curate_pipeline_oracle()
