@@ -129,6 +129,7 @@ RELATIONAL = [
     "group_topk",
     "ecdf_normalize",
     "pareto_front",
+    "curate_pipeline",
 ]
 
 
