@@ -6253,6 +6253,138 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ n-gram novelty
+
+NOVELTY_N = 5  # shingle width for the novelty attribution
+_NOVELTY_BASE_PREV = None  # one-live-copy cache scope (see below)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization/contamination
+    signal crawl curation orders snapshots by: for each doc, how many
+    of its distinct 5-gram shingles appear in NO earlier document
+    (doc_id order = ingest order).  Low novelty = the doc restates
+    what the corpus already has (near-dup tail, boilerplate); the
+    per-doc attribution is what vocab_growth's corpus-level curve
+    can't give.
+
+    Scale shape — NO join back to the corpus: novelty only needs, per
+    shingle, WHICH doc saw it first, so the whole operator is
+    groupBy(shingle_hash).agg(min(doc_id)) [the one corpus-sized
+    shuffle, map-side combined] followed by a second aggregate over
+    the VOCABULARY-sized result keyed by that min — a (doc, shingle)
+    join-back would shuffle the full pair multiset a second time.
+    Shingles are hashed to int64 INSIDE the array expression (the
+    ngram_jaccard lesson: strings never shuffle); n_shingles is a
+    pure projection.  Hash identity differs per engine (xxhash64 vs
+    raw strings in DuckDB) but only grouping identity matters —
+    equal-up-to-collisions, and a collision would have to straddle
+    the min boundary to show."""
+    global _NOVELTY_BASE_PREV
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    n = NOVELTY_N
+    # CASE guard, not greatest(.., 0): sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0]) and slice(arr, 0, n) throws under ANSI — the
+    # short-doc landmine the verify-skill probe list names
+    sh = (
+        f"array_distinct(CASE WHEN size(split(text, ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f"  i -> xxhash64(array_join(slice(split(text, ' '), i, {n}), ' ')))"
+        f" ELSE cast(array() as array<bigint>) END)"
+    )
+    per_doc = d.select("doc_id", F.expr(sh).alias("hs")).persist()
+    # one-live-copy cache scope (the ngram_jaccard pattern): the
+    # previous call's now-idle cache is released when the next call
+    # arrives, so repeated invocations never accumulate blocks
+    if _NOVELTY_BASE_PREV is not None:
+        _NOVELTY_BASE_PREV.unpersist(blocking=False)
+    _NOVELTY_BASE_PREV = per_doc
+    firsts = (
+        per_doc.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_doc.select("doc_id", F.size("hs").alias("n_shingles"))
+        .join(
+            # doc-level equi-join (n_docs rows on both sides) — NOT
+            # the (doc, shingle) pair multiset; at corpus scale this
+            # shuffles two doc-keyed tables, the cheapest join there is
+            firsts.select(F.col("first_doc").alias("doc_id"), "n_novel"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+
+
+# ------------------------------------------------------ decayed counts
+
+DECAY_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour age buckets
+DECAY_HALFLIFE_BUCKETS = 4  # half-life = 1 day
+DECAY_MAX_AGE = 40  # ages clamp here; 2^40 scale keeps BIGINTs exact
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts per type (trending /
+    freshness scoring): score = sum over events of 2^(-age/halflife).
+    The float trap: summing per-event decay weights is accumulation-
+    order-dependent — the exact class of nondeterminism the bm25/IVF
+    rows closed.  Fix: ages are INTEGER buckets, so the score is
+    sum(count_b * 2^(max_age - age_b)) / 2^max_age — the numerator an
+    order-free exact BIGINT (counts < 9e6 at 2^40 stay under 2^63),
+    ONE float division at the very end.  halflife = 4 buckets means
+    the exponent uses age div 4; the fractional remainder is folded
+    by bucketing (documented coarseness, not hidden float error).
+
+    Scale shape: one groupBy(event_type, age_bucket) — map-side
+    combined onto a types x ages table that is CORPUS-SIZE-INDEPENDENT
+    — then the scaled-integer sum per type.  Ages anchor to max(ts)
+    (one O(1) scalar agg), so the operator is a pure function of the
+    stream."""
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.max("ts")).collect()[0][0]
+    a_lit = anchor.strftime("%Y-%m-%d %H:%M:%S.%f")
+    hl, mx = DECAY_HALFLIFE_BUCKETS, DECAY_MAX_AGE
+    bucketed = raw.select(
+        "event_type",
+        F.expr(
+            f"least(cast(timestampdiff(MICROSECOND, ts,"
+            f" TIMESTAMP_NTZ '{a_lit}') div {DECAY_BUCKET_US} div {hl}"
+            f" as bigint), {mx})"
+        ).alias("age"),
+    )
+    per = bucketed.groupBy("event_type", "age").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.sum(
+                # the 1 must be BIGINT: shiftleft on an INT literal
+                # wraps 32-bit for shifts >= 31
+                F.col("c")
+                * F.expr(f"shiftleft(cast(1 as bigint), {mx} - age)")
+            ).alias("num"),
+            F.sum("c").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("num").cast("long").alias("decay_num"),
+            F.round(F.col("num") / F.lit(float(2 ** mx)), 6).alias(
+                "decayed_count"
+            ),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6374,6 +6506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf_normalize": q_ecdf_normalize,
         "pareto_front": q_pareto_front,
         "curate_pipeline": q_curate_pipeline,
+        "ngram_novelty": q_ngram_novelty,
+        "decayed_counts": q_decayed_counts,
     }
 
 
@@ -9277,3 +9411,58 @@ def _install_curate_pipeline_oracle() -> None:
 
 
 _install_curate_pipeline_oracle()
+
+
+def _install_novelty_decay_oracles() -> None:
+    # ngram_novelty: DuckDB groups on raw shingle STRINGS where Spark
+    # groups on xxhash64 — grouping identity only (the decontaminate /
+    # span_dedup argument); min-attribution and counts are integers.
+    n = NOVELTY_N
+    _ORACLE_SQL["ngram_novelty"] = f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        pd AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {n - 2}, 1)),
+                       i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+                   AS grams
+            FROM tok
+        ),
+        g AS (SELECT doc_id, unnest(grams) AS gram FROM pd),
+        firsts AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+        ),
+        novel AS (
+            SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+            FROM firsts GROUP BY first_doc
+        )
+        SELECT pd.doc_id, CAST(len(pd.grams) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel
+        FROM pd LEFT JOIN novel USING (doc_id)
+    """
+    # decayed_counts: same integer age buckets, same exact scaled-
+    # integer numerator, ONE float division at the end in both engines.
+    hl, mx = DECAY_HALFLIFE_BUCKETS, DECAY_MAX_AGE
+    _ORACLE_SQL["decayed_counts"] = f"""
+        WITH a AS (SELECT MAX(ts) AS m FROM events),
+        b AS (
+            SELECT event_type,
+                   LEAST(CAST(DATE_DIFF('microseconds', ts, a.m)
+                         // {DECAY_BUCKET_US} // {hl} AS BIGINT), {mx})
+                   AS age
+            FROM events CROSS JOIN a
+        ),
+        per AS (SELECT event_type, age, COUNT(*) AS c FROM b GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(SUM(c * (1::BIGINT << ({mx} - age))) AS BIGINT)
+                   AS decay_num,
+               ROUND(SUM(c * (1::BIGINT << ({mx} - age)))
+                     / {float(2 ** mx)}, 6) AS decayed_count
+        FROM per GROUP BY event_type
+    """
+
+
+_install_novelty_decay_oracles()

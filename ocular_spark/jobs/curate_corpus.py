@@ -110,10 +110,17 @@ def decontaminate_stage(d: DataFrame, benchmark_texts: list) -> DataFrame:
     )
 
     def shingles(col: str) -> F.Column:
+        # CASE guard, not greatest(.., 0): sequence(1, 0) is DESCENDING
+        # in Spark ([1, 0]) and slice(arr, 0, n) throws under ANSI — a
+        # sub-13-word doc would crash the stage (the chain's quality
+        # gate happens to drop them first, but the stage must stand
+        # alone; q_decontaminate uses the same guard)
         return F.expr(
-            f"array_distinct(transform("
-            f"  sequence(1, greatest(size(split({col}, ' ')) - {e.DECON_N - 1}, 0)),"
-            f"  i -> xxhash64(array_join(slice(split({col}, ' '), i, {e.DECON_N}), ' '))))"
+            f"array_distinct(CASE WHEN size(split({col}, ' ')) >= {e.DECON_N}"
+            f" THEN transform("
+            f"  sequence(1, size(split({col}, ' ')) - {e.DECON_N - 1}),"
+            f"  i -> xxhash64(array_join(slice(split({col}, ' '), i, {e.DECON_N}), ' ')))"
+            f" ELSE cast(array() as array<bigint>) END)"
         )
 
     bset = bench.select(F.explode(shingles("text")).alias("h")).distinct()
