@@ -130,6 +130,8 @@ RELATIONAL = [
     "ecdf_normalize",
     "pareto_front",
     "curate_pipeline",
+    "ngram_novelty",
+    "decayed_counts",
 ]
 
 

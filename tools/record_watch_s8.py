@@ -14,7 +14,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BENCH_OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r5_s8_103q.json")
+BENCH_OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r5_s8_105q.json")
 MAX_ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 THRESH = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
 SLEEP = 180
