@@ -6385,6 +6385,172 @@ def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- model-based quality
+
+# "trained" quality-classifier coefficients shipped as constants — the
+# fastText/classifier-filter stand-in (CCNet's LM filter, Llama's
+# quality classifiers): the model is a broadcast constant, scoring is
+# a pure projection.  Feature scaling keeps every logit in a range
+# where exp() is well-conditioned in both engines.
+QL_W0 = -3.5
+QL_W_NWORDS = 0.02   # per word, saturating via least() at 200
+QL_W_MWL = 0.35      # mean word length
+QL_W_ALPHA = 2.0     # alphabetic fraction
+QL_W_STOP = 0.25     # distinct stopword hits
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic classifier over the
+    Gopher-style signals, evaluated as ONE codegen projection with the
+    coefficient vector inlined (at scale: broadcast) — how learned
+    quality filters actually deploy, vs q_quality_filter's rule gate.
+
+    Float discipline (bm25/pmi): features are exact or 4-dp-rounded
+    rationals, the logit is assembled in ONE fixed multiply-add order,
+    and both engines evaluate the identical sigmoid double before the
+    6-dp round — exp() has agreed bit-for-bit across Spark and DuckDB
+    everywhere ln() has (bm25, pmi rows)."""
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mwl = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)) / n, 4
+    )
+    alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$"))) / n, 4
+    )
+    stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in QF_STOPWORDS]))
+    )
+    logit = (
+        F.lit(QL_W0)
+        + F.lit(QL_W_NWORDS) * F.least(n, F.lit(200))
+        + F.lit(QL_W_MWL) * mwl
+        + F.lit(QL_W_ALPHA) * alpha
+        + F.lit(QL_W_STOP) * stop
+    )
+    return d.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) >= 0.5)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# ------------------------------------------------ edit-distance verify
+
+ED_VARIANT_MOD = 50   # docs doc_id % 50 == 9 get a one-word-edited copy
+ED_MAX_DIST = 30      # accept pairs within this Levenshtein radius
+
+
+def _ed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus injected near-duplicate variants: each variant
+    copies its source with the 5th word replaced — past the 3-token
+    blocking prefix, so the pair stays in one block and the edit is a
+    single bounded substitution."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    edited = F.array_join(
+        F.concat(
+            F.slice(toks, 1, 4),
+            F.array(F.lit("EDITED")),
+            F.slice(toks, 6, F.size(toks)),
+        ),
+        " ",
+    )
+    variants = d.filter(
+        (F.col("doc_id") % ED_VARIANT_MOD == 9)
+        & (F.size(toks) >= 6)
+    ).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), edited.alias("text")
+    )
+    return d.unionByName(variants)
+
+
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate verification by EXACT edit distance on blocked
+    candidate pairs — the verify half of every candidate-generate /
+    verify dedup pipeline (the LSH rows generate; this row is the
+    expensive exact check that only ever runs on pairs): block on the
+    first-3-token prefix, self-join WITHIN blocks (a, b ordered so
+    each pair appears once), keep pairs with levenshtein <= 30.
+
+    Scale shape: the O(len^2) DP runs ONLY on blocked pairs — the
+    blocking equi-join is the single corpus shuffle and block sizes
+    are the skew to watch (a salted variant would cap them; the
+    fixture's blocks are 1-2 docs).  Both engines ship the identical
+    classical Levenshtein, so the gate pins the DISTANCES, not just
+    the pair set.  Injected variants (5th word replaced, +20M ids)
+    guarantee non-vacuous within-radius pairs; unrelated docs sharing
+    a block verify OUT."""
+    docs = _ed_docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("blk"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "blk"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "blk"
+    )
+    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_text", "b_text").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= ED_MAX_DIST)
+    )
+
+
+# ------------------------------------------------------- snapshot diff
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot diff (crawl N vs crawl N+1): classify every URL
+    as added / removed / changed / unchanged — the audit every
+    incremental-crawl ingest publishes next to its upsert.  Built on
+    the SAME _crawl_version_frames synthesis as crawl_upsert /
+    crawl_upsert_stream / scd2_history (plus a deterministic removal
+    class: doc_id % 9 == 5 drops out of crawl 1), so all four
+    lakehouse-maintenance surfaces share one fixture and cannot
+    drift.
+
+    Scale shape: digests computed at scan (bodies never move), ONE
+    full-outer hash join on doc_id, classification a pure projection.
+    The status counts every crawl report needs are a 4-row rollup of
+    this output."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    base, refetch, new = _crawl_version_frames(d)
+    snap0 = base.select("doc_id", F.col("content_digest").alias("d0"))
+    snap1_updates = refetch.unionByName(new).select(
+        "doc_id", F.col("content_digest").alias("d1")
+    )
+    # crawl 1 = crawl 0 carried forward, minus removals, plus updates
+    carried = snap0.filter(F.col("doc_id") % 9 != 5).select(
+        "doc_id", F.col("d0").alias("d1")
+    )
+    snap1 = (
+        carried.join(snap1_updates, "doc_id", "left_anti")
+        .unionByName(snap1_updates)
+    )
+    j = snap0.join(snap1, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("d0").isNull(), F.lit("added"))
+        .when(F.col("d1").isNull(), F.lit("removed"))
+        .when(F.col("d0") == F.col("d1"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        F.coalesce("d1", "d0").alias("digest"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6508,6 +6674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pipeline": q_curate_pipeline,
         "ngram_novelty": q_ngram_novelty,
         "decayed_counts": q_decayed_counts,
+        "quality_logit": q_quality_logit,
+        "editdist_verify": q_editdist_verify,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -9466,3 +9635,97 @@ def _install_novelty_decay_oracles() -> None:
 
 
 _install_novelty_decay_oracles()
+
+
+def _install_s8_batch3_oracles() -> None:
+    # quality_logit: same 4-dp features (the quality_filter shapes),
+    # same one-order multiply-add, same sigmoid double rounded at 6dp.
+    _ORACLE_SQL["quality_logit"] = f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                         w -> LEN(w))) * 1.0
+                         / LEN(STRING_SPLIT(text, ' ')), 4) AS mwl,
+                   ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                         w -> REGEXP_FULL_MATCH(w, '[a-zA-Z]+'))) * 1.0
+                         / LEN(STRING_SPLIT(text, ' ')), 4) AS alpha,
+                   LEN(LIST_DISTINCT(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                         ['the', 'a', 'of', 'to', 'and', 'in']))) AS stop
+            FROM documents
+        ),
+        lg AS (
+            SELECT doc_id,
+                   {QL_W0} + {QL_W_NWORDS} * LEAST(n_words, 200)
+                   + {QL_W_MWL} * mwl + {QL_W_ALPHA} * alpha
+                   + {QL_W_STOP} * stop AS logit
+            FROM sig
+        )
+        SELECT doc_id, ROUND(logit, 6) AS logit,
+               ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score,
+               CAST(1.0 / (1.0 + EXP(-logit)) >= 0.5 AS BIGINT) AS keep
+        FROM lg
+    """
+    # editdist_verify: identical variant synthesis, identical 3-token
+    # blocks, and the gate pins the DISTANCES — both engines run the
+    # classical Levenshtein DP.
+    _ORACLE_SQL["editdist_verify"] = f"""
+        WITH var AS (
+            SELECT doc_id + 20000000 AS doc_id,
+                   array_to_string(list_concat(list_concat(
+                       toks[1:4], ['EDITED']), toks[6:len(toks)]), ' ')
+                   AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+            WHERE doc_id % {ED_VARIANT_MOD} = 9 AND len(toks) >= 6
+        ),
+        docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM var
+        ),
+        keyed AS (
+            SELECT doc_id, text,
+                   array_to_string((string_split(text, ' '))[1:3], ' ')
+                   AS blk
+            FROM docs
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM keyed a JOIN keyed b USING (blk)
+        WHERE a.doc_id < b.doc_id
+          AND levenshtein(a.text, b.text) <= {ED_MAX_DIST}
+    """
+    # snapshot_diff: same _crawl_version_frames synthesis as the
+    # upsert/scd2 gates + the removal class; full-outer classify.
+    _ORACLE_SQL["snapshot_diff"] = """
+        WITH snap0 AS (SELECT doc_id, MD5(text) AS d0 FROM documents),
+        upd AS (
+            SELECT doc_id, MD5(text || ' v2') AS d1
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT doc_id + 100000, MD5('new:' || text)
+            FROM documents WHERE doc_id % 10 = 3
+        ),
+        carried AS (
+            SELECT doc_id, d0 AS d1 FROM snap0 WHERE doc_id % 9 <> 5
+        ),
+        snap1 AS (
+            SELECT * FROM carried
+            WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+            UNION ALL SELECT * FROM upd
+        ),
+        j AS (
+            SELECT COALESCE(snap0.doc_id, snap1.doc_id) AS doc_id, d0, d1
+            FROM snap0 FULL OUTER JOIN snap1 ON snap0.doc_id = snap1.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN d0 IS NULL THEN 'added'
+                    WHEN d1 IS NULL THEN 'removed'
+                    WHEN d0 = d1 THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(d1, d0) AS digest
+        FROM j
+    """
+
+
+_install_s8_batch3_oracles()

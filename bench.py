@@ -132,6 +132,9 @@ RELATIONAL = [
     "curate_pipeline",
     "ngram_novelty",
     "decayed_counts",
+    "quality_logit",
+    "editdist_verify",
+    "snapshot_diff",
 ]
 
 
