@@ -6551,6 +6551,62 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- stream-stream attribution
+
+_ATTRIB_STREAM_TMP_ROOT = None
+
+
+def q_attrib_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join under the driver gate
+    (9th streaming surface; streaming/jobs.py::attrib_join_stream) —
+    the one API class the other eight don't cover: TWO unbounded
+    inputs with join state buffered on both sides, bounded by the
+    event-time range condition + watermarks.  Fixture: impressions =
+    the events stream's 'view' rows, clicks = its 'click' rows; a
+    click attributes to every same-user impression at most 30 minutes
+    older.  INNER-join emission is not watermark-gated, so the
+    availableNow replay must equal the batch join's exact multiset —
+    which is precisely what the DuckDB oracle computes.  delay_us is
+    an integer difference, so the gate is timezone- and float-free."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import attrib_join_stream
+
+    global _ATTRIB_STREAM_TMP_ROOT
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    imps = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("imp_user"),
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+    if _ATTRIB_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_ATTRIB_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_attrib_stream_")
+    _ATTRIB_STREAM_TMP_ROOT = root
+    imps_dir = os.path.join(root, "imps")
+    clicks_dir = os.path.join(root, "clicks")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    imps.write.parquet(imps_dir)
+    clicks.write.parquet(clicks_dir)
+    q = attrib_join_stream(spark, imps_dir, clicks_dir, out_dir, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream-stream attribution join timed out")
+    return spark.read.parquet(out_dir).select(
+        "user_id", "imp_id", "click_id", "delay_us"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -6677,6 +6733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": q_quality_logit,
         "editdist_verify": q_editdist_verify,
         "snapshot_diff": q_snapshot_diff,
+        "attrib_join_stream": q_attrib_join_stream,
     }
 
 
@@ -9729,3 +9786,28 @@ def _install_s8_batch3_oracles() -> None:
 
 
 _install_s8_batch3_oracles()
+
+
+def _install_attrib_stream_oracle() -> None:
+    # attrib_join_stream: inner stream-stream join emission is not
+    # watermark-gated, so the availableNow replay must equal the plain
+    # batch join multiset — the oracle IS that batch join.
+    _ORACLE_SQL["attrib_join_stream"] = """
+        WITH v AS (
+            SELECT user_id, event_id AS imp_id, ts AS imp_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        k AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT user_id, imp_id, click_id,
+               CAST(DATE_DIFF('microseconds', imp_ts, click_ts) AS BIGINT)
+                   AS delay_us
+        FROM v JOIN k USING (user_id)
+        WHERE click_ts >= imp_ts
+          AND click_ts <= imp_ts + INTERVAL 30 MINUTE
+    """
+
+
+_install_attrib_stream_oracle()

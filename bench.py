@@ -135,6 +135,7 @@ RELATIONAL = [
     "quality_logit",
     "editdist_verify",
     "snapshot_diff",
+    "attrib_join_stream",
 ]
 
 
@@ -246,7 +247,7 @@ def main() -> None:
     # jitter shielding, only wall clock; run them once
     STREAMING_ONCE = {
         "extract_stream", "dedup_stream", "event_hourly_stream",
-        "event_sessions_custom",
+        "event_sessions_custom", "attrib_join_stream",
     }
 
     for name in RELATIONAL:

@@ -67,6 +67,71 @@ def transcribe_pages_stream(
     return writer.start()
 
 
+IMPS_DDL = "imp_user bigint, imp_id bigint, imp_ts timestamp"
+CLICKS_DDL = "click_user bigint, click_id bigint, click_ts timestamp"
+
+
+def attrib_join_stream(
+    spark,
+    imps_dir: str,
+    clicks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked STREAM-STREAM inner join (ad-attribution shape):
+    a click joins every impression by the same user it follows within
+    `window`.  This is the API class none of the other eight streaming
+    surfaces exercises — two unbounded inputs, join state buffered on
+    BOTH sides, the event-time range condition + watermarks bounding
+    that state (without them the join state grows forever; with them
+    Spark evicts an impression once the click watermark passes
+    imp_ts + window).  INNER join semantics: matches emit as they
+    form — the watermark bounds state, not emission — so an
+    availableNow replay emits exactly the batch join's multiset.
+
+    At scale the join state is the operator's memory story: per
+    executor it holds only impressions younger than (click watermark
+    - window) for its user-hash partitions; a mega-user hotspot is
+    the same skew the batch side salts."""
+    imps = (
+        spark.readStream.schema(IMPS_DDL)
+        .parquet(imps_dir)
+        .withWatermark("imp_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(CLICKS_DDL)
+        .parquet(clicks_dir)
+        .withWatermark("click_ts", watermark)
+    )
+    joined = imps.join(
+        clicks,
+        F.expr(
+            f"imp_user = click_user AND click_ts >= imp_ts"
+            f" AND click_ts <= imp_ts + interval {window}"
+        ),
+        "inner",
+    ).select(
+        F.col("imp_user").alias("user_id"),
+        "imp_id",
+        "click_id",
+        F.expr("timestampdiff(MICROSECOND, imp_ts, click_ts)")
+        .cast("long")
+        .alias("delay_us"),
+    )
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_stream(
     events, gap: str = "1800999999 microseconds", watermark: str = "2 hours"
 ):
