@@ -2269,6 +2269,34 @@ def q_html_main_content_nested_dom(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-layout analysis: recursive XY-cut reading order (Nagy &
+    Seth 1984) — the "PDF/layout parse" leg of the north-rule
+    extraction pipeline, next to the HTML boilerplate strip.  Each
+    selected document synthesizes a deterministic page of text-block
+    bounding boxes (4 layout classes: single column, header+2-column,
+    header+2-column+footer, and a mixed page whose tight 2x2 grid
+    exercises the no-gap leaf scan order; block ids Fisher-Yates
+    permuted so rank != id) and the NumPy kernel emits blocks in
+    reading order via mapInPandas — ZERO shuffles, per-page O(n^2
+    log n) in the page's own block count, corpus-size independent.
+
+    Oracle: frozen golden (tools/freeze_goldens.py) computed by an
+    INDEPENDENT recursive implementation of the same integer spec
+    (plain-Python lists vs the kernel's iterative NumPy stack) — a
+    genuine two-implementation gate; all-integer, so bit-reproducible
+    across engines/partitionings/retries.  Properties (column-before-
+    column, full-width separators, leaf scan order, permutation and
+    partitioning invariance) pinned by tests/test_layout.py."""
+    from ocular_spark.functions import layout as LY
+
+    d = _load_wide(spark, sf_dir, "documents")
+    pages = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return pages.mapInPandas(
+        LY.reading_order_kernel(), schema=LY.READING_ORDER_SCHEMA
+    )
+
+
 def q_strip_spans_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level main-content extraction over the INTERLEAVED table
     shape (north_rule input_hint: (doc_id, spans array<struct<kind,
@@ -6668,6 +6696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
+        "layout_reading_order": q_layout_reading_order,
         "html_main_content_nested": q_html_main_content_nested,
         "html_main_content_nested_dom": q_html_main_content_nested_dom,
         "strip_spans_html": q_strip_spans_html,

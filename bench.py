@@ -60,6 +60,7 @@ RELATIONAL = [
     "html_main_content_nested",
     "html_main_content_nested_dom",
     "strip_spans_html",
+    "layout_reading_order",
     "span_dedup",
     "extract_stream",
     "gopher_repetition",

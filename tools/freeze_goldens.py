@@ -422,6 +422,68 @@ def freeze_bpe_encode() -> Tuple[List[str], List[str], List[tuple]]:
     )
 
 
+def _xy_cut_reference(blocks):
+    """INDEPENDENT recursive implementation of the XY-cut spec in
+    ocular_spark/functions/layout.py (plain Python lists + sorted(),
+    vs the kernel's iterative NumPy stack) — the two-implementation
+    gate for layout_reading_order.  Only the page SYNTHESIS
+    (synth_page_blocks) is shared, like fixtures.py for the OCR rows;
+    the ordering algorithm is re-derived here from the spec."""
+    from ocular_spark.functions.layout import MIN_GAP
+
+    def gaps(iv):
+        iv = sorted(iv)
+        best = None  # (width, pos); topmost/leftmost on same-axis tie
+        run = iv[0][1]
+        for s, e in iv[1:]:
+            w = s - run
+            if w >= MIN_GAP and (best is None or w > best[0]):
+                best = (w, run)
+            run = max(run, e)
+        return best
+
+    def rec(its):
+        if len(its) <= 1:
+            return [b for b, _ in its]
+        gy = gaps([(b[1], b[3]) for _, b in its])
+        gx = gaps([(b[0], b[2]) for _, b in its])
+        if gy is None and gx is None:
+            return [
+                b
+                for b, _ in sorted(
+                    its, key=lambda t: (t[1][1], t[1][0], t[1][3], t[1][2], t[0])
+                )
+            ]
+        if gx is None or (gy is not None and gy[0] >= gx[0]):
+            pos = gy[1]
+            a = [t for t in its if t[1][3] <= pos]
+            b = [t for t in its if t[1][3] > pos]
+        else:
+            pos = gx[1]
+            a = [t for t in its if t[1][2] <= pos]
+            b = [t for t in its if t[1][2] > pos]
+        return rec(a) + rec(b)
+
+    return rec(list(enumerate(blocks)))
+
+
+def freeze_layout_reading_order() -> Tuple[List[str], List[str], List[tuple]]:
+    from ocular_spark.functions.layout import synth_page_blocks
+
+    documents = _documents()
+    rows = []
+    for did in sorted(int(d) for d in documents["doc_id"] if int(d) % 5 == 0):
+        blocks = synth_page_blocks(did)
+        for rank, bid in enumerate(_xy_cut_reference(blocks)):
+            x0, y0, x1, y1 = blocks[bid]
+            rows.append((did, bid, rank, x0, y0, x1, y1))
+    return (
+        ["doc_id", "block_id", "rank", "x0", "y0", "x1", "y1"],
+        ["BIGINT"] * 7,
+        rows,
+    )
+
+
 FREEZERS = {
     "transcribe_spans": freeze_transcribe_spans,
     "transcribe_spans_crop": freeze_transcribe_spans_crop,
@@ -434,6 +496,7 @@ FREEZERS = {
     "lm_perplexity": freeze_lm_perplexity,
     "bpe_train": freeze_bpe_train,
     "bpe_encode": freeze_bpe_encode,
+    "layout_reading_order": freeze_layout_reading_order,
 }
 
 
