@@ -230,6 +230,22 @@ def q_transcribe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcribe_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page decode-confidence routing (accept/review triage): the
+    Viterbi joint log-prob normalized per decoded character, routed
+    against CONFIDENCE_THRESHOLD — the QA gate between the decoder and
+    the sink (pipeline.decode_confidence docstring has the length-
+    invariance rationale).  Oracle: frozen golden computed by the
+    IN-PROCESS serial decode loop (tools/freeze_goldens.py), same
+    provenance as transcribe_spans; the fixture's two page classes
+    separate by >16 per-char units around the threshold, so the frozen
+    routes are stable under float drift."""
+    from ocular_spark.pipeline import decode_confidence
+
+    docs_df, media_df, bundle_bc, char_strs = _pipeline_frames(spark, sf_dir)
+    return decode_confidence(docs_df, media_df, bundle_bc, char_strs)
+
+
 # ------------------------------------------------- relational operators
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6697,6 +6713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "html_main_content_dom": q_html_main_content_dom,
         "layout_reading_order": q_layout_reading_order,
+        "transcribe_confidence": q_transcribe_confidence,
         "html_main_content_nested": q_html_main_content_nested,
         "html_main_content_nested_dom": q_html_main_content_nested_dom,
         "strip_spans_html": q_strip_spans_html,

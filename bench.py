@@ -61,6 +61,7 @@ RELATIONAL = [
     "html_main_content_nested_dom",
     "strip_spans_html",
     "layout_reading_order",
+    "transcribe_confidence",
     "span_dedup",
     "extract_stream",
     "gopher_repetition",

@@ -379,3 +379,69 @@ def decode_metrics(
         "doc_id", "media_ref", "offset", "n_lines", "log_prob",
         "partition_id", "decode_sec",
     )
+
+
+CONFIDENCE_THRESHOLD = -65.0  # avg per-char log-prob; see decode_confidence
+
+
+def decode_confidence(
+    docs: "DataFrame", media: "DataFrame", bundle_bc, char_strs: List[str],
+    threshold: float = CONFIDENCE_THRESHOLD,
+    num_partitions: Optional[int] = None,
+) -> "DataFrame":
+    """Per-page decode-confidence routing (doc_id, media_ref, offset,
+    n_chars, avg_lp, route): the accept/review triage every production
+    OCR/extraction pipeline puts between the decoder and the sink
+    (reference analog: the per-document joint log-prob Ocular prints
+    after each decode, DecoderEM.java:128-129 — here turned into an
+    operator).  Confidence = the Viterbi joint log-prob normalized per
+    decoded character; pages below ``threshold`` route to 'review'
+    (human QA / re-decode with a larger beam), the rest to 'accept'.
+
+    The normalization matters: raw joint log-prob scales with page
+    length, so a threshold on it would just route long pages; avg
+    per-char log-prob is length-invariant.  The fixture's two page
+    classes (clean vs word-reversed-LM mismatch) separate by >16
+    per-char log-prob units around the default threshold, so routing
+    is stable under float drift.  Same salted decode plan as
+    decode_metrics; the routing itself is one codegen projection."""
+    exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    media_spans = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "media_ref", "offset"
+    )
+    joined = media_spans.join(media, "media_ref", "inner").select(
+        "doc_id", "media_ref", "offset", "lines"
+    )
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = DECODE_PARTITION_MULTIPLIER * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    salted = joined.repartition(num_partitions, F.col("media_ref"))
+    decoded = salted.mapInPandas(
+        decode_pages_kernel(bundle_bc, char_strs), schema=DECODED_SCHEMA
+    )
+    avg_lp = F.col("log_prob") / F.nullif(F.length("text"), F.lit(0))
+    # The driver gate carries floor(avg_lp) (1-unit integer buckets),
+    # not the raw double: the joint log-prob is a large float sum
+    # whose low bits depend on the GEMM/summation environment (BLAS
+    # thread count differs between a serial driver process and the
+    # pinned-single-thread workers — observed drift ~2e-6 on this
+    # fixture, whose smallest distance to a bucket boundary is 6e-3).
+    # Full-precision avg_lp stays available to callers via the
+    # decode_metrics log_prob column.
+    return decoded.select(
+        "doc_id",
+        "media_ref",
+        "offset",
+        F.length("text").cast("long").alias("n_chars"),
+        F.floor(avg_lp).cast("long").alias("conf_bucket"),
+        F.when(avg_lp >= F.lit(threshold), F.lit("accept"))
+        .otherwise(F.lit("review"))  # null avg_lp (empty page) reviews
+        .alias("route"),
+    )

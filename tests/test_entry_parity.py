@@ -141,6 +141,7 @@ def test_every_query_has_an_oracle():
         "transcribe_spans_crop", "transcribe_metrics", "em_font_counts",
         "train_font_step", "train_font_step_cs", "lm_perplexity",
         "bpe_train", "bpe_encode", "layout_reading_order",
+        "transcribe_confidence",
     }
 
 

@@ -422,6 +422,55 @@ def freeze_bpe_encode() -> Tuple[List[str], List[str], List[tuple]]:
     )
 
 
+def freeze_transcribe_confidence() -> Tuple[List[str], List[str], List[tuple]]:
+    """Serial no-Spark loop over the SAME fixture as transcribe_spans:
+    per media page, decode -> diplomatic text -> avg per-char joint
+    log-prob -> accept/review route against CONFIDENCE_THRESHOLD.
+    Float discipline: the gate carries floor(avg_lp) integer buckets
+    (min fixture distance to a boundary 6e-3 vs ~2e-6 BLAS-environment
+    drift) and the route (margin >8 units); raw doubles never enter
+    the hash (see pipeline.decode_confidence)."""
+    from ocular_spark.fixtures import build_models, derive_docs_and_media
+    from ocular_spark.pipeline import (
+        CONFIDENCE_THRESHOLD,
+        get_decoder,
+        unpack_line,
+    )
+    from ocular_spark.transcriptions import diplomatic_text
+
+    import __spark_entry__ as entry_mod
+
+    documents = _documents()
+    docs, media = derive_docs_and_media(
+        documents, n_docs=entry_mod._N_PIPELINE_DOCS, max_pages_per_doc=2
+    )
+    bundle, char_strs = build_models(documents)
+    decoder = get_decoder(bundle)
+    media_by_ref = {r.media_ref: list(r.lines) for r in media.itertuples()}
+    rows = []
+    for r in docs.itertuples():
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            imgs = [unpack_line(raw) for raw in media_by_ref[s["media_ref"]]]
+            decodes, lp = decoder.decode_document(imgs)
+            n = len(diplomatic_text(decodes, char_strs))
+            avg = lp / n if n else None
+            bucket = math.floor(avg) if avg is not None else None
+            route = (
+                "accept" if avg is not None and avg >= CONFIDENCE_THRESHOLD
+                else "review"
+            )
+            rows.append(
+                (r.doc_id, s["media_ref"], s["offset"], n, bucket, route)
+            )
+    return (
+        ["doc_id", "media_ref", "offset", "n_chars", "conf_bucket", "route"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "BIGINT", "BIGINT", "VARCHAR"],
+        rows,
+    )
+
+
 def _xy_cut_reference(blocks):
     """INDEPENDENT recursive implementation of the XY-cut spec in
     ocular_spark/functions/layout.py (plain Python lists + sorted(),
@@ -497,6 +546,7 @@ FREEZERS = {
     "bpe_train": freeze_bpe_train,
     "bpe_encode": freeze_bpe_encode,
     "layout_reading_order": freeze_layout_reading_order,
+    "transcribe_confidence": freeze_transcribe_confidence,
 }
 
 
