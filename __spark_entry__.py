@@ -1025,6 +1025,54 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character-distribution entropy per document — the
+    classic repetitive/low-diversity quality signal (the cheap proxy
+    for the compression-ratio filters real curation pipelines run;
+    H = ln(N) - (1/N) * sum_c cnt_c * ln(cnt_c)).
+
+    SHUFFLE-FREE: the per-doc char histogram is computed INSIDE one
+    array expression (array_distinct + size(filter(...)) per distinct
+    char, O(distinct x len) JVM comparisons per doc), never exploded
+    to a (doc, char) shuffle — corpus-size-independent per-row cost.
+
+    Float discipline (the decayed_counts/bm25 construction): the
+    entropy numerator is sum(floor(cnt * ln(cnt) * 1e6)) — an
+    ORDER-FREE exact BIGINT (each term a deterministic IEEE expression
+    over exact integer counts; ln() agreed bit-for-bit cross-engine in
+    the bm25/pmi/quality_logit rows) — so the one float expression at
+    the end is assembled identically in both engines regardless of
+    aggregation order.  The oracle is an independent decomposition
+    (unnest + two GROUP BYs) of the same integer spec."""
+    d = _load_wide(spark, sf_dir, "documents")
+    chars = (
+        "case when length(text) = 0 then array() "
+        "else transform(sequence(1, length(text)), i -> substring(text, i, 1)) end"
+    )
+    staged = d.select("doc_id", F.length("text").alias("n_chars"),
+                      F.expr(chars).alias("cs"))
+    counted = staged.select(
+        "doc_id", "n_chars",
+        F.expr(
+            "transform(array_distinct(cs),"
+            " c -> size(filter(cs, x -> x = c)))"
+        ).alias("counts"),
+    )
+    return counted.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("counts").cast("long").alias("n_distinct"),
+        F.expr(
+            "case when n_chars > 0 then round("
+            "ln(cast(n_chars as double)) - "
+            "(cast(aggregate(counts, 0L, (acc, c) -> acc + "
+            "floor(cast(c as double) * ln(cast(c as double)) * 1000000D)"
+            ") as double) / 1000000D) / cast(n_chars as double), 6) "
+            "else 0.0 end"
+        ).alias("char_entropy"),
+    )
+
+
 # Gopher-style document quality gate (Rae et al. 2021 §A1.1 rules 1-4),
 # thresholds scaled to the fixture corpus (10-99 words/doc) so both
 # verdict classes occur; at 100 TB the same projection runs unchanged
@@ -6682,6 +6730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
+        "char_entropy": q_char_entropy,
         "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
         "gopher_repetition": q_gopher_repetition,
@@ -7060,6 +7109,34 @@ _ORACLE_SQL = {
                          t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
                          / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
             FROM documents
+        """,
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0
+            ),
+            cnts AS (
+                SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM ch GROUP BY doc_id, c
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_chars,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(SUM(CAST(floor(
+                           CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+                           * 1000000.0) AS BIGINT)) AS BIGINT) AS h_micro
+                FROM cnts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_chars, 0) AS n_chars,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   CASE WHEN a.n_chars > 0 THEN ROUND(
+                       ln(CAST(a.n_chars AS DOUBLE))
+                       - (CAST(a.h_micro AS DOUBLE) / 1000000.0)
+                         / CAST(a.n_chars AS DOUBLE), 6)
+                   ELSE 0.0 END AS char_entropy
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "quality_filter": """
             WITH sig AS (

@@ -39,6 +39,7 @@ RELATIONAL = [
     "minhash_bands",
     "ngram_jaccard",
     "text_stats",
+    "char_entropy",
     "quality_filter",
     "token_counts",
     "embed_neighbors",

@@ -488,3 +488,40 @@ def test_tfidf_df_side_aggregates_before_join(spark, sf_dir):
     plan = _plan(entry_mod.q_tfidf_top_terms(spark, sf_dir))
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
+
+
+def test_char_entropy_is_shuffle_free_and_law_pinned(spark, sf_dir, tmp_path):
+    """The per-doc char histogram lives inside one array expression:
+    no hash exchange, no Window.  Laws on crafted docs: uniform string
+    of k distinct chars -> ln(k); single repeated char -> 0; empty
+    text -> 0; mixed case matches a from-scratch Python entropy."""
+    import math
+
+    import pandas as pd
+
+    plan = _plan(entry_mod.q_char_entropy(spark, sf_dir))
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["abcd" * 25, "aaaa", "", "mississippi"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in entry_mod.q_char_entropy(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].n_chars == 100 and rows[0].n_distinct == 4
+    assert abs(rows[0].char_entropy - math.log(4)) < 2e-6
+    assert rows[1].char_entropy == 0.0 and rows[1].n_distinct == 1
+    assert rows[2].n_chars == 0 and rows[2].char_entropy == 0.0
+    # from-scratch reference on 'mississippi' (i:4 s:4 p:2 m:1)
+    n = 11
+    h = math.log(n) - sum(
+        c * math.log(c) for c in (4, 4, 2, 1)
+    ) / n
+    assert abs(rows[3].char_entropy - h) < 2e-6
