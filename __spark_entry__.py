@@ -1025,6 +1025,70 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spans_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span algebra: merge runs of ADJACENT text spans
+    (concatenate with '|') and re-assign dense offsets, media spans
+    untouched — the compaction every extraction pipeline runs after
+    span-level strips/filters leave fragmented text runs behind (the
+    north-rule (kind, text, media_ref, offset) invariant, here for
+    the span REWRITE class rather than pass-through).
+
+    Four adjacency classes by doc_id % 4 (text-text-media-text /
+    media-text-text-text / text-media-media-text / single text) so
+    merges, non-merges (adjacent MEDIA never merges) and singletons
+    all occur.  SHUFFLE-FREE: the merge is one aggregate() fold over
+    the spans array inside a projection — never explode-shuffle-
+    regroup.  The oracle is the classic gaps-and-islands window
+    formulation (off - ROW_NUMBER() island ids + STRING_AGG) — a
+    genuinely different decomposition of the same spec."""
+    d = _load_wide(spark, sf_dir, "documents")
+
+    def t(i):
+        return (
+            f"named_struct('kind', 'text',"
+            f" 'text', concat('p', doc_id, '.', {i}),"
+            f" 'media_ref', cast(null as string), 'offset', {i})"
+        )
+
+    def m(i):
+        return (
+            f"named_struct('kind', 'media', 'text', cast(null as string),"
+            f" 'media_ref', concat('m-', doc_id, '-', {i}), 'offset', {i})"
+        )
+
+    spans = F.expr(
+        "case cast(doc_id % 4 as int) "
+        f"when 0 then array({t(0)}, {t(1)}, {m(2)}, {t(3)}) "
+        f"when 1 then array({m(0)}, {t(1)}, {t(2)}, {t(3)}) "
+        f"when 2 then array({t(0)}, {m(1)}, {m(2)}, {t(3)}) "
+        f"else array({t(0)}) end"
+    )
+    compacted = F.expr(
+        "aggregate(spans, "
+        "cast(array() as array<struct<kind:string,text:string,media_ref:string> >), "
+        "(acc, sp) -> if(sp.kind = 'text' and size(acc) > 0 "
+        "and element_at(acc, -1).kind = 'text', "
+        "concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        "'kind', 'text', "
+        "'text', concat(element_at(acc, -1).text, '|', sp.text), "
+        "'media_ref', cast(null as string)))), "
+        "concat(acc, array(named_struct('kind', sp.kind, 'text', sp.text, "
+        "'media_ref', sp.media_ref)))))"
+    )
+    return (
+        d.select("doc_id", spans.alias("spans"))
+        .select("doc_id", compacted.alias("spans"))
+        .select("doc_id", F.posexplode("spans").alias("pos", "sp"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("offset"),
+            F.col("sp.kind").alias("kind"),
+            F.col("sp.text").alias("text"),
+            F.col("sp.media_ref").alias("media_ref"),
+        )
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character-distribution entropy per document — the
     classic repetitive/low-diversity quality signal (the cheap proxy
@@ -6731,6 +6795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "char_entropy": q_char_entropy,
+        "spans_compact": q_spans_compact,
         "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
         "gopher_repetition": q_gopher_repetition,
@@ -7109,6 +7174,54 @@ _ORACLE_SQL = {
                          t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
                          / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
             FROM documents
+        """,
+        "spans_compact": """
+            WITH synth AS (
+                SELECT doc_id,
+                       s.kind AS kind, s.text AS text,
+                       s.media_ref AS media_ref, s.off AS off
+                FROM documents, UNNEST(
+                    CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN [
+                        {'kind': 'text', 'text': 'p' || doc_id || '.0', 'media_ref': CAST(NULL AS VARCHAR), 'off': 0},
+                        {'kind': 'text', 'text': 'p' || doc_id || '.1', 'media_ref': CAST(NULL AS VARCHAR), 'off': 1},
+                        {'kind': 'media', 'text': CAST(NULL AS VARCHAR), 'media_ref': 'm-' || doc_id || '-2', 'off': 2},
+                        {'kind': 'text', 'text': 'p' || doc_id || '.3', 'media_ref': CAST(NULL AS VARCHAR), 'off': 3}]
+                    WHEN 1 THEN [
+                        {'kind': 'media', 'text': CAST(NULL AS VARCHAR), 'media_ref': 'm-' || doc_id || '-0', 'off': 0},
+                        {'kind': 'text', 'text': 'p' || doc_id || '.1', 'media_ref': CAST(NULL AS VARCHAR), 'off': 1},
+                        {'kind': 'text', 'text': 'p' || doc_id || '.2', 'media_ref': CAST(NULL AS VARCHAR), 'off': 2},
+                        {'kind': 'text', 'text': 'p' || doc_id || '.3', 'media_ref': CAST(NULL AS VARCHAR), 'off': 3}]
+                    WHEN 2 THEN [
+                        {'kind': 'text', 'text': 'p' || doc_id || '.0', 'media_ref': CAST(NULL AS VARCHAR), 'off': 0},
+                        {'kind': 'media', 'text': CAST(NULL AS VARCHAR), 'media_ref': 'm-' || doc_id || '-1', 'off': 1},
+                        {'kind': 'media', 'text': CAST(NULL AS VARCHAR), 'media_ref': 'm-' || doc_id || '-2', 'off': 2},
+                        {'kind': 'text', 'text': 'p' || doc_id || '.3', 'media_ref': CAST(NULL AS VARCHAR), 'off': 3}]
+                    ELSE [
+                        {'kind': 'text', 'text': 'p' || doc_id || '.0', 'media_ref': CAST(NULL AS VARCHAR), 'off': 0}]
+                    END) AS t(s)
+            ),
+            g AS (
+                SELECT *, CASE WHEN kind = 'text'
+                           THEN off - ROW_NUMBER() OVER (
+                               PARTITION BY doc_id, kind ORDER BY off)
+                           ELSE off + 1000 END AS grp
+                FROM synth
+            ),
+            merged AS (
+                SELECT doc_id, MIN(off) AS first_off,
+                       ANY_VALUE(kind) AS kind,
+                       CASE WHEN ANY_VALUE(kind) = 'text'
+                            THEN STRING_AGG(text, '|' ORDER BY off)
+                            ELSE CAST(NULL AS VARCHAR) END AS text,
+                       ANY_VALUE(media_ref) AS media_ref
+                FROM g GROUP BY doc_id, grp
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY first_off) - 1 AS INTEGER) AS "offset",
+                   kind, text, media_ref
+            FROM merged
         """,
         "char_entropy": """
             WITH ch AS (

@@ -61,6 +61,7 @@ RELATIONAL = [
     "html_main_content_nested",
     "html_main_content_nested_dom",
     "strip_spans_html",
+    "spans_compact",
     "layout_reading_order",
     "transcribe_confidence",
     "span_dedup",

@@ -525,3 +525,42 @@ def test_char_entropy_is_shuffle_free_and_law_pinned(spark, sf_dir, tmp_path):
         c * math.log(c) for c in (4, 4, 2, 1)
     ) / n
     assert abs(rows[3].char_entropy - h) < 2e-6
+
+
+def test_spans_compact_is_shuffle_free_and_hand_pinned(spark, sf_dir, tmp_path):
+    """The adjacent-text-span merge is one aggregate() fold inside a
+    projection (no Window, no hash exchange); hand-pinned per
+    adjacency class: text runs merge with '|', adjacent MEDIA spans
+    never merge, singletons pass through, offsets re-densify."""
+    import pandas as pd
+
+    plan = _plan(entry_mod.q_spans_compact(spark, sf_dir))
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["x"] * 4})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {}
+    for r in entry_mod.q_spans_compact(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.offset, r.kind, r.text, r.media_ref)
+        )
+    for v in got.values():
+        v.sort()
+    assert got[0] == [
+        (0, "text", "p0.0|p0.1", None),
+        (1, "media", None, "m-0-2"),
+        (2, "text", "p0.3", None),
+    ]
+    assert got[1] == [
+        (0, "media", None, "m-1-0"),
+        (1, "text", "p1.1|p1.2|p1.3", None),
+    ]
+    assert got[2] == [
+        (0, "text", "p2.0", None),
+        (1, "media", None, "m-2-1"),
+        (2, "media", None, "m-2-2"),
+        (3, "text", "p2.3", None),
+    ]
+    assert got[3] == [(0, "text", "p3.0", None)]
