@@ -2625,6 +2625,46 @@ def q_event_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUOTA_STREAM_TMP_ROOT = None
+
+
+def q_crawl_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source crawl quota (10th streaming surface,
+    streaming/jobs.py::crawl_quota_stream): each source's running
+    arrival rank is hand-managed per-key state; docs beyond
+    DOMAIN_CAP_N are suppressed (kept=0) from that point on, across
+    micro-batches and restarts.  The availableNow replay of the docs
+    table arrives in one batch, where the kernel ranks by doc_id —
+    so the emission equals the batch window ROW_NUMBER() OVER
+    (PARTITION BY source ORDER BY doc_id), which IS the DuckDB
+    oracle.  (The batch domain_cap row caps by corpus HASH order —
+    the reproducible-sample semantics; this row caps by ARRIVAL
+    order — the crawl-frontier semantics.)  The cross-restart law
+    (ranks continue from checkpointed state) is pinned by
+    tests/test_quota_stream.py."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import crawl_quota_stream
+
+    global _QUOTA_STREAM_TMP_ROOT
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "source")
+
+    if _QUOTA_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_QUOTA_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_quota_stream_")
+    _QUOTA_STREAM_TMP_ROOT = root
+    in_dir = os.path.join(root, "docs")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    d.coalesce(1).write.parquet(in_dir)
+    q = crawl_quota_stream(spark, in_dir, out_dir, ckpt, cap=DOMAIN_CAP_N)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming quota did not finish in 600s")
+    return spark.read.parquet(out_dir)
+
+
 _DEDUP_STREAM_TMP_ROOT = None
 
 
@@ -6858,6 +6898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "corpus_profile": q_corpus_profile,
         "event_sessions_custom": q_event_sessions_custom,
+        "crawl_quota_stream": q_crawl_quota_stream,
         "count_min_topk": q_count_min_topk,
         "interval_join": q_interval_join,
         "similarity_join": q_similarity_join,
@@ -8904,6 +8945,18 @@ def _install_pipeline_oracles() -> None:
                ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS p90_chars,
                ROUND(QUANTILE_CONT(n_chars, 0.99), 4) AS p99_chars
         FROM documents GROUP BY source
+    """
+    # crawl_quota_stream: the availableNow replay equals the batch
+    # arrival-order window exactly (single batch, kernel ranks by
+    # doc_id) — that batch window IS the oracle
+    _ORACLE_SQL["crawl_quota_stream"] = """
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY doc_id) AS BIGINT) AS rank,
+               CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY doc_id) <= 15 THEN 1 ELSE 0 END
+                    AS INTEGER) AS kept
+        FROM documents
     """
     # event_sessions_custom: independent gaps-and-islands + the
     # emission predicate (closed-by-event OR timeout-closed)

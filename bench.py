@@ -140,6 +140,7 @@ RELATIONAL = [
     "editdist_verify",
     "snapshot_diff",
     "attrib_join_stream",
+    "crawl_quota_stream",
 ]
 
 
@@ -251,7 +252,7 @@ def main() -> None:
     # jitter shielding, only wall clock; run them once
     STREAMING_ONCE = {
         "extract_stream", "dedup_stream", "event_hourly_stream",
-        "event_sessions_custom", "attrib_join_stream",
+        "event_sessions_custom", "attrib_join_stream", "crawl_quota_stream",
     }
 
     for name in RELATIONAL:

@@ -538,3 +538,96 @@ def sketch_merge_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------- quota
+# Streaming per-source crawl quota (10th streaming surface): the
+# politeness/contribution cap enforced AT INGEST TIME — each source's
+# running arrival rank is hand-managed state, so a source that exceeds
+# its quota is suppressed (kept=0) from that point on, across
+# micro-batches AND restarts.  The batch analog caps by corpus hash
+# order (q_domain_cap); the streaming form necessarily caps by ARRIVAL
+# order (doc_id here), which is the operational semantics of a crawl
+# frontier quota.
+#
+# API note (honest capability guard): Spark 4's
+# transformWithStateInPandas is the newest API for this operator
+# class, but its state-server protocol needs the google-protobuf
+# Python package, which is absent in this environment (the TWS driver
+# worker crashes with ImportError on google.protobuf; installs are
+# out of scope).  applyInPandasWithState expresses the same
+# per-key mutable-state semantics on the stable API, so the job uses
+# that; swapping to transformWithState is a mechanical port once
+# protobuf exists.
+
+QUOTA_IN_DDL = "doc_id long, source string"
+QUOTA_OUT_DDL = "doc_id long, source string, rank long, kept int"
+_QUOTA_STATE_DDL = "n long"
+
+
+def _quota_fn(cap: int):
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (source,) = key
+        n = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        ranks = list(range(n + 1, n + 1 + len(rows)))
+        n += len(rows)
+        state.update((int(n),))
+        yield pd.DataFrame(
+            {
+                # .to_numpy(): sort_values keeps the ORIGINAL index and
+                # the DataFrame constructor aligns Series by index —
+                # mixing the sorted column with fresh-indexed ranks
+                # would silently scramble the pairing
+                "doc_id": rows["doc_id"].to_numpy("int64"),
+                "source": source,
+                "rank": pd.Series(ranks, dtype="int64"),
+                "kept": pd.Series(
+                    [1 if r <= cap else 0 for r in ranks], dtype="int32"
+                ),
+            }
+        )
+
+    return fn
+
+
+def crawl_quota_stream(
+    spark,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cap: int,
+    available_now: bool = True,
+):
+    """Per-source arrival-rank quota over an append-only doc stream.
+
+    Emission contract (what the driver row hashes): every arriving doc
+    emits exactly once with its running per-source rank (1-based, in
+    doc_id order within a batch, batch order across batches) and
+    kept = rank <= cap.  The rank state is one BIGINT per source —
+    O(sources) state, corpus-size independent; no timeout (quota state
+    is permanent for the stream's lifetime).  Restart law pinned by
+    tests/test_quota_stream.py: ranks CONTINUE across a checkpoint
+    restart (a source at rank n before the restart hands rank n+1 to
+    its next doc after it)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.readStream.schema(QUOTA_IN_DDL).parquet(docs_dir)
+    out = docs.groupBy("source").applyInPandasWithState(
+        _quota_fn(cap),
+        outputStructType=QUOTA_OUT_DDL,
+        stateStructType=_QUOTA_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

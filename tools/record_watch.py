@@ -16,7 +16,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BENCH_OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r4.json")
+BENCH_OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r5_s9_109q.json")
 SCALE_OUT = os.path.join(REPO, "BENCH", "results.json")
 MAX_ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 THRESH = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
