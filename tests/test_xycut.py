@@ -132,3 +132,73 @@ def test_spark_path_partitioning_invariant(spark):
         )
         got = sorted(tuple(r) for r in df.collect())
         assert got == sorted(expected)
+
+
+def test_xycut_composes_with_real_line_extractor():
+    """North-rule glue: reading order over REAL extractor output — two
+    rendered text columns are laid side by side with a 60px gutter
+    (the right column shifted down 20px so a naive y-sort would
+    interleave the columns), the reference line extractor (binarize +
+    VerticalProfile EM + retrieve_baselines) runs per column region,
+    and XY-cut over the resulting line boxes must read the left
+    column fully before the right."""
+    from ocular_spark.fixtures import render_text_line
+    from ocular_spark.preprocess import (
+        BOT_DIST,
+        TOP_DIST,
+        binarize_global,
+        VerticalProfile,
+        retrieve_baselines,
+    )
+
+    def column_levels(texts, shift=0):
+        band = TOP_DIST + BOT_DIST
+        gap = 14
+        lines = [render_text_line(t) for t in texts]
+        wmax = max(l.shape[0] for l in lines) + 8
+        cols = [np.full((wmax, gap + shift), 255.0)]
+        for l in lines:
+            yi = np.minimum((np.arange(band) * 30) // band, 29)
+            up = l[:, yi]
+            blk = np.full((wmax, band), 255.0)
+            blk[4 : 4 + l.shape[0]] = np.where(up == 1, 0.0, 255.0)
+            cols.append(blk)
+            cols.append(np.full((wmax, gap), 255.0))
+        return np.concatenate(cols, axis=1)  # (width, height)
+
+    left = column_levels(["the quick", "brown fox", "jumps over", "the lazy"])
+    right = column_levels(["hello", "world", "again"], shift=20)
+    h = max(left.shape[1], right.shape[1])
+
+    def pad(a):
+        out = np.full((a.shape[0], h), 255.0)
+        out[:, : a.shape[1]] = a
+        return out
+
+    left, right = pad(left), pad(right)
+    gutter = np.full((60, h), 255.0)
+    page = np.concatenate([left, gutter, right], axis=0)
+
+    def baselines(region):
+        lv = binarize_global(0.12, region.astype(np.float64))
+        profile = VerticalProfile(lv)
+        segs = profile.decode(profile.run_em(5, 100))
+        return retrieve_baselines(segs, region.shape[1])
+
+    w1 = left.shape[0]
+    boxes, labels = [], []
+    lb = baselines(page[:w1])
+    rb = baselines(page[w1 + 60 :])
+    assert len(lb) == 4 and len(rb) == 3, (len(lb), len(rb))
+    for i, b in enumerate(lb):
+        boxes.append((0, b - TOP_DIST, w1, b + BOT_DIST))
+        labels.append(("L", i))
+    for i, b in enumerate(rb):
+        boxes.append((w1 + 60, b - TOP_DIST, page.shape[0], b + BOT_DIST))
+        labels.append(("R", i))
+    order = [labels[k] for k in xy_cut_order(np.asarray(boxes, dtype=np.int64))]
+    assert order == [("L", 0), ("L", 1), ("L", 2), ("L", 3),
+                     ("R", 0), ("R", 1), ("R", 2)]
+    # the shift makes naive y-sort WRONG (columns interleave in y)
+    ysort = [labels[k] for k in np.argsort([b[1] for b in boxes], kind="stable")]
+    assert ysort != order
