@@ -1025,6 +1025,62 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit (Great-Expectations-style
+    expectation suite as ONE aggregation pass): seven rules over the
+    documents table — null checks, key uniqueness, a cross-column
+    consistency invariant (n_chars == length(text)), a length floor,
+    two enum membership rules and a format rule — each reported as
+    (rule, n_checked, n_violations, status).  The fixture makes both
+    statuses occur (min_text_len_100 and lang_latin_script fail).
+
+    100 TB shape: every rule except uniqueness is a map-side
+    SUM(CASE) folded into ONE partial-aggregated pass; uniqueness is
+    the single COUNT(DISTINCT key) (exact by contract-audit
+    requirements — the sketch alternative is the hll_distinct row).
+    The unpivot to rule rows is stack() over a 1-row frame — free."""
+    d = _load_wide(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_key"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("v_cons"),
+        F.sum(F.when(F.length("text") < 100, 1).otherwise(0)).alias("v_len"),
+        F.sum(
+            F.when(
+                ~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1
+            ).otherwise(0)
+        ).alias("v_enum"),
+        F.sum(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es"), 1).otherwise(0)
+        ).alias("v_latin"),
+        F.sum(F.when(~F.col("source").startswith("src"), 1).otherwise(0)).alias(
+            "v_src"
+        ),
+    )
+    rules = agg.selectExpr(
+        "stack(7, "
+        "'not_null_text', n, v_null, "
+        "'unique_doc_id', n, n - n_key, "
+        "'n_chars_matches_text', n, v_cons, "
+        "'min_text_len_100', n, v_len, "
+        "'lang_in_enum', n, v_enum, "
+        "'lang_latin_script', n, v_latin, "
+        "'source_prefix', n, v_src"
+        ") as (rule, n_checked, n_violations)"
+    )
+    return rules.select(
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(F.col("n_violations") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )
+
+
 def q_spans_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-span algebra: merge runs of ADJACENT text spans
     (concatenate with '|') and re-assign dense offsets, media spans
@@ -6836,6 +6892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "char_entropy": q_char_entropy,
         "spans_compact": q_spans_compact,
+        "contract_audit": q_contract_audit,
         "quality_filter": q_quality_filter,
         "token_counts": q_token_counts,
         "gopher_repetition": q_gopher_repetition,
@@ -7215,6 +7272,31 @@ _ORACLE_SQL = {
                          t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
                          / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
             FROM documents
+        """,
+        "contract_audit": """
+            WITH agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_key,
+                       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_cons,
+                       CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+                       CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
+                       CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS v_latin,
+                       CAST(SUM(CASE WHEN source NOT LIKE 'src%' THEN 1 ELSE 0 END) AS BIGINT) AS v_src
+                FROM documents
+            ),
+            rules AS (
+                SELECT 'not_null_text' AS rule, n AS n_checked, v_null AS n_violations FROM agg
+                UNION ALL SELECT 'unique_doc_id', n, n - n_key FROM agg
+                UNION ALL SELECT 'n_chars_matches_text', n, v_cons FROM agg
+                UNION ALL SELECT 'min_text_len_100', n, v_len FROM agg
+                UNION ALL SELECT 'lang_in_enum', n, v_enum FROM agg
+                UNION ALL SELECT 'lang_latin_script', n, v_latin FROM agg
+                UNION ALL SELECT 'source_prefix', n, v_src FROM agg
+            )
+            SELECT rule, n_checked, n_violations,
+                   CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+            FROM rules
         """,
         "spans_compact": """
             WITH synth AS (

@@ -95,6 +95,7 @@ RELATIONAL = [
     "event_hourly_stream",
     "domain_cap",
     "corpus_profile",
+    "contract_audit",
     "event_sessions_custom",
     "events_asof",
     "text_normalize",

@@ -564,3 +564,37 @@ def test_spans_compact_is_shuffle_free_and_hand_pinned(spark, sf_dir, tmp_path):
         (3, "text", "p2.3", None),
     ]
     assert got[3] == [(0, "text", "p3.0", None)]
+
+
+def test_contract_audit_catches_injected_violations(spark, tmp_path):
+    """Every rule fires on a crafted corpus with one violation each:
+    a NULL text, a duplicate doc_id, an inconsistent n_chars, a short
+    text, an off-enum lang, a non-latin lang and a bad source."""
+    import pandas as pd
+
+    long_txt = "x" * 120
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 2, 3, 4, 5, 6],
+            "text": [long_txt, long_txt, long_txt, None, "short",
+                     long_txt, long_txt],
+            "lang": ["en", "de", "fr", "es", "en", "xx", "zh"],
+            "source": ["src1", "src2", "src3", "src4", "src5", "src6",
+                       "BAD7"],
+            "n_chars": [120, 120, 120, 0, 5, 999, 120],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.rule: (r.n_checked, r.n_violations, r.status)
+        for r in entry_mod.q_contract_audit(spark, str(tmp_path)).collect()
+    }
+    assert rows["not_null_text"] == (7, 1, "fail")
+    assert rows["unique_doc_id"] == (7, 1, "fail")
+    # NULL text: n_chars <> length(NULL) is NULL -> not counted (the
+    # null rule owns that row); the 999 row is the one inconsistency
+    assert rows["n_chars_matches_text"] == (7, 1, "fail")
+    assert rows["min_text_len_100"] == (7, 1, "fail")  # NULL not counted
+    assert rows["lang_in_enum"] == (7, 1, "fail")      # xx
+    assert rows["lang_latin_script"] == (7, 2, "fail")  # xx + zh
+    assert rows["source_prefix"] == (7, 1, "fail")
