@@ -2287,6 +2287,35 @@ def _ivf_train_codebook(
     return cb
 
 
+def q_ivf_upsert(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
+    """Incremental ANN index maintenance: a NEW embedding batch is
+    upserted into the EXISTING IVF index by map-side assignment to the
+    FROZEN codebook — no retraining, no shuffle, no join (the serving
+    reality of a 100 TB vector index: the codebook retrains on a slow
+    cadence; arriving vectors are assigned online).  The new batch is
+    a deterministic derivation of the corpus (vec_id + 100000,
+    embedding reversed — reversal preserves the unit norm and both
+    engines replay it exactly), so the assignment is fully checkable:
+    the oracle re-derives the same frozen codebook (the shared
+    _IVF_CENT_CTES Lloyd unroll) and assigns the same derived batch.
+    Reuses q_embed_ivf_topk's memoized codebook — training cost is
+    paid once per (corpus fingerprint, k), exactly like production."""
+    e = _load(spark, sf_dir, "embeddings")
+    cache_key = (_embeddings_fingerprint(sf_dir), k)
+    cb = _IVF_CB_CACHE.get(cache_key)
+    if cb is None:
+        cb = _ivf_train_codebook(spark, e, k=k)
+        _IVF_CB_CACHE[cache_key] = cb
+    new_batch = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    return new_batch.select(
+        "vec_id",
+        _ivf_assign_col(spark, cb).alias("cluster"),
+    )
+
+
 def q_embed_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -6913,6 +6942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "ivf_upsert": q_ivf_upsert,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "html_tables": q_html_tables,
@@ -7034,6 +7064,106 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     return out
+
+
+_IVF_CENT_CTES = """
+            WITH cb0 AS (
+                SELECT CAST(vec_id AS INT) AS cent_id,
+                       CAST(embedding AS DOUBLE[]) AS cent_vec
+                FROM embeddings WHERE vec_id < 16
+            ),
+            -- 3 unrolled spherical-k-means Lloyd iterations (assign ->
+            -- per-dim ORDER-INDEPENDENT mean: exact int64 sum of
+            -- floor(val*1e9) -> L2-normalize -> ROUND 6dp), mirroring
+            -- _ivf_train_codebook bit-for-bit (no engine-dependent
+            -- float summation order anywhere)
+            s1 AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cb0 c
+            ),
+            a1 AS (
+                SELECT vec_id, emb, cent_id AS cluster FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                    FROM s1
+                ) WHERE rn = 1
+            ),
+            m1 AS (
+                SELECT cluster, pos,
+                       CAST(SUM(CAST(FLOOR(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                           / (COUNT(*) * 1000000000.0) AS m FROM (
+                    SELECT cluster, UNNEST(emb) AS val,
+                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
+                    FROM a1
+                ) GROUP BY 1, 2
+            ),
+            r1 AS (
+                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m1 GROUP BY 1
+            ),
+            cb1 AS (
+                SELECT cent_id,
+                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
+                FROM r1
+            ),
+            s2 AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cb1 c
+            ),
+            a2 AS (
+                SELECT vec_id, emb, cent_id AS cluster FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                    FROM s2
+                ) WHERE rn = 1
+            ),
+            m2 AS (
+                SELECT cluster, pos,
+                       CAST(SUM(CAST(FLOOR(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                           / (COUNT(*) * 1000000000.0) AS m FROM (
+                    SELECT cluster, UNNEST(emb) AS val,
+                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
+                    FROM a2
+                ) GROUP BY 1, 2
+            ),
+            r2 AS (
+                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m2 GROUP BY 1
+            ),
+            cb2 AS (
+                SELECT cent_id,
+                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
+                FROM r2
+            ),
+            s3 AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
+                FROM embeddings e CROSS JOIN cb2 c
+            ),
+            a3 AS (
+                SELECT vec_id, emb, cent_id AS cluster FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                    FROM s3
+                ) WHERE rn = 1
+            ),
+            m3 AS (
+                SELECT cluster, pos,
+                       CAST(SUM(CAST(FLOOR(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                           / (COUNT(*) * 1000000000.0) AS m FROM (
+                    SELECT cluster, UNNEST(emb) AS val,
+                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
+                    FROM a3
+                ) GROUP BY 1, 2
+            ),
+            r3 AS (
+                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m3 GROUP BY 1
+            ),
+            cent AS (
+                SELECT cent_id,
+                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
+                FROM r3
+            ),"""
 
 
 _ORACLE_SQL = {
@@ -8029,104 +8159,24 @@ _ORACLE_SQL = {
             GROUP BY fp
             HAVING COUNT(*) > 1
         """,
-        "embed_ivf_topk": """
-            WITH cb0 AS (
-                SELECT CAST(vec_id AS INT) AS cent_id,
-                       CAST(embedding AS DOUBLE[]) AS cent_vec
-                FROM embeddings WHERE vec_id < 16
+        "ivf_upsert": _IVF_CENT_CTES + """
+            newb AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       LIST_REVERSE(CAST(embedding AS DOUBLE[])) AS emb
+                FROM embeddings
             ),
-            -- 3 unrolled spherical-k-means Lloyd iterations (assign ->
-            -- per-dim ORDER-INDEPENDENT mean: exact int64 sum of
-            -- floor(val*1e9) -> L2-normalize -> ROUND 6dp), mirroring
-            -- _ivf_train_codebook bit-for-bit (no engine-dependent
-            -- float summation order anywhere)
-            s1 AS (
-                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
-                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
-                FROM embeddings e CROSS JOIN cb0 c
-            ),
-            a1 AS (
-                SELECT vec_id, emb, cent_id AS cluster FROM (
-                    SELECT *, ROW_NUMBER() OVER (
-                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
-                    FROM s1
-                ) WHERE rn = 1
-            ),
-            m1 AS (
-                SELECT cluster, pos,
-                       CAST(SUM(CAST(FLOOR(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
-                           / (COUNT(*) * 1000000000.0) AS m FROM (
-                    SELECT cluster, UNNEST(emb) AS val,
-                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
-                    FROM a1
-                ) GROUP BY 1, 2
-            ),
-            r1 AS (
-                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m1 GROUP BY 1
-            ),
-            cb1 AS (
-                SELECT cent_id,
-                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
-                FROM r1
-            ),
-            s2 AS (
-                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
-                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
-                FROM embeddings e CROSS JOIN cb1 c
-            ),
-            a2 AS (
-                SELECT vec_id, emb, cent_id AS cluster FROM (
-                    SELECT *, ROW_NUMBER() OVER (
-                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
-                    FROM s2
-                ) WHERE rn = 1
-            ),
-            m2 AS (
-                SELECT cluster, pos,
-                       CAST(SUM(CAST(FLOOR(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
-                           / (COUNT(*) * 1000000000.0) AS m FROM (
-                    SELECT cluster, UNNEST(emb) AS val,
-                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
-                    FROM a2
-                ) GROUP BY 1, 2
-            ),
-            r2 AS (
-                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m2 GROUP BY 1
-            ),
-            cb2 AS (
-                SELECT cent_id,
-                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
-                FROM r2
-            ),
-            s3 AS (
-                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
-                       LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
-                FROM embeddings e CROSS JOIN cb2 c
-            ),
-            a3 AS (
-                SELECT vec_id, emb, cent_id AS cluster FROM (
-                    SELECT *, ROW_NUMBER() OVER (
-                        PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
-                    FROM s3
-                ) WHERE rn = 1
-            ),
-            m3 AS (
-                SELECT cluster, pos,
-                       CAST(SUM(CAST(FLOOR(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
-                           / (COUNT(*) * 1000000000.0) AS m FROM (
-                    SELECT cluster, UNNEST(emb) AS val,
-                           UNNEST(GENERATE_SERIES(1, LEN(emb))) AS pos
-                    FROM a3
-                ) GROUP BY 1, 2
-            ),
-            r3 AS (
-                SELECT cluster AS cent_id, LIST(m ORDER BY pos) AS raw FROM m3 GROUP BY 1
-            ),
-            cent AS (
-                SELECT cent_id,
-                       LIST_TRANSFORM(raw, x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(raw, raw)), 6)) AS cent_vec
-                FROM r3
-            ),
+            ns AS (
+                SELECT n.vec_id, c.cent_id,
+                       LIST_DOT_PRODUCT(n.emb, c.cent_vec) AS cdot
+                FROM newb n CROSS JOIN cent c
+            )
+            SELECT vec_id, CAST(cent_id AS INT) AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS rn
+                FROM ns
+            ) WHERE rn = 1
+        """,
+        "embed_ivf_topk": _IVF_CENT_CTES + """
             scored AS (
                 SELECT e.vec_id, e.embedding, c.cent_id,
                        LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.cent_vec) AS cdot
