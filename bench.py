@@ -53,6 +53,7 @@ RELATIONAL = [
     "embed_neardup",
     "embed_lsh_buckets",
     "embed_ivf_topk",
+    "ivf_upsert",
     "lang_id",
     "lang_id_ngram",
     "html_tables",
