@@ -4604,6 +4604,83 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash48(d: DataFrame) -> DataFrame:
+    """48-bit SimHash fingerprints (doc_id, fp).  Wider than q_simhash's
+    16-bit demo on purpose: the Hamming join below keys on 12-bit
+    blocks, and block-key cardinality (4096 per block position) is
+    what keeps the candidate self-join's per-key groups small at
+    corpus scale — 4-bit blocks would collapse to 16 join keys and
+    quadratic buckets.  h = conv of 12 md5 hex chars < 2^48: exact in
+    BIGINT and replayable bit-for-bit by the DuckDB oracle."""
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+    )
+    votes = (
+        toks.select(
+            "doc_id", "h", F.explode(F.expr("sequence(0, 47)")).alias("b")
+        )
+        .withColumn(
+            "vote",
+            F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("fp")
+    )
+
+
+def q_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within SimHash Hamming distance <= 3 WITHOUT
+    an all-pairs comparison — the block-permutation (pigeonhole)
+    candidate scheme of Manku, Jain & Das Sarma (WWW 2007): split the
+    48-bit fingerprint into 4 blocks of 12 bits; any pair differing in
+    <= 3 bits differs in at most 3 blocks, so it agrees EXACTLY on at
+    least one block.  Candidates = equi-self-join on (block position,
+    block value) — a hash join Catalyst shuffles on a 14-bit composite
+    key; verify = bit_count(fp_a ^ fp_b) on the candidates only.
+    Complements `simhash` (exact-fingerprint buckets = distance 0):
+    this surfaces the distance 1..3 near-misses a single-bucket
+    groupBy cannot see.  At 100 TB the known hot spot is a popular
+    block value (e.g. boilerplate-heavy shards voting the same bits):
+    per-key candidate cost is O(n_key^2), handled in production by
+    per-key caps or an extra block split (k=3 -> 6 blocks of 8),
+    both order-preserving under the same pigeonhole argument.
+    Completeness (candidates ⊇ every true <=3 pair) and the prune
+    ratio are pinned by tests/test_simhash_join.py."""
+    fp = _simhash48(_load_wide(spark, sf_dir, "documents"))
+    blocks = fp.select(
+        "doc_id", "fp", F.explode(F.expr("sequence(0, 3)")).alias("j")
+    ).withColumn("key", F.expr("shiftright(fp, 12 * j) & 4095"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "j", "key"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "j", "key"
+    )
+    cand = (
+        a.join(b, ["j", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(fp_a ^ fp_b) AS INT)")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # Count-Min sketch geometry: small enough that the synthetic corpus's
 # ~900 distinct bigrams actually collide (the sketch's error term is
 # the thing under test), deep enough that the min across rows recovers
@@ -6933,6 +7010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "token_doc_freq": q_token_doc_freq,
         "simhash": q_simhash,
+        "simhash_hamming_join": q_simhash_hamming_join,
         "doc_fingerprint": q_doc_fingerprint,
         "em_font_counts": q_em_font_counts,
         "train_font_step": q_train_font_step,
@@ -8257,6 +8335,43 @@ _ORACLE_SQL = {
             SELECT lang, pred_lang, COUNT(*) AS n_docs
             FROM pred WHERE rn = 1
             GROUP BY lang, pred_lang
+        """,
+        "simhash_hamming_join": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(('0x' || SUBSTRING(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 12))::UBIGINT AS BIGINT) AS h
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, 47)) AS b FROM toks
+            ),
+            votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM bits GROUP BY doc_id, b
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                            AS BIGINT) AS fp
+                FROM votes GROUP BY doc_id
+            ),
+            blocks0 AS (
+                SELECT doc_id, fp, UNNEST(GENERATE_SERIES(0, 3)) AS j FROM fp
+            ),
+            blocks AS (
+                SELECT doc_id, fp, j, (fp >> (12 * j)) & 4095 AS key FROM blocks0
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.fp AS fp_a, b.fp AS fp_b
+                FROM blocks a JOIN blocks b
+                  ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(BIT_COUNT(XOR(fp_a, fp_b)) AS INT) AS hamming
+            FROM cand
+            WHERE BIT_COUNT(XOR(fp_a, fp_b)) <= 3
         """,
         "simhash": """
             WITH toks AS (

@@ -48,6 +48,7 @@ RELATIONAL = [
     "events_json",
     "token_doc_freq",
     "simhash",
+    "simhash_hamming_join",
     "doc_fingerprint",
     "embed_topk",
     "embed_neardup",
