@@ -6965,6 +6965,117 @@ def q_attrib_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ pivot / window classes
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab: per-user event-type breakdown as WIDE columns
+    (count + value sum per type) — the reshape class none of the other
+    rows cover (BI-style crosstab; also the feature-vector layout step
+    before a per-user model).  The pivot value list is EXPLICIT
+    (_EVENT_TYPES): Spark otherwise runs a separate distinct-discovery
+    job over the full table first, and an unbounded type vocabulary
+    would make the output width data-dependent — both wrong at 100 TB.
+    With the list pinned this is ONE shuffle on user_id with map-side
+    partial aggregation; sums are exact integer cents
+    (floor(value*100), the order-free construction every money row
+    uses), so the gate is float-free.  Missing (user, type) combos:
+    Spark's pivot yields NULL (empty group), the oracle's conditional
+    aggregation yields 0/NULL — both sides land on COALESCE(..., 0)
+    so absent means zero, pinned identically in both engines."""
+    e = _load(spark, sf_dir, "events")
+    piv = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(F.col(f"{t}_cents"), F.lit(0)).alias(f"{t}_cents")
+        )
+    return piv.select(*cols)
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per event, the count and value sum
+    of the SAME user's events in the trailing hour (value-based frame
+    [ts-3599s, ts] — ROWS frames can't express a time horizon when
+    event spacing is irregular).  Event times are mapped to integer
+    seconds from a fixed anchor via timestampdiff, which is timezone-
+    free on naive timestamps (the _sessionize lesson) and truncates
+    identically to DuckDB's date_diff boundary count; peers at equal
+    truncated seconds are frame-mates in BOTH engines by RANGE
+    semantics, so the result is order-independent.  Sums are integer
+    cents (order-free).  One shuffle on user_id; the frame scan is a
+    per-partition sliding two-pointer inside Spark's window exec —
+    no cross-user state, so a pathological user bounds one task, not
+    the stage (same skew posture as sessionization)."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("ts_sec"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    )
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-metadata extraction (the head-of-page complement to the
+    main-content rows): title / meta-description / canonical URL /
+    html@lang / anchor count pulled from deterministic crawl pages
+    synthesized per document (functions/html.py wrap_meta — one ||/
+    CASE string valid verbatim in both engines).  Every 5th page has
+    NO meta description, pinning cross-engine no-match semantics
+    (regexp_extract group 1 -> '' in Spark AND DuckDB).  Pure JVM
+    regex projection over the scan: no shuffle, no Python,
+    whole-stage-codegen'd — at 100 TB this runs at parquet-scan
+    speed, the map-side metadata pass every crawl pipeline starts
+    with."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_meta("text", "doc_id", "lang", "source"))
+        .alias("html")
+    )
+    cols = H.meta_cols("html", size_fn="size")
+    return wrapped.select(
+        "doc_id",
+        F.expr(cols["lang_attr"]).alias("lang_attr"),
+        F.expr(cols["title"]).alias("title"),
+        F.expr(cols["description"]).alias("description"),
+        F.expr(cols["canonical"]).alias("canonical"),
+        F.expr(cols["n_links"]).cast("long").alias("n_links"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7100,6 +7211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_verify": q_editdist_verify,
         "snapshot_diff": q_snapshot_diff,
         "attrib_join_stream": q_attrib_join_stream,
+        "event_pivot": q_event_pivot,
+        "rolling_stats": q_rolling_stats,
+        "html_metadata": q_html_metadata,
     }
 
 
@@ -9569,6 +9683,64 @@ _install_span_compaction_oracles()
 # gate's claim is exactly that incremental foreachBatch merging and
 # batch recompute agree
 _ORACLE_SQL["crawl_upsert_stream"] = _ORACLE_SQL["crawl_upsert"]
+
+
+# event_pivot oracle: conditional aggregation — the classic SQL
+# formulation of a crosstab, a genuinely different decomposition from
+# Spark's PivotFirst operator (two-formulation gate); generated from
+# the same pinned type list so the column vocabulary cannot drift
+_ORACLE_SQL["event_pivot"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"COALESCE(COUNT(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f" AS {t}_n, "
+        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN cents END), 0)"
+        f" AS {t}_cents"
+        for t in _EVENT_TYPES
+    )
+    + " FROM (SELECT user_id, event_type,"
+    "   CAST(floor(value * 100) AS BIGINT) AS cents FROM events)"
+    " GROUP BY user_id"
+)
+
+# rolling_stats oracle: the same trailing-hour RANGE frame in DuckDB's
+# window engine; date_diff('second', anchor, ts) counts boundary
+# crossings = Spark timestampdiff truncation for times after the
+# anchor, so the integer frame keys agree exactly
+_ORACLE_SQL["rolling_stats"] = """
+    SELECT event_id, user_id, ts_sec,
+           COUNT(*) OVER w AS n_1h,
+           SUM(cents) OVER w AS cents_1h
+    FROM (SELECT event_id, user_id,
+                 date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                     AS ts_sec,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _install_meta_oracle() -> None:
+    """html_metadata: page synthesis AND extraction share one ||/CASE
+    fragment string with the Spark side (functions/html.py), so the
+    fixture cannot drift between engines; only the list-length
+    spelling differs (len vs size)."""
+    from ocular_spark.functions import html as _H
+
+    wrapped = "(" + _H.wrap_meta("text", "doc_id", "lang", "source") + ")"
+    c = _H.meta_cols(wrapped, size_fn="len")
+    _ORACLE_SQL["html_metadata"] = (
+        "SELECT doc_id, "
+        + c["lang_attr"] + " AS lang_attr, "
+        + c["title"] + " AS title, "
+        + c["description"] + " AS description, "
+        + c["canonical"] + " AS canonical, CAST("
+        + c["n_links"] + " AS BIGINT) AS n_links FROM documents"
+    )
+
+
+_install_meta_oracle()
 
 
 def _install_triangle_oracle() -> None:

@@ -144,6 +144,9 @@ RELATIONAL = [
     "snapshot_diff",
     "attrib_join_stream",
     "crawl_quota_stream",
+    "event_pivot",
+    "rolling_stats",
+    "html_metadata",
 ]
 
 

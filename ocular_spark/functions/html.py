@@ -537,6 +537,71 @@ def wrap_links_duckdb(text_col: str = "text", id_col: str = "doc_id") -> str:
     return wrap_links_spark(text_col, id_col)
 
 
+# --------------------------------------------- crawl metadata fixtures
+
+# head-metadata extraction patterns: no backslashes, identical Java /
+# RE2 semantics, group(1) with '' on no-match in BOTH engines (pinned
+# by tests/test_html.py::test_meta_missing_description)
+TITLE_PAT = "<title>([^<]*)</title>"
+DESC_PAT = '<meta name="description" content="([^"]*)"'
+CANON_PAT = '<link rel="canonical" href="([^"]*)"'
+LANG_PAT = '<html lang="([^"]*)"'
+A_OPEN_PAT = "<a href"
+
+
+def wrap_meta(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> str:
+    """Deterministic crawl-page head for the metadata-extraction row:
+    html@lang, a title from the first 3 words, a meta description from
+    the first 8 words — OMITTED on every 5th doc so the no-match path
+    is exercised at corpus scale — a canonical link derived from
+    (source, doc_id), and a body whose anchor count varies by doc.
+    One string, valid verbatim in Spark SQL AND DuckDB (|| concat,
+    shared CASE syntax, first-N-words via regexp instead of engine-
+    specific list slicing)."""
+    w3 = f"regexp_extract({text_col}, '^([a-z]+ [a-z]+ [a-z]+)', 1)"
+    w8 = (
+        f"regexp_extract({text_col}, "
+        f"'^([a-z]+(?: [a-z]+){{0,7}})', 1)"
+    )
+    desc = (
+        f"CASE WHEN {id_col} % 5 = 0 THEN '' ELSE "
+        f"'<meta name=\"description\" content=\"' || {w8} || '\">' END"
+    )
+    extra_a = (
+        f"CASE WHEN {id_col} % 3 = 0 THEN "
+        f"'<a href=\"/extra/' || {id_col} || '\">extra</a>' ELSE '' END"
+    )
+    return (
+        f"'<html lang=\"' || {lang_col} || '\"><head><title>' || {w3} ||"
+        f" ' | example.com</title>' || {desc} ||"
+        f" '<link rel=\"canonical\" href=\"https://example.com/' ||"
+        f" {source_col} || '/' || {id_col} || '\">"
+        f"<meta property=\"og:type\" content=\"article\"></head><body>"
+        f"{_sql_quote(_NAV)}<p>' || {text_col} || '</p>' || {extra_a} ||"
+        f" '{_sql_quote(_FOOTER)}</body></html>'"
+    )
+
+
+def meta_cols(html_col: str, size_fn: str = "size") -> dict:
+    """Extraction expressions over a metadata page — shared by the
+    Spark projection and the DuckDB oracle (pass size_fn='len' for
+    DuckDB's list-length spelling)."""
+    return {
+        "title": f"regexp_extract({html_col}, '{TITLE_PAT}', 1)",
+        "description": f"regexp_extract({html_col}, '{DESC_PAT}', 1)",
+        "canonical": f"regexp_extract({html_col}, '{CANON_PAT}', 1)",
+        "lang_attr": f"regexp_extract({html_col}, '{LANG_PAT}', 1)",
+        "n_links": (
+            f"{size_fn}(regexp_extract_all({html_col}, '{A_OPEN_PAT}', 0))"
+        ),
+    }
+
+
 def anchors_expr(html_col: str) -> str:
     """Array of full <a>...</a> elements — Spark regexp_extract_all
     and DuckDB regexp_extract_all share this call shape for group 0."""

@@ -339,3 +339,55 @@ def test_html_tables_extraction(spark):
     # flat-only match — behavior pinned, not hidden
     doc1 = {k: v for k, v in got.items() if k[0] == 1}
     assert doc1 == {(1, 0, 0): "out|in"}
+
+
+def test_meta_missing_description(spark):
+    """The html_metadata no-match contract: every 5th page omits the
+    meta description and regexp_extract group 1 must come back ''
+    (never NULL) in BOTH engines; anchor counts follow the fixture
+    arithmetic (5 boilerplate links, +1 extra when doc_id % 3 = 0)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocular_spark.functions import html as H
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 3, 5, 7],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta iota"] * 4,
+        "lang": ["en", "de", "es", "zh"],
+        "source": ["web", "web", "news", "web"],
+    })
+    cols = H.meta_cols("html", size_fn="size")
+    sdf = (
+        spark.createDataFrame(docs)
+        .select("doc_id",
+                F.expr(H.wrap_meta("text", "doc_id", "lang", "source"))
+                .alias("html"))
+        .select("doc_id",
+                F.expr(cols["description"]).alias("description"),
+                F.expr(cols["title"]).alias("title"),
+                F.expr(cols["n_links"]).alias("n_links"))
+    )
+    got = {r.doc_id: r for r in sdf.collect()}
+    # doc 0 and 5: no description -> empty string, not NULL
+    assert got[0].description == "" and got[5].description == ""
+    assert got[3].description == (
+        "alpha beta gamma delta epsilon zeta eta theta")
+    assert got[7].title == "alpha beta gamma | example.com"
+    # 3 nav + 2 footer (+1 extra on doc_id % 3 == 0)
+    assert got[7].n_links == 5 and got[0].n_links == 6
+    assert got[3].n_links == 6
+
+    # DuckDB twin over the SAME fragment strings
+    con = duckdb.connect()
+    con.register("documents", docs)
+    dc = H.meta_cols(
+        "(" + H.wrap_meta("text", "doc_id", "lang", "source") + ")",
+        size_fn="len")
+    rows = con.execute(
+        "SELECT doc_id, " + dc["description"] + " AS description, "
+        + dc["n_links"] + " AS n_links FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert [(r[1], r[2]) for r in rows] == [
+        (got[i].description, got[i].n_links) for i in (0, 3, 5, 7)]
