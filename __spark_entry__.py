@@ -9694,8 +9694,8 @@ _ORACLE_SQL["event_pivot"] = (
     + ", ".join(
         f"COALESCE(COUNT(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
         f" AS {t}_n, "
-        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN cents END), 0)"
-        f" AS {t}_cents"
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN cents END),"
+        f" 0) AS BIGINT) AS {t}_cents"
         for t in _EVENT_TYPES
     )
     + " FROM (SELECT user_id, event_type,"
@@ -9710,7 +9710,7 @@ _ORACLE_SQL["event_pivot"] = (
 _ORACLE_SQL["rolling_stats"] = """
     SELECT event_id, user_id, ts_sec,
            COUNT(*) OVER w AS n_1h,
-           SUM(cents) OVER w AS cents_1h
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
     FROM (SELECT event_id, user_id,
                  date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
                      AS ts_sec,
