@@ -7076,6 +7076,160 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_K = 10000   # reference level (cents): the in-control mean
+_CUSUM_H = 30000   # alarm threshold (cents)
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift/changepoint detection per user (Page 1954): the
+    one-sided statistic S_i = max(0, S_{i-1} + x_i - k), alarm when
+    S_i > h.  The recursion looks inherently sequential, but it
+    LINEARIZES: with c_i the plain prefix sum of (x_i - k),
+    S_i = c_i - min(0, min_{j<=i} c_j) — so Spark computes it as two
+    stacked window passes (cumulative sum, then cumulative min) with
+    NO recursion, no UDF, no state: the trick that makes per-entity
+    drift detection a shuffle-once window job at 100 TB instead of a
+    sequential fold.  The DuckDB oracle runs the NAIVE recursion
+    itself (recursive CTE stepping rank-by-rank) — a genuinely
+    different algorithm, so the gate proves the linearization, not
+    just engine agreement; tests/test_cusum_twap.py re-proves it
+    against a plain-Python fold.  All arithmetic is integer cents."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = (
+        _load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.expr("cast(floor(value * 100) as bigint)")
+                - F.lit(_CUSUM_K)
+            ).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("c", F.sum("d").over(cum))
+        .withColumn("m", F.min("c").over(cum))
+        .withColumn("s", F.col("c") - F.least(F.col("m"), F.lit(0)))
+    )
+    alarm = F.col("s") > _CUSUM_H
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
+        F.max("s").alias("max_cusum"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("rn"))), F.lit(0)
+        ).alias("first_alarm_rn"),
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP shape: each
+    observation holds until the next one, so its weight is the gap to
+    the successor — a step-function integral, not a row mean).  The
+    last observation has no successor and integrates to zero width.
+    Emitted as an exact integer (numerator in cents*seconds,
+    denominator in seconds) so the gate is float-free; consumers
+    divide.  One shuffle on user_id; lead() + groupBy, no state."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    e = (
+        _load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+            ).alias("ts_sec"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .withColumn(
+            "dur",
+            F.coalesce(F.lead("ts_sec").over(w) - F.col("ts_sec"), F.lit(0)),
+        )
+    )
+    return e.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur")).alias("twap_num"),
+        F.sum("dur").alias("twap_dur"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+_ZM_LO = "1997-01-01"
+_ZM_HI = "1997-12-31"
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / manifest pruning planner (the Iceberg file-skipping
+    decision, north-rule storage layer): rows are laid into synthetic
+    files in INGEST order with realistic jitter (file key = shipdate
+    day + an orderkey-dependent 0-44-day offset, 60-day files — so
+    neighboring files overlap, the layout real append-only tables
+    get), per-file min/max shipdate stats are aggregated, and a fixed
+    predicate (shipdate in 1997) is planned against the STATS ONLY:
+    'skip' when the range proves no row can match, 'full' when it
+    proves every row matches (predicate evaluation elided), else
+    'scan'.  n_match (the true per-file selectivity) rides along so
+    the gate also proves the plan SOUND: skip => 0 matches, full =>
+    all rows match — pinned by tests/test_zone_map.py.  At 100 TB the
+    stats aggregation is the one-off manifest build (map-side partial
+    agg, one shuffle on file_id); planning itself reads manifests,
+    never data."""
+    li = _load(spark, sf_dir, "lineitem")
+    stats = (
+        li.withColumn(
+            "file_id",
+            F.expr(
+                "(datediff(l_shipdate, DATE '1995-01-01')"
+                " + l_orderkey % 45) div 60"
+            ),
+        )
+        .withColumn(
+            "is_match",
+            F.when(
+                (F.col("l_shipdate") >= F.lit(_ZM_LO).cast("timestamp"))
+                & (
+                    F.col("l_shipdate")
+                    <= F.lit(_ZM_HI + " 23:59:59").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("is_match").alias("n_match"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd")
+            .alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd")
+            .alias("max_ship"),
+        )
+    )
+    # ISO day strings compare lexicographically == chronologically,
+    # so the planner rule is pure string CASE logic over the manifest
+    verdict = (
+        F.when(
+            (F.col("max_ship") < _ZM_LO) | (F.col("min_ship") > _ZM_HI),
+            F.lit("skip"),
+        )
+        .when(
+            (F.col("min_ship") >= _ZM_LO) & (F.col("max_ship") <= _ZM_HI),
+            F.lit("full"),
+        )
+        .otherwise(F.lit("scan"))
+    )
+    return stats.select(
+        "file_id",
+        "n_rows",
+        "n_match",
+        "min_ship",
+        "max_ship",
+        verdict.alias("verdict"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7214,6 +7368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "rolling_stats": q_rolling_stats,
         "html_metadata": q_html_metadata,
+        "cusum_drift": q_cusum_drift,
+        "twap": q_twap,
+        "zone_map_prune": q_zone_map_prune,
     }
 
 
@@ -9718,6 +9875,86 @@ _ORACLE_SQL["rolling_stats"] = """
           FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+# cusum_drift oracle: the NAIVE sequential recursion itself — a
+# recursive CTE stepping every user forward one rank per iteration
+# (all users advance in lockstep, depth = max events/user).  Fine at
+# oracle scale; the Spark side's prefix-min linearization is the
+# scale path, and this gate proves the two agree.
+_ORACLE_SQL["cusum_drift"] = f"""
+    WITH RECURSIVE ranked AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(floor(value * 100) AS BIGINT) - {_CUSUM_K} AS d
+        FROM events
+    ), walk AS (
+        SELECT user_id, rn, GREATEST(d, 0) AS s
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn, GREATEST(w.s + r.d, 0)
+        FROM walk w JOIN ranked r
+          ON r.user_id = w.user_id AND r.rn = w.rn + 1
+    )
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN s > {_CUSUM_H} THEN 1 END) AS BIGINT)
+               AS n_alarms,
+           CAST(MAX(s) AS BIGINT) AS max_cusum,
+           CAST(COALESCE(MIN(CASE WHEN s > {_CUSUM_H} THEN rn END), 0)
+               AS INTEGER) AS first_alarm_rn
+    FROM walk GROUP BY user_id
+"""
+
+# twap oracle: same step-function integral via lead(); ordering key is
+# (truncated second, event_id) in BOTH engines, and same-second peers
+# carry zero width, so the integral is tie-order-free
+_ORACLE_SQL["twap"] = """
+    WITH obs AS (
+        SELECT user_id, event_id,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS ts_sec,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), gaps AS (
+        SELECT user_id, cents,
+               COALESCE(LEAD(ts_sec) OVER (
+                   PARTITION BY user_id ORDER BY ts_sec, event_id
+               ) - ts_sec, 0) AS dur
+        FROM obs
+    )
+    SELECT user_id,
+           CAST(SUM(cents * dur) AS BIGINT) AS twap_num,
+           CAST(SUM(dur) AS BIGINT) AS twap_dur,
+           COUNT(*) AS n_obs
+    FROM gaps GROUP BY user_id
+"""
+
+
+# zone_map_prune oracle: identical stats aggregation + CASE planner
+# (the plan rule is shared text by construction; the SOUNDNESS of the
+# rule is what tests/test_zone_map.py proves independently)
+_ORACLE_SQL["zone_map_prune"] = f"""
+    WITH stats AS (
+        SELECT (date_diff('day', DATE '1995-01-01', l_shipdate)
+                + l_orderkey % 45) // 60 AS file_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_ZM_LO}'
+                              AND l_shipdate <=
+                                  TIMESTAMP '{_ZM_HI} 23:59:59'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+               strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+        FROM lineitem GROUP BY 1
+    )
+    SELECT file_id, n_rows, n_match, min_ship, max_ship,
+           CASE WHEN max_ship < '{_ZM_LO}'
+                  OR min_ship > '{_ZM_HI}' THEN 'skip'
+                WHEN min_ship >= '{_ZM_LO}'
+                 AND max_ship <= '{_ZM_HI}' THEN 'full'
+                ELSE 'scan' END AS verdict
+    FROM stats
 """
 
 

@@ -147,6 +147,9 @@ RELATIONAL = [
     "event_pivot",
     "rolling_stats",
     "html_metadata",
+    "cusum_drift",
+    "twap",
+    "zone_map_prune",
 ]
 
 
