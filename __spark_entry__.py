@@ -7230,6 +7230,122 @@ def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERKLE_P = 1_000_000_007
+
+
+def q_merkle_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy / replica-diff digests (the Merkle leaf level a
+    lakehouse uses to find divergent key ranges without moving rows):
+    lineitem is bucketed by orderkey, each row hashed with an ENGINE-
+    AGNOSTIC polynomial over its business columns (no xxhash64 — the
+    digest must be recomputable by any system holding the data), and
+    per-bucket digests are order-free modular SUMS, so the aggregation
+    is commutative: map-side partial agg, one shuffle on bucket, and
+    two replicas compare 64 rows instead of 60 M.  Scale note: a
+    64-bit sum of P-sized terms overflows past ~9e9 rows/bucket; at
+    that scale the digest combiner re-mods per partial (treeAggregate
+    shape) — here the direct sum is exact and ANSI-safe."""
+    li = _load(spark, sf_dir, "lineitem")
+    rowhash = (
+        "pmod(l_orderkey * 2654435761 + l_linenumber * 97531"
+        f" + cast(floor(l_quantity * 100) as bigint) * 1009"
+        f" + cast(floor(l_extendedprice * 100) as bigint) * 31,"
+        f" {_MERKLE_P})"
+    )
+    return (
+        li.select(
+            F.expr("pmod(l_orderkey, 64)").alias("bucket"),
+            F.expr(rowhash).alias("h"),
+            "l_orderkey",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"pmod(sum(h), {_MERKLE_P})").alias("digest"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill imputation (last observation carried forward): a
+    deterministic subset of readings is nulled (event_id % 7 == 0 —
+    the sensor-dropout fixture) and each gap is filled with the same
+    user's most recent non-null value; leading gaps stay null and are
+    flagged.  This is the IGNORE NULLS window-frame class: one
+    last(ignorenulls) over (user, time) — no self-join, no state, one
+    shuffle; at 100 TB it's the standard telemetry-repair pass."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.expr("cast(floor(value * 100) as bigint)"),
+        ).alias("cents_raw"),
+    )
+    filled = F.last("cents_raw", ignorenulls=True).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        filled.alias("cents_filled"),
+        (F.col("cents_raw").isNull() & filled.isNotNull())
+        .alias("was_imputed"),
+    )
+
+
+_DEBOUNCE_GAP = 600  # suppression window, seconds
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / cooldown suppression per user: keep an event only if
+    >= 600 s have passed since the LAST KEPT event — the alerting /
+    notification-throttling rule.  Unlike sessionization this fold
+    does NOT linearize (each keep depends on the previous keep, not
+    the previous row), so the Spark side runs it as a vectorized
+    per-user applyInPandas fold — the honest batch shape for an
+    inherently sequential per-entity rule, parallel ACROSS users
+    (shuffle on user_id, one pass per group, memory O(group)).  The
+    oracle steps the same rule row-by-row in a recursive CTE: two
+    independent algorithms, one result.  Kept-count + the exact kept
+    set are what the gate hashes; integer seconds only."""
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # applyInPandas hands the WHOLE user group in one frame (the
+        # state-safety contract a mapInPandas batch stream lacks)
+        pdf = pdf.sort_values(["ts_sec", "event_id"])
+        keep, last = [], None
+        for eid, uid, sec in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["user_id"].to_numpy(),
+            pdf["ts_sec"].to_numpy(),
+        ):
+            if last is None or sec - last >= _DEBOUNCE_GAP:
+                last = sec
+                keep.append((int(eid), int(uid), int(sec)))
+        return pd.DataFrame(keep, columns=["event_id", "user_id", "ts_sec"])
+
+    e = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("ts_sec"),
+    )
+    return e.groupBy("user_id").applyInPandas(
+        fold, schema="event_id bigint, user_id bigint, ts_sec bigint"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7371,6 +7487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "twap": q_twap,
         "zone_map_prune": q_zone_map_prune,
+        "merkle_digest": q_merkle_digest,
+        "fill_forward": q_fill_forward,
+        "debounce_events": q_debounce_events,
     }
 
 
@@ -9955,6 +10074,75 @@ _ORACLE_SQL["zone_map_prune"] = f"""
                  AND max_ship <= '{_ZM_HI}' THEN 'full'
                 ELSE 'scan' END AS verdict
     FROM stats
+"""
+
+
+# merkle_digest oracle: identical polynomial (engine-agnostic by
+# design — that's the operator's whole point); all terms positive so
+# plain % == pmod; DuckDB's HUGEINT sum then one final mod
+_ORACLE_SQL["merkle_digest"] = f"""
+    WITH h AS (
+        SELECT l_orderkey % 64 AS bucket, l_orderkey,
+               (l_orderkey * 2654435761 + l_linenumber * 97531
+                + CAST(floor(l_quantity * 100) AS BIGINT) * 1009
+                + CAST(floor(l_extendedprice * 100) AS BIGINT) * 31)
+               % {_MERKLE_P} AS hh
+        FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           CAST(SUM(hh) % {_MERKLE_P} AS BIGINT) AS digest,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM h GROUP BY bucket
+"""
+
+# fill_forward oracle: DuckDB's own IGNORE NULLS frame — same class
+# of window engine feature, independent implementation
+_ORACLE_SQL["fill_forward"] = """
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 7 != 0
+                    THEN CAST(floor(value * 100) AS BIGINT) END AS cents_raw
+        FROM events
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(cents_raw IGNORE NULLS) OVER w AS cents_filled,
+           (cents_raw IS NULL
+            AND LAST_VALUE(cents_raw IGNORE NULLS) OVER w IS NOT NULL)
+               AS was_imputed
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# debounce_events oracle: the sequential rule stepped row-by-row in a
+# recursive CTE (rank order = (truncated second, event_id), matching
+# the kernel's sort EXACTLY — ranking by raw ts would diverge on
+# same-second microsecond ties)
+_ORACLE_SQL["debounce_events"] = f"""
+    WITH RECURSIVE ranked AS (
+        SELECT user_id, event_id,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS sec,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_diff('second',
+                            TIMESTAMP '2024-01-01 00:00:00', ts),
+                            event_id) AS rn
+        FROM events
+    ), walk AS (
+        SELECT user_id, event_id, sec, rn,
+               TRUE AS kept, sec AS last_kept
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.event_id, r.sec, r.rn,
+               (r.sec - w.last_kept) >= {_DEBOUNCE_GAP} AS kept,
+               CASE WHEN r.sec - w.last_kept >= {_DEBOUNCE_GAP}
+                    THEN r.sec ELSE w.last_kept END
+        FROM walk w JOIN ranked r
+          ON r.user_id = w.user_id AND r.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, CAST(sec AS BIGINT) AS ts_sec
+    FROM walk WHERE kept
 """
 
 

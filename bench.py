@@ -150,6 +150,9 @@ RELATIONAL = [
     "cusum_drift",
     "twap",
     "zone_map_prune",
+    "merkle_digest",
+    "fill_forward",
+    "debounce_events",
 ]
 
 
