@@ -6978,8 +6978,11 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_EVENT_TYPES): Spark otherwise runs a separate distinct-discovery
     job over the full table first, and an unbounded type vocabulary
     would make the output width data-dependent — both wrong at 100 TB.
-    With the list pinned this is ONE shuffle on user_id with map-side
-    partial aggregation; sums are exact integer cents
+    With the list pinned, Spark plans two exchanges — (user_id,
+    event_type) then user_id — but map-side partial aggregation
+    reduces the stream to <= |types| rows per user BEFORE the first
+    one, so the raw table moves zero times and both shuffles carry
+    only the reduced crosstab cells.  Sums are exact integer cents
     (floor(value*100), the order-free construction every money row
     uses), so the gate is float-free.  Missing (user, type) combos:
     Spark's pivot yields NULL (empty group), the oracle's conditional
@@ -7346,6 +7349,91 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (the user-journey matrix behind funnel design and
+    next-event models): lag(event_type) within (user, time) order,
+    then count per (prev, cur) pair with a synthetic '_start' state
+    for each user's first event.  One shuffle to order each user's
+    history + one tiny aggregation over |types|^2 keys — at 100 TB
+    the output is 36 rows regardless of input size, so the final agg
+    is map-side-combined to almost nothing."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return (
+        e.withColumn(
+            "prev_type",
+            F.coalesce(F.lag("event_type").over(w), F.lit("_start")),
+        )
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE / grouping-sets aggregation over orders (the OLAP
+    rollup-lattice surface the plain ROLLUP row doesn't cover): all
+    four (status × priority) marginal combinations in ONE pass —
+    Spark expands grouping sets BEFORE the shuffle so the table is
+    still read once, with partial aggregation per set.  GROUPING()
+    flags disambiguate 'subtotal' from a hypothetical NULL key, the
+    standard lattice-consumer contract; totals in exact cents."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.expr("cast(floor(o_totalprice * 100) as bigint)")
+            .alias("cents"),
+        )
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (the eval-set carve-out that
+    must keep every language represented): per lang stratum, quota =
+    max(1, n/10) docs chosen by a deterministic engine-agnostic hash
+    order (LCG over doc_id — xxhash64 would not be recomputable by
+    the oracle), so tiny strata are never starved the way a global
+    10% Bernoulli sample starves them.  One shuffle on lang; the
+    rank-within-stratum window serializes a stratum onto one task —
+    the documented skew posture shared with sessionization (a
+    pathological stratum bounds one task, not the stage)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("(doc_id * 1103515245 + 12345) % 2147483647").alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    "count(1) over (partition by lang) div 10"
+                ).cast("int"),
+            ),
+        )
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7490,6 +7578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_digest": q_merkle_digest,
         "fill_forward": q_fill_forward,
         "debounce_events": q_debounce_events,
+        "event_transitions": q_event_transitions,
+        "sales_cube": q_sales_cube,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -10143,6 +10234,46 @@ _ORACLE_SQL["debounce_events"] = f"""
     )
     SELECT event_id, user_id, CAST(sec AS BIGINT) AS ts_sec
     FROM walk WHERE kept
+"""
+
+
+_ORACLE_SQL["event_transitions"] = """
+    WITH seq AS (
+        SELECT COALESCE(LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), '_start') AS prev_type,
+               event_type AS next_type
+        FROM events
+    )
+    SELECT prev_type, next_type, COUNT(*) AS n_trans
+    FROM seq GROUP BY prev_type, next_type
+"""
+
+_ORACLE_SQL["sales_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+    FROM (SELECT o_orderstatus, o_orderpriority,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+_ORACLE_SQL["stratified_sample"] = """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 1103515245 + 12345) % 2147483647,
+                            doc_id) AS rn,
+               GREATEST(1, COUNT(*) OVER (PARTITION BY lang) // 10)
+                   AS quota
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= quota
 """
 
 

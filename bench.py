@@ -153,6 +153,9 @@ RELATIONAL = [
     "merkle_digest",
     "fill_forward",
     "debounce_events",
+    "event_transitions",
+    "sales_cube",
+    "stratified_sample",
 ]
 
 
