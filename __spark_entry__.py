@@ -7434,6 +7434,94 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (user × event_type -> type co-occurrence
+    graph, the 'users who did X also did Y' edge list): distinct the
+    bipartite edges first — THE scale move: the self-join then runs on
+    |users|·|types| rows instead of raw events, and both join sides
+    share the user_id partitioning so the join is co-located, no
+    second shuffle.  Canonical a < b ordering halves the output and
+    makes it deterministic.  Per-user join-group width is bounded by
+    |types| (5), so heavy users cannot blow up a task — the quadratic
+    blowup that kills naive projections is capped by the type
+    vocabulary, and that bound is the operator's 100 TB contract."""
+    e = (
+        _load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table for time-to-first-purchase with right
+    censoring (retention analytics in its statistically honest form —
+    users who never purchased are CENSORED at their last observed
+    event, not dropped): per user, duration = days from first event
+    to first purchase (event=1) or to last event (censored, event=0);
+    then the day-indexed table (n_risk, n_events, n_censored) where
+    n_risk counts users still under observation — total minus everyone
+    who exited strictly earlier.  All integers (day buckets, counts);
+    the survival product is a trivial post-step for consumers.  Two
+    shuffles: per-user reduce, then the tiny day-table window."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.max("sec").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("t_purchase"),
+    )
+    durs = per_user.select(
+        F.when(
+            F.col("t_purchase").isNotNull(),
+            (F.col("t_purchase") - F.col("t0")),
+        )
+        .otherwise(F.col("t_last") - F.col("t0"))
+        .alias("dur_sec"),
+        F.col("t_purchase").isNotNull().cast("int").alias("event"),
+    ).select(
+        F.expr("dur_sec div 86400").alias("day"),
+        "event",
+    )
+    day_tbl = durs.groupBy("day").agg(
+        F.sum("event").alias("n_events"),
+        F.sum(F.lit(1) - F.col("event")).alias("n_censored"),
+    )
+    # n_risk at day t = everyone exiting at day >= t: one suffix-sum
+    # window over the DAY TABLE (size = distinct days, ~hundreds), so
+    # the global unpartitioned sort is on the tiny aggregate, never
+    # the per-user data
+    w_risk = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    exited = F.col("n_events") + F.col("n_censored")
+    return day_tbl.select(
+        "day",
+        F.sum(exited).over(w_risk).alias("n_risk"),
+        "n_events",
+        "n_censored",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7581,6 +7669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "sales_cube": q_sales_cube,
         "stratified_sample": q_stratified_sample,
+        "cooccurrence_graph": q_cooccurrence_graph,
+        "survival_km": q_survival_km,
     }
 
 
@@ -10274,6 +10364,49 @@ _ORACLE_SQL["stratified_sample"] = """
     )
     SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= quota
+"""
+
+
+_ORACLE_SQL["cooccurrence_graph"] = """
+    WITH bip AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM bip a JOIN bip b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+_ORACLE_SQL["survival_km"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                             ts)) AS t0,
+               MAX(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                             ts)) AS t_last,
+               MIN(CASE WHEN event_type = 'purchase' THEN
+                   date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                             ts) END) AS t_purchase
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT (CASE WHEN t_purchase IS NOT NULL
+                     THEN t_purchase - t0 ELSE t_last - t0 END)
+               // 86400 AS day,
+               CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+                   AS event
+        FROM per_user
+    ), day_tbl AS (
+        SELECT day,
+               CAST(SUM(event) AS BIGINT) AS n_events,
+               CAST(SUM(1 - event) AS BIGINT) AS n_censored
+        FROM durs GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(n_events + n_censored) OVER (
+               ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS n_risk,
+           n_events, n_censored
+    FROM day_tbl
 """
 
 

@@ -156,6 +156,8 @@ RELATIONAL = [
     "event_transitions",
     "sales_cube",
     "stratified_sample",
+    "cooccurrence_graph",
+    "survival_km",
 ]
 
 
