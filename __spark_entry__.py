@@ -7522,6 +7522,49 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEBOUNCE_STREAM_TMP_ROOT = None
+
+
+def q_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cooldown suppression (11th streaming surface,
+    streaming/jobs.py::debounce_stream): the debounce_events rule as
+    hand-managed per-user state — ONE bigint per user (last kept
+    second).  The availableNow one-batch replay emits exactly the
+    batch fold's kept set, so this row shares the batch row's
+    recursive-CTE oracle VERBATIM: the gate's claim is precisely that
+    the streaming state machine and the batch fold implement one
+    rule.  The cross-restart law (suppression continues from
+    checkpointed state; kept rows never re-emit) is pinned by
+    tests/test_debounce_stream.py."""
+    import shutil
+    import tempfile
+
+    from ocular_spark.streaming.jobs import debounce_stream
+
+    global _DEBOUNCE_STREAM_TMP_ROOT
+    e = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("ts_sec"),
+    )
+
+    if _DEBOUNCE_STREAM_TMP_ROOT is not None:
+        shutil.rmtree(_DEBOUNCE_STREAM_TMP_ROOT, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ocular_debounce_stream_")
+    _DEBOUNCE_STREAM_TMP_ROOT = root
+    in_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    e.coalesce(1).write.parquet(in_dir)
+    q = debounce_stream(spark, in_dir, out_dir, ckpt, gap=_DEBOUNCE_GAP)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming debounce did not finish in 600s")
+    return spark.read.parquet(out_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7671,6 +7714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "cooccurrence_graph": q_cooccurrence_graph,
         "survival_km": q_survival_km,
+        "debounce_stream": q_debounce_stream,
     }
 
 
@@ -10408,6 +10452,12 @@ _ORACLE_SQL["survival_km"] = """
            n_events, n_censored
     FROM day_tbl
 """
+
+
+# streaming debounce oracle = the batch fold's oracle verbatim: the
+# gate's claim is exactly that the streaming state machine and the
+# batch applyInPandas fold implement one suppression rule
+_ORACLE_SQL["debounce_stream"] = _ORACLE_SQL["debounce_events"]
 
 
 def _install_meta_oracle() -> None:

@@ -158,6 +158,7 @@ RELATIONAL = [
     "stratified_sample",
     "cooccurrence_graph",
     "survival_km",
+    "debounce_stream",
 ]
 
 

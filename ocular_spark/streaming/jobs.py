@@ -631,3 +631,75 @@ def crawl_quota_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------ streaming debounce
+
+DEBOUNCE_IN_DDL = "event_id long, user_id long, ts_sec long"
+DEBOUNCE_OUT_DDL = "event_id long, user_id long, ts_sec long"
+_DEBOUNCE_STATE_DDL = "last_kept long"
+
+
+def _debounce_fn(gap: int):
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(["ts_sec", "event_id"])
+        keep = []
+        for eid, sec in zip(
+            rows["event_id"].to_numpy("int64"),
+            rows["ts_sec"].to_numpy("int64"),
+        ):
+            if last is None or sec - last >= gap:
+                last = int(sec)
+                keep.append((int(eid), int(user_id), int(sec)))
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(
+            keep, columns=["event_id", "user_id", "ts_sec"]
+        )
+
+    return fn
+
+
+def debounce_stream(
+    spark,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: int = 600,
+    available_now: bool = True,
+):
+    """Streaming cooldown suppression (the alert-throttling state
+    machine): keep an event iff >= ``gap`` seconds have passed since
+    the LAST KEPT event of the same user — per-user state is ONE
+    bigint (the last kept second), O(users) total, corpus-independent,
+    no timeout (the cooldown reference survives idle periods by
+    design).  The batch counterpart is the q_debounce_events
+    applyInPandas fold; an availableNow one-batch replay emits exactly
+    the batch fold's kept set, which is what the driver gate hashes
+    against the recursive-CTE oracle.  Restart law pinned by
+    tests/test_debounce_stream.py: suppression continues ACROSS a
+    checkpoint restart (an event arriving after the restart is judged
+    against the last event KEPT before it)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = spark.readStream.schema(DEBOUNCE_IN_DDL).parquet(events_dir)
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _debounce_fn(gap),
+        outputStructType=DEBOUNCE_OUT_DDL,
+        stateStructType=_DEBOUNCE_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
