@@ -7522,6 +7522,50 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user (total seconds of activity
+    when each event opens a variable-length window — the
+    utilization/uptime measure where naive SUM(length) double-counts
+    overlaps): the classic sweep — sort intervals by start, keep the
+    running max of prior ends, and each interval contributes only the
+    part past that frontier: greatest(0, end - greatest(start,
+    prev_frontier)).  Contained intervals (a long window swallowing a
+    later short one — lengths vary 60..659 s by event_id so they
+    genuinely occur) contribute exactly 0.  One shuffle on user_id,
+    one window pass, all integers; the frontier max is
+    order-insensitive over the preceding SET, so same-start ties
+    cannot change the sum."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + 60 + F.col("event_id") % 600)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w_prev),
+                                            F.col("s"))),
+    )
+    return (
+        e.withColumn("contrib", contrib)
+        .groupBy("user_id")
+        .agg(
+            F.sum("contrib").alias("covered_sec"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            (F.max("e") - F.min("s")).alias("span_sec"),
+        )
+    )
+
+
 _DEBOUNCE_STREAM_TMP_ROOT = None
 
 
@@ -7715,6 +7759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_graph": q_cooccurrence_graph,
         "survival_km": q_survival_km,
         "debounce_stream": q_debounce_stream,
+        "interval_coverage": q_interval_coverage,
     }
 
 
@@ -10458,6 +10503,51 @@ _ORACLE_SQL["survival_km"] = """
 # gate's claim is exactly that the streaming state machine and the
 # batch applyInPandas fold implement one suppression rule
 _ORACLE_SQL["debounce_stream"] = _ORACLE_SQL["debounce_events"]
+
+
+# interval_coverage oracle: gaps-and-islands — flag island starts
+# (start past the running frontier), number islands by cumulative
+# sum, MERGE each island and measure it (max(e)-min(s)), then sum.
+# A genuinely different decomposition from the Spark side's
+# per-interval frontier contributions (merge-then-measure vs
+# measure-while-sweeping): the two agree only if both handle touching,
+# overlapping AND contained intervals correctly.
+_ORACLE_SQL["interval_coverage"] = """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   AS s,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                   + 60 + event_id % 600 AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, isl, MAX(e) - MIN(s) AS len, COUNT(*) AS n
+        FROM islands GROUP BY user_id, isl
+    )
+    SELECT m.user_id,
+           CAST(SUM(m.len) AS BIGINT) AS covered_sec,
+           CAST(SUM(m.n) AS BIGINT) AS n_intervals,
+           CAST(ANY_VALUE(sp.span) AS BIGINT) AS span_sec
+    FROM merged m
+    JOIN (SELECT user_id, MAX(e) - MIN(s) AS span FROM iv
+          GROUP BY user_id) sp
+      ON m.user_id = sp.user_id
+    GROUP BY m.user_id
+"""
 
 
 def _install_meta_oracle() -> None:

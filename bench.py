@@ -159,6 +159,7 @@ RELATIONAL = [
     "cooccurrence_graph",
     "survival_km",
     "debounce_stream",
+    "interval_coverage",
 ]
 
 
