@@ -7444,23 +7444,34 @@ def q_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it deterministic.  Per-user join-group width is bounded by
     |types| (5), so heavy users cannot blow up a task — the quadratic
     blowup that kills naive projections is capped by the type
-    vocabulary, and that bound is the operator's 100 TB contract."""
-    e = (
+    vocabulary, and that bound is the operator's 100 TB contract.
+
+    Implementation: NOT a self-join.  collect_set per user (ONE
+    shuffle, partial-aggregated map-side so raw events reduce to <=
+    |types| entries per user per partition), then the pair expansion
+    runs inside an array expression on the per-user set — capped at
+    C(|types|,2) — and the pair counts aggregate over tiny keys.  Two
+    exchanges total vs the naive self-join's four (measured); the
+    DuckDB oracle IS that self-join, so the gate also crosses
+    algorithms."""
+    sets = (
         _load(spark, sf_dir, "events")
-        .select("user_id", "event_type")
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(b, "user_id")
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
     )
+    return pairs.groupBy(
+        F.col("p.type_a").alias("type_a"),
+        F.col("p.type_b").alias("type_b"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -598,3 +598,23 @@ def test_contract_audit_catches_injected_violations(spark, tmp_path):
     assert rows["lang_in_enum"] == (7, 1, "fail")      # xx
     assert rows["lang_latin_script"] == (7, 2, "fail")  # xx + zh
     assert rows["source_prefix"] == (7, 1, "fail")
+
+
+def test_cooccurrence_two_exchanges_no_join(spark, sf_dir):
+    """The bipartite projection must stay the collect_set +
+    array-expansion shape: exactly two exchanges (user_id reduce, tiny
+    pair-key agg) and NO join — the naive distinct+self-join plan
+    costs four exchanges and re-shuffles the corpus twice."""
+    plan = _plan(entry_mod.q_cooccurrence_graph(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan
+
+
+def test_merkle_and_interval_single_exchange(spark, sf_dir):
+    """merkle_digest: commutative modular sums -> one bucket exchange
+    with map-side partial agg.  interval_coverage: one user_id
+    exchange feeding both the window sweep and the final reduce."""
+    for q in (entry_mod.q_merkle_digest, entry_mod.q_interval_coverage):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("Exchange") == 1, (q.__name__, plan)
+        assert "Join" not in plan
