@@ -7249,10 +7249,14 @@ def q_merkle_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     that scale the digest combiner re-mods per partial (treeAggregate
     shape) — here the direct sum is exact and ANSI-safe."""
     li = _load(spark, sf_dir, "lineitem")
+    # keys reduce mod P BEFORE the multiply: raw orderkeys at
+    # 10^12-row scale would overflow the BIGINT product (ANSI throws);
+    # reduced, the largest term is ~2.7e18 < 2^63
     rowhash = (
-        "pmod(l_orderkey * 2654435761 + l_linenumber * 97531"
-        f" + cast(floor(l_quantity * 100) as bigint) * 1009"
-        f" + cast(floor(l_extendedprice * 100) as bigint) * 31,"
+        f"pmod((l_orderkey % {_MERKLE_P}) * 2654435761"
+        " + l_linenumber * 97531"
+        " + cast(floor(l_quantity * 100) as bigint) * 1009"
+        " + cast(floor(l_extendedprice * 100) as bigint) * 31,"
         f" {_MERKLE_P})"
     )
     return (
@@ -7412,10 +7416,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological stratum bounds one task, not the stage)."""
     from pyspark.sql.window import Window
 
+    # doc_id is reduced mod 2^31-1 BEFORE the multiply: at 10^12-doc
+    # scale the raw product would overflow BIGINT (ANSI mode throws);
+    # reduced, the product tops out near 2.4e18 < 2^63
     d = _load_wide(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.expr("(doc_id * 1103515245 + 12345) % 2147483647").alias("h"),
+        F.expr(
+            "((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"
+        ).alias("h"),
     )
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
@@ -10364,7 +10373,8 @@ _ORACLE_SQL["zone_map_prune"] = f"""
 _ORACLE_SQL["merkle_digest"] = f"""
     WITH h AS (
         SELECT l_orderkey % 64 AS bucket, l_orderkey,
-               (l_orderkey * 2654435761 + l_linenumber * 97531
+               ((l_orderkey % {_MERKLE_P}) * 2654435761
+                + l_linenumber * 97531
                 + CAST(floor(l_quantity * 100) AS BIGINT) * 1009
                 + CAST(floor(l_extendedprice * 100) AS BIGINT) * 31)
                % {_MERKLE_P} AS hh
@@ -10456,7 +10466,8 @@ _ORACLE_SQL["stratified_sample"] = """
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY (doc_id * 1103515245 + 12345) % 2147483647,
+                   ORDER BY ((doc_id % 2147483647) * 1103515245
+                             + 12345) % 2147483647,
                             doc_id) AS rn,
                GREATEST(1, COUNT(*) OVER (PARTITION BY lang) // 10)
                    AS quota
