@@ -7629,6 +7629,50 @@ def q_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+_FD_CANDIDATES = [
+    ("event_id", "user_id"),      # key FD: holds by construction
+    ("user_id", "event_type"),    # behavioral: should fail
+    ("event_type", "user_id"),    # reverse direction: should fail
+]
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY profiling (the schema-mining
+    complement to contract_audit's declared rules): for each candidate
+    det -> dep, the g3 violation measure — the minimum number of rows
+    to delete so the FD holds, computed as sum over det groups of
+    (group size - the group's plurality dep count).  Two aggregations
+    per candidate ((det,dep) counts, then det rollup), both
+    partial-aggregated; the final table is |candidates| rows.  Exact
+    integers; a holds flag for the profiler's verdict.  This is how a
+    100 TB pipeline learns candidate keys and denormalization-safe
+    columns without a catalog."""
+    e = _load(spark, sf_dir, "events")
+    parts = []
+    for det, dep in _FD_CANDIDATES:
+        pair = (
+            e.groupBy(F.col(det).alias("det"), F.col(dep).alias("dep"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        per_det = pair.groupBy("det").agg(
+            F.sum("cnt").alias("n"),
+            F.max("cnt").alias("plurality"),
+        )
+        parts.append(
+            per_det.agg(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("n").alias("n_rows"),
+                (F.sum("n") - F.sum("plurality")).alias("n_violations"),
+                (F.sum("n") == F.sum("plurality")).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7780,6 +7824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "debounce_stream": q_debounce_stream,
         "interval_coverage": q_interval_coverage,
+        "fd_audit": q_fd_audit,
     }
 
 
@@ -10570,6 +10615,24 @@ _ORACLE_SQL["interval_coverage"] = """
       ON m.user_id = sp.user_id
     GROUP BY m.user_id
 """
+
+
+# fd_audit oracle: same g3 measure per candidate, generated from the
+# same pinned candidate list so the two sides cannot drift
+_ORACLE_SQL["fd_audit"] = " UNION ALL ".join(
+    f"""
+    SELECT '{det}->{dep}' AS fd,
+           COUNT(*) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(n) - SUM(plurality) AS BIGINT) AS n_violations,
+           SUM(n) = SUM(plurality) AS holds
+    FROM (SELECT det, SUM(cnt) AS n, MAX(cnt) AS plurality
+          FROM (SELECT {det} AS det, {dep} AS dep, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2)
+          GROUP BY det)
+    """
+    for det, dep in _FD_CANDIDATES
+)
 
 
 def _install_meta_oracle() -> None:
