@@ -7673,6 +7673,308 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------------------------- AUC model evaluation
+
+AUC_NW_THRESHOLD = 30  # label rule: long-doc indicator ...
+AUC_NOISE_MOD = 7      # ... XOR a deterministic noise flip (doc_id % 7 == 3)
+
+
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per language via the Mann-Whitney rank statistic
+    — the evaluation step every learned filter (quality_logit, lang_id
+    confidence, dedup scorers) needs before its threshold ships.
+    Score = word count, label = (n_words >= 30) XOR (doc_id % 7 == 3)
+    — correlated with deterministic noise so 0.5 < AUC < 1.0 and both
+    error classes occur.
+
+    Ties handled exactly by midranks kept INTEGER: for a tie group
+    with rank_lt docs strictly below and n members, twice the average
+    rank is 2*rank_lt + n + 1 (an integer), so twice the positive
+    rank-sum R2 = sum(n_pos_v * (2*rank_lt_v + n_v + 1)) is an exact
+    BIGINT and AUC = (R2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) — one
+    float division at the very end (auc_num/auc_den ride along so the
+    gate is float-free up to that single op).
+
+    Scale shape (the ecdf_normalize move): scores are quantized, so
+    ranks come from the DOMAIN-sized distinct-value table — one
+    map-side-combined groupBy(lang, s) is the only corpus-sized stage;
+    the rank window sorts hundreds of rows, never the corpus.  The
+    oracle computes the SAME statistic through per-row RANK()/COUNT()
+    windows over the full table — a genuinely different algorithm
+    (row-wise midranks vs value-table prefix sums) that agrees only if
+    the midrank algebra is right.  tests/test_auc_ols.py re-proves
+    both against brute-force pair counting (concordant + 0.5*ties)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    y = (
+        (nw >= AUC_NW_THRESHOLD) != (F.col("doc_id") % AUC_NOISE_MOD == 3)
+    ).cast("long")
+    rows = d.select("lang", nw.cast("long").alias("s"), y.alias("y"))
+    g = rows.groupBy("lang", "s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    w = Window.partitionBy("lang").orderBy("s")
+    ranked = g.select(
+        "lang", "n", "np",
+        (F.sum("n").over(w) - F.col("n")).alias("rank_lt"),
+    )
+    per = ranked.groupBy("lang").agg(
+        F.sum("np").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("rank_lt") + F.col("n") + 1)
+        ).alias("r2"),
+    )
+    num = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return per.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "lang",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        F.round(num / den, 6).alias("auc"),
+    )
+
+
+# ------------------------------------------- closed-form OLS trend fit
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume trend: simple linear regression
+    (count = a + b*day) fitted in CLOSED FORM from the five algebraic
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the regression
+    deploy shape at 10^12 rows: no iterative solver, no driver-side
+    matrix, every statistic an order-free exact BIGINT with map-side
+    partial aggregation.  slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) and
+    intercept = (Σy·slope_den − slope_num·Σx) / (n·slope_den) ride
+    along as exact integer rationals; the two float divisions happen
+    once at the end (6 dp).
+
+    Scale shape: groupBy(event_type, day) count is the only
+    corpus-sized stage (map-side combined onto a types × days table);
+    the sufficient-statistic rollup runs over that tiny table.  The
+    driver-side MIN(ts) anchor is one O(1) scalar agg (decayed_counts
+    precedent).  tests/test_auc_ols.py cross-checks the rational
+    algebra against DuckDB's built-in REGR_SLOPE/REGR_INTERCEPT — an
+    independent (Welford-style streaming) implementation."""
+    raw = _load_wide(spark, sf_dir, "events")
+    d0 = raw.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    daily = raw.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(d0.strftime("%Y-%m-%d")).cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    s_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    s_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    i_num = F.col("sy") * s_den - s_num * F.col("sx")
+    i_den = F.col("n") * s_den
+    return s.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        s_num.cast("long").alias("slope_num"),
+        s_den.cast("long").alias("slope_den"),
+        F.round(s_num / s_den, 6).alias("slope"),
+        i_num.cast("long").alias("icept_num"),
+        i_den.cast("long").alias("icept_den"),
+        F.round(i_num / i_den, 6).alias("icept"),
+    )
+
+
+# --------------------------------------------- reciprocal-rank fusion
+
+RRF_K0 = 60    # the standard RRF damping constant (Cormack et al. 2009)
+RRF_TOPK = 20  # per-ranker candidate depth
+
+
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher, SIGIR 2009) of two independent rankers — the
+    BM25 lexical top-20 (q_bm25_topk, reused verbatim so the lists
+    cannot drift) and a quality ranker (n_chars DESC) standing in for
+    the dense/semantic leg.  score(d) = Σ_r 1/(60 + rank_r(d)) over
+    the lists containing d.
+
+    Float discipline: with at most two terms the sum is an exact
+    rational — both lists: num = 120+ra+rb, den = (60+ra)(60+rb);
+    one list: num = 1, den = 60+r — carried as BIGINTs (rrf_num,
+    rrf_den) with ONE float division at the end; the fused rank
+    orders by that same single-division double with doc_id
+    tiebreak, so the cut is deterministic in both engines.
+
+    Scale shape: each ranker is TakeOrderedAndProject over its
+    corpus-sized input (never a full sort); everything downstream —
+    rank windows, the full-outer merge, the fused ordering — runs on
+    ≤ 2k rows, corpus-size-independent.  This is how lexical+vector
+    hybrid search actually composes at serving time."""
+    from pyspark.sql.window import Window
+
+    a = q_bm25_topk(spark, sf_dir)
+    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ra = a.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("ra")
+    )
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("q")
+    )
+    wb = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    rb = (
+        d.orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .select("doc_id", F.row_number().over(wb).cast("long").alias("rb"))
+    )
+    j = ra.join(rb, "doc_id", "full_outer")
+    both = F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    num = (
+        F.when(both, F.lit(2 * RRF_K0) + F.col("ra") + F.col("rb"))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    den = (
+        F.when(
+            both, (F.lit(RRF_K0) + F.col("ra")) * (F.lit(RRF_K0) + F.col("rb"))
+        )
+        .otherwise(F.lit(RRF_K0) + F.coalesce(F.col("ra"), F.col("rb")))
+        .cast("long")
+    )
+    s = j.select(
+        "doc_id", "ra", "rb",
+        num.alias("rrf_num"), den.alias("rrf_den"),
+        F.round(num / den, 6).alias("rrf"),
+    )
+    wf = Window.orderBy(
+        F.desc(F.col("rrf_num") / F.col("rrf_den")), F.asc("doc_id")
+    )
+    return s.select(
+        "*", F.row_number().over(wf).cast("long").alias("fused_rank")
+    )
+
+
+# --------------------------------------- bottom-k (KMV) distinct sketch
+
+BK_K = 32  # sketch size
+
+# last persisted candidate DataFrame from q_bottomk_sketch — the
+# ngram_jaccard one-live-copy convention: kept cached while the caller
+# materializes the returned frame, dropped on the next invocation
+_BK_CAND_PREV = None
+
+
+def _bk_partition_bottomk(k: int):
+    """Per-partition bottom-k fold (the _gtk_partition_topk superset
+    law, ascending): any hash in the global per-type bottom-k is
+    bottom-k within its own partition a fortiori, so the union of
+    per-partition sketches is a superset of the global sketch.  Task
+    memory stays O(k × types + one Arrow batch).
+
+    The fold also CARRIES the partition's per-type row count out on
+    the first emitted row of each type (w column, 0 elsewhere): the
+    input is globally distinct, so sum(w) over all partitions is the
+    exact distinct count — the estimator's ground truth rides the
+    same single corpus pass instead of costing a second one."""
+    import numpy as np
+
+    def fn(batches):
+        state = None
+        counts: dict = {}
+        for pdf in batches:
+            for et, c in pdf["event_type"].value_counts().items():
+                counts[et] = counts.get(et, 0) + int(c)
+            cur = pdf if state is None else pd.concat(
+                [state, pdf], ignore_index=True
+            )
+            cur = cur.sort_values(["event_type", "h"])
+            state = cur.groupby("event_type", sort=False).head(k)
+        if state is not None:
+            state = state.sort_values(["event_type", "h"]).reset_index(
+                drop=True
+            )
+            w = np.zeros(len(state), dtype=np.int64)
+            first = (~state["event_type"].duplicated()).to_numpy()
+            w[first] = [
+                counts[et] for et in state.loc[first, "event_type"]
+            ]
+            state["w"] = w
+            yield state
+
+    return fn
+
+
+def q_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k / KMV distinct-value sketch per event type (Bar-Yossef
+    et al. 2002; Beyer et al. SIGMOD 2007): keep the k=32 smallest
+    52-bit md5 hashes of the distinct user set.  The sketch is
+    MERGEABLE (bottom-k of a union == bottom-k of the union of
+    sketches — the algebra that lets per-partition / per-day sketches
+    roll up without touching raw data; pinned by tests/test_auc_ols.py)
+    and yields the unbiased estimator DV ≈ (k−1)·M / h_(k) with
+    M = 2^52; when a group holds fewer than k distinct values the
+    sketch IS the exact answer.
+
+    Gate: the full sketch CONTENTS row-by-row ((event_type, pos, h)),
+    the exact distinct count, and the estimate — not just the scalar
+    (the hll_distinct convention: the exact count is the gate's
+    certificate, carried by the fold at zero extra passes).  Oracle
+    ranks with a per-type ROW_NUMBER window over all distinct hashes;
+    Spark never sorts a whole group: (1) distinct (type, h) pairs —
+    the ONLY corpus-sized shuffle, map-side combined, also collapsing
+    md5 collisions identically in both engines — (2) a mapInPandas
+    per-partition bottom-k fold (superset + count-carry laws above),
+    (3) the ≤ k × types × partitions survivor table is persisted
+    (one-live-copy scope) and feeds the final window, the k-th-hash
+    summary, and the exact-count rollup from ONE materialization."""
+    from pyspark.sql.window import Window
+
+    global _BK_CAND_PREV
+    e = _load_wide(spark, sf_dir, "events")
+    pairs = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    if _BK_CAND_PREV is not None:  # previous call's cache, now idle
+        _BK_CAND_PREV.unpersist(blocking=False)
+    cand = pairs.mapInPandas(
+        _bk_partition_bottomk(BK_K),
+        schema="event_type string, h long, w long",
+    ).persist()
+    _BK_CAND_PREV = cand
+    exact = cand.groupBy("event_type").agg(
+        F.sum("w").cast("long").alias("n_distinct")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    sk = cand.select(
+        "event_type", "h", F.row_number().over(w).cast("long").alias("pos")
+    ).filter(F.col("pos") <= BK_K)
+    summ = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_sketch") < BK_K, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float((BK_K - 1) * (1 << 52))) / F.col("kth_hash"), 6
+        )
+    )
+    return (
+        sk.join(F.broadcast(summ), "event_type")
+        .join(F.broadcast(exact), "event_type")
+        .select("event_type", "pos", "h", "n_distinct", est.alias("dv_est"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -7825,6 +8127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_stream": q_debounce_stream,
         "interval_coverage": q_interval_coverage,
         "fd_audit": q_fd_audit,
+        "auc_eval": q_auc_eval,
+        "ols_trend": q_ols_trend,
+        "rrf_fuse": q_rrf_fuse,
+        "bottomk_sketch": q_bottomk_sketch,
     }
 
 
@@ -11433,3 +11739,155 @@ def _install_attrib_stream_oracle() -> None:
 
 
 _install_attrib_stream_oracle()
+
+
+def _install_s12_oracles() -> None:
+    # auc_eval: same score/label synthesis; the statistic computed
+    # through per-row RANK()/COUNT() midrank windows (2*avg_rank =
+    # 2*rank_min + tie_count - 1) instead of Spark's distinct-value
+    # prefix sums — a two-algorithm gate on the midrank algebra.
+    _ORACLE_SQL["auc_eval"] = f"""
+        WITH scored AS (
+            SELECT lang,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS s,
+                   CAST((LEN(STRING_SPLIT(text, ' ')) >= {AUC_NW_THRESHOLD})
+                        <> (doc_id % {AUC_NOISE_MOD} = 3) AS BIGINT) AS y
+            FROM documents
+        ),
+        rk AS (
+            SELECT lang, y,
+                   2 * RANK() OVER (PARTITION BY lang ORDER BY s)
+                     + COUNT(*) OVER (PARTITION BY lang, s) - 1 AS two_avg
+            FROM scored
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+                   CAST(SUM(CASE WHEN y = 1 THEN two_avg ELSE 0 END)
+                        AS BIGINT) AS r2
+            FROM rk GROUP BY lang
+        )
+        SELECT lang, n_pos, n_neg,
+               CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+               CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+               ROUND((r2 - n_pos * (n_pos + 1)) * 1.0
+                     / (2 * n_pos * n_neg), 6) AS auc
+        FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """
+    # ols_trend: identical sufficient-statistic algebra in SQL (the
+    # rational num/den columns make the gate float-free up to the two
+    # final divisions); REGR_SLOPE cross-check lives in pytest.
+    _ORACLE_SQL["ols_trend"] = """
+        WITH a AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        daily AS (
+            SELECT event_type,
+                   CAST(DATE_DIFF('day', a.d0, CAST(ts AS DATE))
+                        AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events CROSS JOIN a GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               ROUND((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx), 6) AS slope,
+               CAST(sy * (n * sxx - sx * sx)
+                    - (n * sxy - sx * sy) * sx AS BIGINT) AS icept_num,
+               CAST(n * (n * sxx - sx * sx) AS BIGINT) AS icept_den,
+               ROUND((sy * (n * sxx - sx * sx)
+                      - (n * sxy - sx * sy) * sx) * 1.0
+                     / (n * (n * sxx - sx * sx)), 6) AS icept
+        FROM s WHERE n >= 2
+    """
+    # rrf_fuse: the BM25 leg is the bm25_topk oracle VERBATIM (list
+    # drift impossible); quality leg + fusion mirrored with explicit
+    # COALESCE over the full-outer merge.
+    _ORACLE_SQL["rrf_fuse"] = f"""
+        WITH bm AS ({_ORACLE_SQL['bm25_topk']}),
+        a AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS ra
+            FROM bm
+        ),
+        b0 AS (
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT {RRF_TOPK}
+        ),
+        b AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                       AS rb
+            FROM b0
+        ),
+        j AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ),
+        s AS (
+            SELECT doc_id, ra, rb,
+                   CAST(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                             THEN {2 * RRF_K0} + ra + rb
+                             ELSE 1 END AS BIGINT) AS rrf_num,
+                   CAST(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                             THEN ({RRF_K0} + ra) * ({RRF_K0} + rb)
+                             ELSE {RRF_K0} + COALESCE(ra, rb)
+                        END AS BIGINT) AS rrf_den
+            FROM j
+        )
+        SELECT doc_id, ra, rb, rrf_num, rrf_den,
+               ROUND(rrf_num * 1.0 / rrf_den, 6) AS rrf,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY rrf_num * 1.0 / rrf_den DESC, doc_id ASC)
+                   AS BIGINT) AS fused_rank
+        FROM s
+    """
+    # bottomk_sketch: oracle ranks ALL distinct hashes with a per-type
+    # window (the formulation Spark's partial-fold avoids); same
+    # 52-bit md5 device, same distinct-first collision collapse.
+    _ORACLE_SQL["bottomk_sketch"] = f"""
+        WITH pairs AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                        1, 13))::UBIGINT AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY h ASC) AS pos
+            FROM pairs
+        ),
+        sk AS (SELECT * FROM ranked WHERE pos <= {BK_K}),
+        summ AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                   CAST(MAX(h) AS BIGINT) AS kth_hash
+            FROM sk GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM pairs GROUP BY event_type
+        )
+        SELECT sk.event_type, CAST(sk.pos AS BIGINT) AS pos, sk.h,
+               ex.n_distinct,
+               CASE WHEN summ.n_sketch < {BK_K}
+                    THEN CAST(summ.n_sketch AS DOUBLE)
+                    ELSE ROUND({BK_K - 1} * CAST({1 << 52} AS DOUBLE)
+                               / summ.kth_hash, 6)
+               END AS dv_est
+        FROM sk JOIN summ USING (event_type) JOIN ex USING (event_type)
+    """
+
+
+_install_s12_oracles()

@@ -160,6 +160,11 @@ RELATIONAL = [
     "survival_km",
     "debounce_stream",
     "interval_coverage",
+    "fd_audit",
+    "auc_eval",
+    "ols_trend",
+    "rrf_fuse",
+    "bottomk_sketch",
 ]
 
 
