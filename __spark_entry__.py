@@ -7975,6 +7975,175 @@ def q_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- MMR result diversification
+
+MMR_M = 5          # results to select
+MMR_K = 12         # candidate pool depth (top-K by relevance)
+MMR_SCALE = 1_000_000  # component quantization (exact int64 dots)
+
+
+def _mmr_qvec(col):
+    """Quantize a float32 embedding to int64 micro-units so every dot
+    product is an exact order-free BIGINT (the embed_rproj / IVF
+    floor-quantization discipline): |comp| <= 1 -> |q| <= 1e6, 64-dim
+    dot <= 6.4e13, far below 2^63."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * MMR_SCALE).cast("long")
+    )
+
+
+def _mmr_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy MMR over one candidate group, all-integer: step 1 takes
+    max relevance; step t takes argmax of rel_i - max_{s in S}
+    dot(i, s) (lambda = 1/2 cancels into equal weights), ties broken
+    by smaller vec_id.  The pairwise-sim matrix is one int64 GEMM over
+    K rows — bounded by the candidate depth, never the corpus."""
+    import numpy as np
+
+    V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"]])
+    rel = pdf["rel"].to_numpy().astype(np.int64)
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    sims = V @ V.T  # exact int64
+    sel: list = []
+    remaining = list(range(len(ids)))
+    rows = []
+    for step in range(1, MMR_M + 1):
+        vals = rel if step == 1 else rel - sims[:, sel].max(axis=1)
+        i = min(remaining, key=lambda j: (-int(vals[j]), int(ids[j])))
+        rows.append((step, int(ids[i]), int(rel[i]), int(vals[i])))
+        sel.append(i)
+        remaining.remove(i)
+    return pd.DataFrame(
+        rows, columns=["step", "vec_id", "rel", "mmr_value"]
+    )
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the retrieval post-processor that trades relevance
+    against redundancy: from the top-K=12 cosine candidates for probe
+    vec 0, greedily select M=5 maximizing rel(i) − max_{s∈S} sim(i,s).
+
+    Everything is EXACT int64 (quantized components, integer dots), so
+    the greedy argmax chain is float-free and bit-reproducible.  The
+    oracle runs the SAME greedy as five UNROLLED SQL steps (the IVF
+    Lloyd-unroll precedent) with correlated MAX-dot subqueries — a
+    genuinely independent formulation of the selection recursion.
+
+    Scale shape: relevance scoring + top-K are corpus-sized but
+    declarative (broadcast probe, TakeOrderedAndProject); the greedy
+    runs in one applyInPandas kernel over the K-row candidate group —
+    at serving scale this parallelizes per query (groupBy(query_id)),
+    each group bounded by K, never the corpus."""
+    e = _load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _mmr_qvec(F.col("embedding")).alias("qv"))
+    probe = base.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("probe")
+    )
+    rel = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "qv",
+            F.aggregate(
+                F.zip_with("qv", "probe", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_K)
+    return cand.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: _mmr_kernel(pdf),
+        schema="step long, vec_id long, rel long, mmr_value long",
+    )
+
+
+# ------------------------------------- differentially-private release
+
+DP_SALT = "dp-release-1"  # the seeded-noise secret (deploy: rotated key)
+DP_B = 1.0                # Laplace scale = sensitivity/epsilon = 1/1
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Dwork et al. 2006):
+    per-language doc counts + Laplace(b = sensitivity/ε = 1) noise via
+    the inverse CDF −b·sgn(u−½)·ln(1−2|u−½|), with u derived from a
+    keyed hash of the cell (md5, 52 bits, shifted into the OPEN
+    interval (0,1) so ln never sees 0).  Seeded noise is the testable
+    deploy shape for DP pipelines — the release is replayable from the
+    secret, and swapping the salt for a per-release random key gives
+    the production mechanism unchanged.
+
+    Float discipline: u, u−½, 1−2|·|, ln, multiply — each step a
+    single IEEE op written identically in both engines (ln agreement
+    precedent: bm25/pmi); release rounded at 6 dp.  Scale: one
+    map-side-combined groupBy onto the domain-sized cell table, then a
+    pure projection."""
+    d = _load_wide(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("lang"), F.lit(DP_SALT))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float((1 << 52) + 2))
+    c = u - F.lit(0.5)
+    lap = -F.signum(c) * F.lit(DP_B) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    return g.select(
+        "lang",
+        F.round(F.col("n") + lap, 6).alias("n_noisy"),
+        F.lit(1.0).alias("epsilon"),
+    )
+
+
+# --------------------------------------------- training epoch shuffle
+
+EPOCH_SHARDS = 8
+
+
+def _epoch_shuffle_df(
+    spark: SparkSession, sf_dir: str, epoch: int
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws("|", F.lit(f"epoch{epoch}"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+            F.lit(EPOCH_SHARDS),
+        ).alias("shard"),
+        F.conv(F.substring(key, 9, 13), 16, 10).cast("long").alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+        "okey",
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-loader epoch permutation contract: assign every
+    doc to one of 8 output shards and give it a deterministic position
+    inside the shard — hash-keyed on (epoch, doc_id) so every epoch is
+    a DIFFERENT but fully reproducible global permutation (resume a
+    crashed epoch mid-shard, re-run it bit-identically, shard i on any
+    worker count).  This is how 10^12-doc training corpora are
+    shuffled: NO global sort — one hash exchange onto shards, then a
+    per-shard (= per-output-file) sort bounded by shard size, which is
+    corpus_size / n_shards by the hash-balance law (pinned, with the
+    permutation and epoch-decorrelation laws, by
+    tests/test_s12_batch2.py)."""
+    return _epoch_shuffle_df(spark, sf_dir, epoch=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -8131,6 +8300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "rrf_fuse": q_rrf_fuse,
         "bottomk_sketch": q_bottomk_sketch,
+        "mmr_diversify": q_mmr_diversify,
+        "dp_histogram": q_dp_histogram,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -11891,3 +12063,109 @@ def _install_s12_oracles() -> None:
 
 
 _install_s12_oracles()
+
+
+def _mmr_unrolled_sql() -> str:
+    """The MMR greedy as MMR_M unrolled SQL steps (the IVF
+    Lloyd-unroll precedent): p_t picks the argmax of rel − max-dot
+    against the running selected set s_{t-1} via a correlated
+    subquery; all arithmetic exact BIGINT."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    parts = [
+        f"""
+        WITH qv0 AS (
+            SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * {MMR_SCALE}) AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        vecs AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * {MMR_SCALE}) AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        cand AS (
+            SELECT v.vec_id, v.qv, {dot('v.qv', 'q.qv')} AS rel
+            FROM vecs v CROSS JOIN qv0 q
+            ORDER BY rel DESC, vec_id ASC LIMIT {MMR_K}
+        ),
+        p1 AS (SELECT vec_id, qv, rel, rel AS val FROM cand
+               ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        s1 AS (SELECT vec_id, qv FROM p1)"""
+    ]
+    for t in range(2, MMR_M + 1):
+        parts.append(
+            f""",
+        v{t} AS (
+            SELECT c.vec_id, c.qv, c.rel,
+                   c.rel - (SELECT MAX({dot('c.qv', 's.qv')})
+                            FROM s{t - 1} s) AS val
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM s{t - 1})
+        ),
+        p{t} AS (SELECT vec_id, qv, rel, val FROM v{t}
+                 ORDER BY val DESC, vec_id ASC LIMIT 1),
+        s{t} AS (SELECT vec_id, qv FROM s{t - 1}
+                 UNION ALL SELECT vec_id, qv FROM p{t})"""
+        )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {t} AS step, vec_id, rel, val AS mmr_value FROM p{t}"
+        for t in range(1, MMR_M + 1)
+    )
+    return "".join(parts) + "\n        " + sel
+
+
+def _install_s12_batch2_oracles() -> None:
+    _ORACLE_SQL["mmr_diversify"] = _mmr_unrolled_sql()
+    # dp_histogram: the identical keyed-hash -> open-interval uniform
+    # -> Laplace inverse CDF chain, op for op.
+    _ORACLE_SQL["dp_histogram"] = f"""
+        WITH g AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        ),
+        h AS (
+            SELECT lang, n,
+                   CAST(('0x' || substring(md5(
+                        concat_ws('|', lang, '{DP_SALT}')), 1, 13))::UBIGINT
+                        AS BIGINT) AS hv
+            FROM g
+        ),
+        u AS (
+            SELECT lang, n,
+                   (hv + 1) / {float((1 << 52) + 2)} AS u
+            FROM h
+        )
+        SELECT lang,
+               ROUND(n + (-SIGN(u - 0.5) * {DP_B}
+                          * LN(1.0 - 2.0 * ABS(u - 0.5))), 6) AS n_noisy,
+               CAST(1.0 AS DOUBLE) AS epsilon
+        FROM u
+    """
+    # epoch_shuffle: same (epoch, doc_id)-keyed md5 split into shard
+    # (first 8 hex chars) and order key (next 13); per-shard window.
+    _ORACLE_SQL["epoch_shuffle"] = f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(concat_ws('|', 'epoch1',
+                        CAST(doc_id AS VARCHAR))), 1, 8))::UBIGINT
+                        AS BIGINT) % {EPOCH_SHARDS} AS shard,
+                   CAST(('0x' || substring(md5(concat_ws('|', 'epoch1',
+                        CAST(doc_id AS VARCHAR))), 9, 13))::UBIGINT
+                        AS BIGINT) AS okey
+            FROM documents
+        )
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY okey, doc_id) AS BIGINT) AS pos,
+               doc_id, okey
+        FROM keyed
+    """
+
+
+_install_s12_batch2_oracles()

@@ -165,6 +165,9 @@ RELATIONAL = [
     "ols_trend",
     "rrf_fuse",
     "bottomk_sketch",
+    "mmr_diversify",
+    "dp_histogram",
+    "epoch_shuffle",
 ]
 
 
