@@ -8144,6 +8144,186 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _epoch_shuffle_df(spark, sf_dir, epoch=1)
 
 
+# ------------------------------- experiment assignment + SRM guard
+
+AB_EXP_SALT = "exp-holdout-1"
+# chi-square(df=1) critical value at alpha=0.05, in 1/1000 units so the
+# verdict is an exact integer cross-multiplication
+AB_CHI2_CRIT_MILLI = 3841
+
+
+def q_ab_assign_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation infrastructure: deterministic 50/50 arm
+    assignment (md5 of (user, experiment-salt) mod 2 — sticky across
+    sessions/machines, no assignment table) plus the Sample-Ratio
+    Mismatch guard per segment: with expected 50/50 and df=1 the
+    chi-square statistic COLLAPSES to (n0 − n1)² / n, an exact integer
+    rational, and the alpha=0.05 verdict is the cross-multiplication
+    1000·(n0−n1)² > 3841·n — the entire test is float-free except the
+    one reported division.  An SRM flag is the standard trigger to
+    quarantine an experiment (assignment bug, bot filtering skew).
+
+    Scale shape: distinct (segment, user) — the only corpus-sized
+    shuffle, map-side combined — then arm is a projection and the
+    counts land on a segment-sized table."""
+    e = _load_wide(spark, sf_dir, "events")
+    pairs = e.select("event_type", "user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("user_id").cast("string"),
+                                  F.lit(AB_EXP_SALT))), 1, 13
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    g = pairs.select("event_type", arm.alias("arm")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+    )
+    diff2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    n = F.col("n0") + F.col("n1")
+    return g.select(
+        "event_type", "n0", "n1",
+        diff2.cast("long").alias("srm_num"),
+        n.cast("long").alias("srm_den"),
+        F.round(diff2 / n, 6).alias("srm_chi2"),
+        (F.lit(1000) * diff2 > F.lit(AB_CHI2_CRIT_MILLI) * n)
+        .cast("long").alias("srm_flag"),
+    )
+
+
+# ------------------------------- Fellegi-Sunter record-linkage scoring
+
+# log2(m/u) agreement and log2((1-m)/(1-u)) disagreement weights for
+# the three comparison fields — "trained" model constants (the
+# quality_logit deploy shape: broadcast constants, pure projection)
+FS_W = {
+    "lang": (2.0, -1.5),
+    "source": (1.5, -1.0),
+    "len": (1.0, -0.5),
+}
+FS_LEN_BUCKET = 64   # n_chars bucket width for the length field
+FS_THRESHOLD = 2.0   # classify as match at/above this score
+
+
+def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter, JASA 1969):
+    candidate pairs from the editdist_verify 3-token blocks (blocking
+    = the linkage scale move: the O(len²) comparison space never
+    materializes, only within-block pairs), each scored by the sum of
+    per-field agreement/disagreement log-likelihood weights over
+    (lang, source, n_chars bucket).  With fixed per-field weights the
+    score is a sum of THREE constants selected by agreement bits,
+    assembled in one fixed order — the accumulation-order float class
+    is structurally absent.  The same injected near-dup variants the
+    edit-distance row verifies give true matches; unrelated docs
+    sharing a 3-token prefix give the non-match mass.
+
+    Scale shape: block keys are a projection; the self-join shuffles
+    once on the block key with per-block width bounded by the blocking
+    discipline; scoring is a pure projection."""
+    docs = _ed_docs(spark, sf_dir)
+    d = _load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # variants inherit their source row's fields (same lang/source;
+    # n_chars differs by the one-word edit — recompute from text)
+    base = docs.join(
+        d.select(F.col("doc_id").alias("src_id"), "lang", "source"),
+        F.pmod(F.col("doc_id"), F.lit(20_000_000)) == F.col("src_id"),
+    ).select(
+        "doc_id", "text", "lang", "source",
+        F.length("text").cast("long").alias("len_chars"),
+    )
+    keyed = base.select(
+        "doc_id", "lang", "source",
+        # integer division in BOTH engines (div / //) — a double-cast
+        # here would hit the CAST round-vs-truncate seam
+        F.expr(f"len_chars div {FS_LEN_BUCKET}").alias("len_b"),
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("blk"),
+    )
+    a, b = [
+        keyed.select(*[F.col(c).alias(f"{p}_{c}") for c in keyed.columns])
+        for p in ("a", "b")
+    ]
+    pairs = a.join(b, F.col("a_blk") == F.col("b_blk")).filter(
+        F.col("a_doc_id") < F.col("b_doc_id")
+    )
+    agree = {
+        "lang": (F.col("a_lang") == F.col("b_lang")),
+        "source": (F.col("a_source") == F.col("b_source")),
+        "len": (F.col("a_len_b") == F.col("b_len_b")),
+    }
+    score = None
+    for f in ("lang", "source", "len"):  # FIXED assembly order
+        t = F.when(agree[f], F.lit(FS_W[f][0])).otherwise(F.lit(FS_W[f][1]))
+        score = t if score is None else score + t
+    return pairs.select(
+        F.col("a_doc_id").alias("a_id"),
+        F.col("b_doc_id").alias("b_id"),
+        agree["lang"].cast("long").alias("agree_lang"),
+        agree["source"].cast("long").alias("agree_source"),
+        agree["len"].cast("long").alias("agree_len"),
+        F.round(score, 6).alias("score"),
+        (score >= FS_THRESHOLD).cast("long").alias("is_match"),
+    )
+
+
+# --------------------------------------- probability calibration bins
+
+CAL_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality_logit classifier against
+    the auc_eval label — calibration is the OTHER half of model
+    evaluation (AUC measures discrimination; a model can rank well
+    and still lie about probabilities).  Per decile bin of predicted
+    probability: count, positives, the exact micro-unit sum of
+    predictions (6-dp scores ×1e6 are integer-valued doubles, so the
+    BIGINT sum is exact and order-free), observed rate and mean
+    prediction with ONE division each.
+
+    Scale: rides the quality_logit projection; one map-side-combined
+    groupBy onto a 10-row table."""
+    scored = q_quality_logit(spark, sf_dir).select("doc_id", "score")
+    d = _load_wide(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    lab = d.select(
+        "doc_id",
+        ((nw >= AUC_NW_THRESHOLD) != (F.col("doc_id") % AUC_NOISE_MOD == 3))
+        .cast("long")
+        .alias("y"),
+    )
+    j = scored.join(lab, "doc_id").select(
+        F.least(
+            F.floor(F.col("score") * CAL_BINS).cast("long"),
+            F.lit(CAL_BINS - 1),
+        ).alias("bin"),
+        # ROUND before the integer cast: score*1e6 is integer-valued
+        # only up to float representation (…99999), and bare CAST
+        # truncates in Spark but rounds in DuckDB
+        F.round(F.col("score") * 1_000_000).cast("long").alias("p_micro"),
+        "y",
+    )
+    g = j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p_micro").cast("long").alias("sum_p_micro"),
+    )
+    return g.select(
+        "bin", "n", "n_pos", "sum_p_micro",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("obs_rate"),
+        F.round(F.col("sum_p_micro") / (F.col("n") * F.lit(1_000_000)), 6)
+        .alias("mean_pred"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -8303,6 +8483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diversify": q_mmr_diversify,
         "dp_histogram": q_dp_histogram,
         "epoch_shuffle": q_epoch_shuffle,
+        "ab_assign_srm": q_ab_assign_srm,
+        "linkage_score": q_linkage_score,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -12169,3 +12352,123 @@ def _install_s12_batch2_oracles() -> None:
 
 
 _install_s12_batch2_oracles()
+
+
+def _install_s12_batch3_oracles() -> None:
+    # ab_assign_srm: same 52-bit md5 arm hash; the collapsed df=1
+    # chi-square rational and the integer cross-multiplied verdict.
+    _ORACLE_SQL["ab_assign_srm"] = f"""
+        WITH pairs AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        armed AS (
+            SELECT event_type,
+                   CAST(('0x' || substring(md5(concat_ws('|',
+                        CAST(user_id AS VARCHAR), '{AB_EXP_SALT}')),
+                        1, 13))::UBIGINT AS BIGINT) % 2 AS arm
+            FROM pairs
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1
+            FROM armed GROUP BY event_type
+        )
+        SELECT event_type, n0, n1,
+               CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS srm_num,
+               CAST(n0 + n1 AS BIGINT) AS srm_den,
+               ROUND((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1), 6)
+                   AS srm_chi2,
+               CAST(1000 * (n0 - n1) * (n0 - n1)
+                    > {AB_CHI2_CRIT_MILLI} * (n0 + n1) AS BIGINT)
+                   AS srm_flag
+        FROM g
+    """
+    # linkage_score: same variant synthesis (editdist block fixture),
+    # same 3-token blocks, same fixed-order weight assembly; every
+    # float constant CAST AS DOUBLE (the DECIMAL-literal seam).
+    w = FS_W
+    _ORACLE_SQL["linkage_score"] = f"""
+        WITH var AS (
+            SELECT doc_id + 20000000 AS doc_id,
+                   array_to_string(list_concat(list_concat(
+                       toks[1:4], ['EDITED']), toks[6:len(toks)]), ' ')
+                   AS text,
+                   doc_id AS src_id
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+            WHERE doc_id % {ED_VARIANT_MOD} = 9 AND len(toks) >= 6
+        ),
+        docs AS (
+            SELECT d.doc_id, d.text, d.doc_id AS src_id FROM documents d
+            UNION ALL SELECT doc_id, text, src_id FROM var
+        ),
+        base AS (
+            SELECT docs.doc_id, docs.text, s.lang, s.source,
+                   LEN(docs.text) AS len_chars
+            FROM docs JOIN documents s ON docs.src_id = s.doc_id
+        ),
+        keyed AS (
+            SELECT doc_id, lang, source,
+                   len_chars // {FS_LEN_BUCKET} AS len_b,
+                   array_to_string((string_split(text, ' '))[1:3], ' ')
+                       AS blk
+            FROM base
+        ),
+        scored AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(a.lang = b.lang AS BIGINT) AS agree_lang,
+                   CAST(a.source = b.source AS BIGINT) AS agree_source,
+                   CAST(a.len_b = b.len_b AS BIGINT) AS agree_len,
+                   (CASE WHEN a.lang = b.lang
+                         THEN CAST({w['lang'][0]} AS DOUBLE)
+                         ELSE CAST({w['lang'][1]} AS DOUBLE) END
+                    + CASE WHEN a.source = b.source
+                           THEN CAST({w['source'][0]} AS DOUBLE)
+                           ELSE CAST({w['source'][1]} AS DOUBLE) END
+                    + CASE WHEN a.len_b = b.len_b
+                           THEN CAST({w['len'][0]} AS DOUBLE)
+                           ELSE CAST({w['len'][1]} AS DOUBLE) END)
+                       AS score
+            FROM keyed a JOIN keyed b USING (blk)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, agree_lang, agree_source, agree_len,
+               ROUND(score, 6) AS score,
+               CAST(score >= {FS_THRESHOLD} AS BIGINT) AS is_match
+        FROM scored
+    """
+    # calibration_bins: same quality_logit score expression (reused
+    # from its oracle as a subquery — drift-proof), same label rule,
+    # ROUND-before-CAST for the micro-unit sum.
+    _ORACLE_SQL["calibration_bins"] = f"""
+        WITH sc AS ({_ORACLE_SQL['quality_logit']}),
+        lab AS (
+            SELECT doc_id,
+                   CAST((LEN(STRING_SPLIT(text, ' ')) >= {AUC_NW_THRESHOLD})
+                        <> (doc_id % {AUC_NOISE_MOD} = 3) AS BIGINT) AS y
+            FROM documents
+        ),
+        j AS (
+            SELECT LEAST(CAST(FLOOR(sc.score * {CAL_BINS}) AS BIGINT),
+                         {CAL_BINS - 1}) AS bin,
+                   CAST(ROUND(sc.score * 1000000) AS BIGINT) AS p_micro,
+                   lab.y
+            FROM sc JOIN lab USING (doc_id)
+        ),
+        g AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro
+            FROM j GROUP BY bin
+        )
+        SELECT bin, n, n_pos, sum_p_micro,
+               ROUND(n_pos * 1.0 / n, 6) AS obs_rate,
+               ROUND(sum_p_micro * 1.0 / (n * 1000000), 6) AS mean_pred
+        FROM g
+    """
+
+
+_install_s12_batch3_oracles()

@@ -168,6 +168,9 @@ RELATIONAL = [
     "mmr_diversify",
     "dp_histogram",
     "epoch_shuffle",
+    "ab_assign_srm",
+    "linkage_score",
+    "calibration_bins",
 ]
 
 
