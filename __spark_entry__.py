@@ -8324,6 +8324,207 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------- degree distribution + power-law tail
+
+PL_DMIN = 3            # Hill tail cutoff (degree >= d_min; the sf0.01
+                       # graph has degree-2 nodes, so the cutoff is real)
+PL_LN_SCALE = 10**9    # ln quantization for the exact tail sum
+
+
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph degree statistics: the in-degree histogram of the
+    extracted doc->doc link graph plus the Hill MLE tail exponent
+    alpha = 1 + n / Σ ln(d_i/d_min) over nodes with degree >= d_min —
+    the power-law diagnostic every crawl-graph pipeline publishes
+    (hub detection, crawler-trap triage, sampling design).
+
+    Float discipline: ln is evaluated once per DISTINCT degree (a
+    deterministic double both engines agree on — bm25 ln precedent),
+    quantized to 1e-9 units, and the tail sum is an exact BIGINT of
+    count × quantized-ln products — the accumulation-order class is
+    closed the decayed_counts way.  ONE division at the end.
+
+    The extracted crawl links alone form a near-REGULAR graph (the
+    synthetic pages link uniformly — 2 distinct degrees), which would
+    make a tail estimator vacuous; a deterministic HUB overlay is
+    unioned in (every doc also links to doc_id mod 2^k for k=1..9),
+    giving in-degrees spanning ~N/2 down to the cutoff — a genuine
+    heavy tail with dozens of distinct degree values, synthesized
+    identically in both engines.
+
+    Scale shape: edges and in-degrees are the corpus-sized stages
+    (one distinct + one groupBy, both map-side combined); the
+    histogram, tail sum, and alpha all live on the DOMAIN-sized
+    degree table."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_links_spark()).alias("html")
+    )
+    crawl = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select("src", F.col("dd").cast("long").alias("dst"))
+    hubs = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[F.pmod(F.col("doc_id"), F.lit(1 << k)) for k in range(1, 10)])
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = crawl.unionByName(hubs).distinct()
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    hist = indeg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    lnq = F.round(
+        F.log(F.col("degree") / F.lit(float(PL_DMIN))) * PL_LN_SCALE
+    ).cast("long")
+    summ = (
+        hist.filter(F.col("degree") >= PL_DMIN)
+        .select("n_nodes", (F.col("n_nodes") * lnq).alias("c"))
+        .agg(
+            F.sum("n_nodes").cast("long").alias("n_tail"),
+            F.sum("c").cast("long").alias("ln_sum_q"),
+        )
+        .filter(F.col("ln_sum_q") > 0)
+        .select(
+            "n_tail",
+            "ln_sum_q",
+            F.round(
+                F.lit(1.0)
+                + (F.col("n_tail") * F.lit(PL_LN_SCALE)) / F.col("ln_sum_q"),
+                6,
+            ).alias("alpha"),
+        )
+    )
+    return hist.crossJoin(F.broadcast(summ)).select(
+        "degree",
+        "n_nodes",
+        (F.col("degree") >= PL_DMIN).cast("long").alias("in_tail"),
+        "n_tail",
+        "alpha",
+    )
+
+
+# ------------------------------------------- right-to-be-forgotten purge
+
+FORGET_MOD, FORGET_RESIDUE = 11, 3  # the deletion list: user_id % 11 == 3
+
+
+def _forget_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purged events table: one anti-join on the deletion
+    predicate.  At lakehouse scale this is the MERGE DELETE / file
+    rewrite; the predicate form keeps it partition-prunable."""
+    e = _load_wide(spark, sf_dir, "events")
+    return e.filter(
+        ~(F.col("user_id") % FORGET_MOD == FORGET_RESIDUE)
+    )
+
+
+def q_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance deletion (GDPR/CCPA right-to-be-forgotten): purge
+    every event of the listed users and emit the TOMBSTONE MANIFEST —
+    the auditable record (who, how many rows, activity span) that
+    deletion pipelines must produce *while deleting the data itself*.
+    The manifest intentionally carries counts and day spans, never
+    content.  tests/test_s12_batch4.py pins the purge laws: no listed
+    user survives in _forget_purged, non-listed rows are untouched,
+    and dropped + remaining == total.
+
+    Scale shape: the deletion predicate is a pure filter (no
+    deletion-list join needed for predicate-definable lists; an
+    explicit list would broadcast); the manifest is one
+    map-side-combined groupBy over only the deleted slice."""
+    e = _load_wide(spark, sf_dir, "events")
+    listed = e.filter(F.col("user_id") % FORGET_MOD == FORGET_RESIDUE)
+    return listed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_dropped"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days_active"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+# --------------------------------------------- CDC apply (full MERGE)
+
+CDC_NEW_OFFSET = 100_000
+
+
+def _cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized change log over the documents snapshot, exercising
+    every MERGE branch INCLUDING the two that upsert rows don't:
+    DELETE, and INSERT-after-DELETE (tombstone resurrection).
+      seq 1: update doc_id%4==1 -> ' v2'
+      seq 2: delete doc_id%9==5
+      seq 3: second update doc_id%8==1 -> ' v3' (last-wins over seq 1),
+             insert new keys doc_id%10==3 at +CDC_NEW_OFFSET,
+             re-insert doc_id%18==5 ('resurrected:') over seq-2 deletes
+    """
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    u1 = d.filter(F.col("doc_id") % 4 == 1).select(
+        "doc_id", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("digest"),
+    )
+    # deletes carry an EMPTY-STRING digest sentinel, not NULL: DuckDB's
+    # arg_max skips NULL values while Spark's max_by does not — a
+    # cross-engine seam this synthesis must not touch (delete rows are
+    # filtered by last_op anyway, so the sentinel never escapes)
+    d2 = d.filter(F.col("doc_id") % 9 == 5).select(
+        "doc_id", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        F.lit("").alias("digest"),
+    )
+    u3 = d.filter(F.col("doc_id") % 8 == 1).select(
+        "doc_id", F.lit(3).alias("seq"), F.lit("U").alias("op"),
+        F.md5(F.concat(F.col("text"), F.lit(" v3"))).alias("digest"),
+    )
+    i3 = d.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + CDC_NEW_OFFSET).alias("doc_id"),
+        F.lit(3).alias("seq"), F.lit("I").alias("op"),
+        F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("digest"),
+    )
+    r3 = d.filter(F.col("doc_id") % 18 == 5).select(
+        "doc_id", F.lit(3).alias("seq"), F.lit("I").alias("op"),
+        F.md5(F.concat(F.lit("resurrected:"), F.col("text"))).alias("digest"),
+    )
+    out = u1
+    for part in (d2, u3, i3, r3):
+        out = out.unionByName(part)
+    return out
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: fold an ordered I/U/D op log onto a
+    base snapshot — the FULL MERGE INTO semantics (crawl_upsert covers
+    latest-version-wins upserts; this row adds the delete branch and
+    the tombstone-resurrection seam, the two places naive MERGE
+    implementations corrupt state).  Winner per key = the op with the
+    highest seq (base rows are seq 0), applied as one declarative
+    max_by argmax — map-side combinable, no window sort; deleted keys
+    whose last op is D vanish; keys re-inserted after a delete
+    survive with the new digest.
+
+    Digests are computed at scan (the crawl_upsert discipline: bodies
+    never shuffle).  Output carries last_seq + n_ops lineage so the
+    apply is auditable."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+        F.md5("text").alias("digest"),
+    )
+    log = base.unionByName(_cdc_ops(spark, sf_dir))
+    folded = log.groupBy("doc_id").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("digest", "seq").alias("digest"),
+        F.max("seq").cast("long").alias("last_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+    )
+    return folded.filter(F.col("last_op") != "D").select(
+        "doc_id", "digest", "last_seq", "n_ops"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -8486,6 +8687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_assign_srm": q_ab_assign_srm,
         "linkage_score": q_linkage_score,
         "calibration_bins": q_calibration_bins,
+        "degree_powerlaw": q_degree_powerlaw,
+        "forget_user": q_forget_user,
+        "cdc_apply": q_cdc_apply,
     }
 
 
@@ -12472,3 +12676,96 @@ def _install_s12_batch3_oracles() -> None:
 
 
 _install_s12_batch3_oracles()
+
+
+def _install_s12_batch4_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    # degree_powerlaw: same pages/edges CTEs as link_pagerank, same
+    # quantized-ln exact tail sum, one division.
+    _ORACLE_SQL["degree_powerlaw"] = (
+        "WITH pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents), "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "hub AS (SELECT doc_id AS src, doc_id % (1 << k) AS d "
+        "FROM documents CROSS JOIN generate_series(1, 9) AS t(k) "
+        "WHERE doc_id <> doc_id % (1 << k)), "
+        "edges AS (SELECT DISTINCT src, CAST(d AS BIGINT) AS dst FROM ex "
+        "UNION SELECT DISTINCT src, CAST(d AS BIGINT) FROM hub), "
+        "indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS degree "
+        "FROM edges GROUP BY dst), "
+        "hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        "FROM indeg GROUP BY degree), "
+        f"summ AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_tail, "
+        f"CAST(SUM(n_nodes * CAST(ROUND(LN(degree / CAST({PL_DMIN} AS "
+        f"DOUBLE)) * {PL_LN_SCALE}) AS BIGINT)) AS BIGINT) AS ln_sum_q "
+        f"FROM hist WHERE degree >= {PL_DMIN}) "
+        f"SELECT h.degree, h.n_nodes, "
+        f"CAST(h.degree >= {PL_DMIN} AS BIGINT) AS in_tail, "
+        f"s.n_tail, "
+        f"ROUND(1.0 + (s.n_tail * {PL_LN_SCALE}) * 1.0 / s.ln_sum_q, 6) "
+        f"AS alpha "
+        f"FROM hist h CROSS JOIN summ s WHERE s.ln_sum_q > 0"
+    )
+    # forget_user: tombstone manifest over the deletion slice.
+    _ORACLE_SQL["forget_user"] = f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_dropped,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_days_active,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+        WHERE user_id % {FORGET_MOD} = {FORGET_RESIDUE}
+        GROUP BY user_id
+    """
+    # cdc_apply: same op-log synthesis; winner per key via arg_max
+    # (no NULL digests by the sentinel convention), deletes filtered.
+    _ORACLE_SQL["cdc_apply"] = f"""
+        WITH base AS (
+            SELECT doc_id, 0 AS seq, 'I' AS op, MD5(text) AS digest
+            FROM documents
+        ),
+        u1 AS (
+            SELECT doc_id, 1 AS seq, 'U' AS op, MD5(text || ' v2')
+            FROM documents WHERE doc_id % 4 = 1
+        ),
+        d2 AS (
+            SELECT doc_id, 2 AS seq, 'D' AS op, ''
+            FROM documents WHERE doc_id % 9 = 5
+        ),
+        u3 AS (
+            SELECT doc_id, 3 AS seq, 'U' AS op, MD5(text || ' v3')
+            FROM documents WHERE doc_id % 8 = 1
+        ),
+        i3 AS (
+            SELECT doc_id + {CDC_NEW_OFFSET}, 3 AS seq, 'I' AS op,
+                   MD5('new:' || text)
+            FROM documents WHERE doc_id % 10 = 3
+        ),
+        r3 AS (
+            SELECT doc_id, 3 AS seq, 'I' AS op,
+                   MD5('resurrected:' || text)
+            FROM documents WHERE doc_id % 18 = 5
+        ),
+        log AS (
+            SELECT * FROM base UNION ALL SELECT * FROM u1
+            UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM u3
+            UNION ALL SELECT * FROM i3 UNION ALL SELECT * FROM r3
+        ),
+        folded AS (
+            SELECT doc_id,
+                   ARG_MAX(op, seq) AS last_op,
+                   ARG_MAX(digest, seq) AS digest,
+                   CAST(MAX(seq) AS BIGINT) AS last_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops
+            FROM log GROUP BY doc_id
+        )
+        SELECT doc_id, digest, last_seq, n_ops
+        FROM folded WHERE last_op <> 'D'
+    """
+
+
+_install_s12_batch4_oracles()

@@ -171,6 +171,9 @@ RELATIONAL = [
     "ab_assign_srm",
     "linkage_score",
     "calibration_bins",
+    "degree_powerlaw",
+    "forget_user",
+    "cdc_apply",
 ]
 
 
