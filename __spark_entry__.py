@@ -8525,6 +8525,282 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- columnar encoding advisor
+
+ENC_COLS = ("l_returnflag", "l_discount", "l_orderkey", "l_extendedprice")
+ENC_DICT_RATIO = 10   # dict if ndv*10 <= n
+ENC_RLE_RUN = 3       # rle  if n >= 3*n_runs (avg run >= 3)
+# at sf0.01 the four columns land on dict/dict/rle/plain — all three
+# verdicts occur (the zone_map_prune fixture lesson)
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage physical-design advisor (the zone_map/compaction family):
+    for each candidate column, compute the statistics a columnar
+    writer needs to pick an encoding — row count, exact NDV, and the
+    RUN count in the table's clustering order (runs are an order
+    property: RLE pays off only if equal values are adjacent on disk)
+    — then decide dict / rle / plain by integer cross-multiplied
+    thresholds (dict when 10·ndv ≤ n; else rle when n ≥ 3·runs).
+
+    Scale shape: ALL columns ride ONE sort — the clustering key plus
+    the value columns themselves as tiebreaks, because
+    (l_orderkey, l_linenumber) is NOT unique in this data and runs
+    under a non-total order are nondeterministic (measured: two
+    engines gave 39786 vs 39872 returnflag runs before the fix).
+    The value-tiebroken order is also what a writer sorting within
+    row groups could actually achieve.  And the sort is a
+    DISTRIBUTED range sort, never a single-partition global window
+    (the first draft's `Window.orderBy` moved the whole corpus to
+    one task — the exact WindowExec warning the plan tests exist to
+    catch): repartitionByRange + sortWithinPartitions gives every
+    partition a contiguous slice of the global order, one Arrow
+    kernel counts each slice's run boundaries on RAW values (a
+    string cast would reintroduce engine-specific float formatting),
+    and the P−1 partition seams are stitched driver-side from exact
+    byte-encoded first/last values — O(P·cols) rows, the em.py
+    assign_batches offsets pattern.  Ties that straddle a seam are
+    safe: equal tuples compare equal, so the seam correction fires
+    exactly when the run truly continues.  NDVs are
+    map-side-combined distinct aggregates.  The decision table is
+    O(columns) scalars, assembled driver-side (bm25 scalar
+    precedent)."""
+    li = _load_wide(spark, sf_dir, "lineitem")
+    order_cols = ["l_orderkey", "l_linenumber"] + [
+        c for c in ENC_COLS if c not in ("l_orderkey", "l_linenumber")
+    ]
+    stats = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.countDistinct(c).cast("long").alias(f"ndv_{c}")
+            for c in ENC_COLS
+        ],
+    ).collect()[0]
+
+    n_parts = max(2, int(spark.sparkContext.defaultParallelism))
+    sliced = (
+        li.select(*order_cols)
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    cols = list(ENC_COLS)
+
+    def _enc_bytes(v) -> bytes:
+        import numpy as np
+
+        if isinstance(v, (float, np.floating)):
+            return np.float64(v).tobytes()
+        if isinstance(v, (int, np.integer)):
+            return int(v).to_bytes(8, "little", signed=True)
+        return str(v).encode("utf-8")
+
+    def _runs_kernel(batches):
+        local = {c: 0 for c in cols}
+        first = {c: None for c in cols}
+        last = {c: None for c in cols}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            for c in cols:
+                s = pdf[c]
+                cnt = int((s != s.shift()).sum())
+                if last[c] is not None and s.iloc[0] == last[c]:
+                    cnt -= 1  # run continues across Arrow batches
+                local[c] += cnt
+                if first[c] is None:
+                    first[c] = s.iloc[0]
+                last[c] = s.iloc[-1]
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "column": cols,
+                "runs": [local[c] for c in cols],
+                "first": [_enc_bytes(first[c]) for c in cols],
+                "last": [_enc_bytes(last[c]) for c in cols],
+            }
+        )
+
+    part_rows = sliced.mapInPandas(
+        _runs_kernel,
+        schema="pid int, column string, runs long, first binary, last binary",
+    ).collect()
+    by_col: dict[str, list] = {c: [] for c in cols}
+    for r in part_rows:
+        by_col[r["column"]].append((r["pid"], r["runs"], bytes(r["first"]), bytes(r["last"])))
+    runs = {}
+    for c in cols:
+        parts = sorted(by_col[c])
+        total = sum(p[1] for p in parts)
+        # seam stitch: a partition's first row only opens a NEW run
+        # if it differs from the previous partition's last row
+        for prev, cur in zip(parts, parts[1:]):
+            if cur[2] == prev[3]:
+                total -= 1
+        runs[f"r_{c}"] = total
+    n = int(stats["n"])
+    rows = []
+    for c in ENC_COLS:
+        ndv, nr = int(stats[f"ndv_{c}"]), int(runs[f"r_{c}"])
+        enc = (
+            "dict" if ndv * ENC_DICT_RATIO <= n
+            else "rle" if n >= ENC_RLE_RUN * nr
+            else "plain"
+        )
+        rows.append((c, n, ndv, nr, enc))
+    return spark.createDataFrame(
+        rows, schema="column string, n long, ndv long, n_runs long, encoding string"
+    )
+
+
+# ----------------------------------------- PSI distribution drift
+
+PSI_LN_SCALE = 10**9
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the model-serving
+    guard that compares the current traffic's category distribution
+    against a reference window: PSI = Σ (p_i − q_i)·ln(p_i/q_i) over
+    event types, reference = the first half of the time range vs
+    current = the second (split at the midpoint microsecond), with
+    +1 Laplace smoothing so empty categories stay defined.
+
+    Exactness (the decayed_counts/degree_powerlaw device): with
+    smoothed integer counts, p−q = (c_p·n_q − c_q·n_p)/(n_p·n_q) and
+    ln(p/q) is ONE deterministic double per category quantized to
+    1e-9; psi_num = Σ diff·lnq is an exact order-free BIGINT and PSI
+    is one division.  (At 10^12 rows the products need the merkle
+    re-mod treatment or a 1e-6 ln scale — documented, not hidden.)
+
+    The driver gates the MECHANISM on the real halves (PSI ≈ 0 on
+    stationary traffic is itself the law); tests/test_s12_batch5.py
+    injects a category drop and pins that PSI moves two orders of
+    magnitude."""
+    from datetime import timedelta
+
+    e = _load_wide(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_lit = lo.strftime("%Y-%m-%d %H:%M:%S.%f")
+    # midpoint as INTEGER microseconds from min(ts): Python timedelta
+    # division and SQL INTERVAL division round differently at odd
+    # microsecond spans — integer offsets close the seam (the
+    # interval_join device)
+    mid_us = ((hi - lo) // timedelta(microseconds=1)) // 2
+    tagged = e.select(
+        "event_type",
+        (
+            F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{lo_lit}', ts)"
+            )
+            < mid_us
+        ).cast("long").alias("is_ref"),
+    )
+    g = tagged.groupBy("event_type").agg(
+        (F.sum("is_ref") + 1).cast("long").alias("c_ref"),
+        (F.sum(F.lit(1) - F.col("is_ref")) + 1).cast("long").alias("c_cur"),
+    )
+    tot = g.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    diff = F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref")
+    lnq = F.round(
+        F.log(
+            (F.col("c_ref") * F.col("n_cur"))
+            / (F.col("c_cur") * F.col("n_ref"))
+        )
+        * PSI_LN_SCALE
+    ).cast("long")
+    cells = j.select(
+        "event_type", "c_ref", "c_cur",
+        diff.cast("long").alias("diff_num"),
+        lnq.alias("lnq"),
+        "n_ref", "n_cur",
+    )
+    summ = cells.agg(
+        F.sum(F.col("diff_num") * F.col("lnq")).cast("long").alias("psi_num"),
+        F.max("n_ref").alias("nr"),
+        F.max("n_cur").alias("nc"),
+    ).select(
+        "psi_num",
+        F.round(
+            F.col("psi_num")
+            / (F.col("nr") * F.col("nc") * F.lit(float(PSI_LN_SCALE))),
+            9,
+        ).alias("psi"),
+    )
+    return cells.select(
+        "event_type", "c_ref", "c_cur", "diff_num", "lnq"
+    ).crossJoin(F.broadcast(summ))
+
+
+# --------------------------------------- position-based attribution
+
+ATTR_WINDOW_MIN = 1440  # 1-day window: sf0.01 yields k=1,2,3 shapes
+ATTR_FIRST_BPS, ATTR_LAST_BPS, ATTR_MID_BPS = 4000, 4000, 2000
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) marketing attribution: each purchase
+    credits the views that preceded it within 30 minutes for the same
+    user — 40% to the first touch, 40% to the last, 20% split across
+    the middles — in exact integer BASIS POINTS that sum to 10000 per
+    purchase by construction: middles get 2000 div (k−2) each and the
+    integer remainder goes to the earliest middle (a deterministic
+    rule both engines replay; k=1 → 10000, k=2 → 5000/5000).
+
+    Scale shape: the touch/conversion join is the attrib_join_stream
+    range join (bounded state); position ranks are windows over
+    per-purchase groups bounded by the 30-minute window, never the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = v.join(p, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTE")
+        )
+    )
+    w = Window.partitionBy("purchase_id").orderBy("v_ts", "touch_id")
+    ranked = j.select(
+        "purchase_id", "touch_id",
+        F.row_number().over(w).cast("long").alias("position"),
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+        .cast("long").alias("k"),
+    )
+    k, pos = F.col("k"), F.col("position")
+    mid_each = F.expr(f"{ATTR_MID_BPS} div (k - 2)")
+    mid_rem = F.lit(ATTR_MID_BPS) - mid_each * (k - 2)
+    credit = (
+        F.when(k == 1, F.lit(10000))
+        .when(k == 2, F.lit(5000))
+        .when(pos == 1, F.lit(ATTR_FIRST_BPS))
+        .when(pos == k, F.lit(ATTR_LAST_BPS))
+        .when(pos == 2, mid_each + mid_rem)
+        .otherwise(mid_each)
+    )
+    return ranked.select(
+        "purchase_id", "touch_id", "position", "k",
+        credit.cast("long").alias("credit_bps"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -8690,6 +8966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_powerlaw": q_degree_powerlaw,
         "forget_user": q_forget_user,
         "cdc_apply": q_cdc_apply,
+        "encoding_advisor": q_encoding_advisor,
+        "psi_drift": q_psi_drift,
+        "position_attribution": q_position_attribution,
     }
 
 
@@ -12769,3 +13048,120 @@ def _install_s12_batch4_oracles() -> None:
 
 
 _install_s12_batch4_oracles()
+
+
+def _install_s12_batch5_oracles() -> None:
+    # encoding_advisor: per-column LAG run counts over the same
+    # clustering order + the same integer-threshold decisions.
+    order_by = ", ".join(
+        ["l_orderkey", "l_linenumber"]
+        + [c for c in ENC_COLS if c not in ("l_orderkey", "l_linenumber")]
+    )
+    col_sqls = []
+    for c in ENC_COLS:
+        col_sqls.append(f"""
+        SELECT '{c}' AS "column", n, ndv, n_runs,
+               CASE WHEN ndv * {ENC_DICT_RATIO} <= n THEN 'dict'
+                    WHEN n >= {ENC_RLE_RUN} * n_runs THEN 'rle'
+                    ELSE 'plain' END AS encoding
+        FROM (
+            WITH b AS (
+                SELECT CASE WHEN LAG({c}) OVER (ORDER BY {order_by})
+                                 IS NULL
+                            OR LAG({c}) OVER (ORDER BY {order_by}) <> {c}
+                       THEN 1 ELSE 0 END AS br FROM lineitem
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+                   (SELECT CAST(COUNT(DISTINCT {c}) AS BIGINT)
+                    FROM lineitem) AS ndv,
+                   CAST(SUM(br) AS BIGINT) AS n_runs
+            FROM b
+        )""")
+    _ORACLE_SQL["encoding_advisor"] = " UNION ALL ".join(col_sqls)
+    # psi_drift: same integer-µs midpoint split, same smoothed counts,
+    # same quantized-ln exact numerator, one division at 9 dp.
+    _ORACLE_SQL["psi_drift"] = f"""
+        WITH a AS (
+            SELECT MIN(ts) AS lo,
+                   DATE_DIFF('microseconds', MIN(ts), MAX(ts)) // 2
+                       AS mid_us
+            FROM events
+        ),
+        tagged AS (
+            SELECT event_type,
+                   CAST(DATE_DIFF('microseconds', a.lo, ts) < a.mid_us
+                        AS BIGINT) AS is_ref
+            FROM events CROSS JOIN a
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(SUM(is_ref) + 1 AS BIGINT) AS c_ref,
+                   CAST(SUM(1 - is_ref) + 1 AS BIGINT) AS c_cur
+            FROM tagged GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM g
+        ),
+        cells AS (
+            SELECT g.event_type, g.c_ref, g.c_cur,
+                   CAST(g.c_ref * t.n_cur - g.c_cur * t.n_ref AS BIGINT)
+                       AS diff_num,
+                   CAST(ROUND(LN((g.c_ref * t.n_cur) * 1.0
+                                 / (g.c_cur * t.n_ref))
+                              * {PSI_LN_SCALE}) AS BIGINT) AS lnq,
+                   t.n_ref, t.n_cur
+            FROM g CROSS JOIN tot t
+        ),
+        summ AS (
+            SELECT CAST(SUM(diff_num * lnq) AS BIGINT) AS psi_num,
+                   ROUND(SUM(diff_num * lnq)
+                         / ((MAX(n_ref) * MAX(n_cur))
+                            * CAST({PSI_LN_SCALE} AS DOUBLE)), 9) AS psi
+            FROM cells
+        )
+        SELECT c.event_type, c.c_ref, c.c_cur, c.diff_num, c.lnq,
+               s.psi_num, s.psi
+        FROM cells c CROSS JOIN summ s
+    """
+    # position_attribution: same range join + U-shaped integer credit.
+    _ORACLE_SQL["position_attribution"] = f"""
+        WITH v AS (
+            SELECT user_id, event_id AS touch_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT purchase_id, touch_id, v_ts
+            FROM v JOIN p USING (user_id)
+            WHERE v_ts <= p_ts
+              AND v_ts >= p_ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE
+        ),
+        ranked AS (
+            SELECT purchase_id, touch_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+                        ORDER BY v_ts, touch_id) AS BIGINT) AS position,
+                   CAST(COUNT(*) OVER (PARTITION BY purchase_id)
+                        AS BIGINT) AS k
+            FROM j
+        )
+        SELECT purchase_id, touch_id, position, k,
+               CAST(CASE
+                    WHEN k = 1 THEN 10000
+                    WHEN k = 2 THEN 5000
+                    WHEN position = 1 THEN {ATTR_FIRST_BPS}
+                    WHEN position = k THEN {ATTR_LAST_BPS}
+                    WHEN position = 2 THEN {ATTR_MID_BPS} // (k - 2)
+                         + ({ATTR_MID_BPS} - ({ATTR_MID_BPS} // (k - 2))
+                            * (k - 2))
+                    ELSE {ATTR_MID_BPS} // (k - 2)
+               END AS BIGINT) AS credit_bps
+        FROM ranked
+    """
+
+
+_install_s12_batch5_oracles()

@@ -174,6 +174,9 @@ RELATIONAL = [
     "degree_powerlaw",
     "forget_user",
     "cdc_apply",
+    "encoding_advisor",
+    "psi_drift",
+    "position_attribution",
 ]
 
 
