@@ -8801,6 +8801,222 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ graded-ranking NDCG
+
+NDCG_K = 20
+NDCG_LN_SCALE = 10**9
+# graded relevance = word-count bucket with deterministic noise (the
+# auc_eval label device): rel0 = (nw>=30)+(nw>=60) in {0,1,2}; docs
+# with doc_id%7==3 get 3-rel0, so grade 3 exists and the bm25 ranking
+# is deliberately imperfect against it (0 < NDCG < 1, non-vacuous)
+NDCG_NW_LO, NDCG_NW_HI, NDCG_NOISE_MOD = 30, 60, 7
+
+
+def _ndcg_discount(k: int) -> int:
+    """Position discount quantized to 1e9: round(1e9·ln2/ln(k+1)),
+    half-up via floor(x+0.5) — the SAME literal formula the DuckDB
+    oracle runs (FLOOR(x + 0.5)), so the constant table cannot drift
+    the way Python's banker's round() vs SQL ROUND would."""
+    import math
+
+    return int(math.floor(NDCG_LN_SCALE * math.log(2.0) / math.log(k + 1.0) + 0.5))
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k curve (k=1..20) of the BM25 ranking against graded
+    relevance labels — the ranking-quality metric (Järvelin &
+    Kekäläinen 2002) that AUC (binary, rank-free) and calibration
+    (score-scale) don't cover; together the three complete the eval
+    triad every retrieval/filter stack ships with.
+
+    Exactness: gains 2^rel−1 ∈ {0,1,3,7} are integers; the position
+    discount 1/log2(k+1) is quantized to 1e-9 per position (the
+    decayed_counts ln device — 20 deterministic constants, computed
+    by the SAME floor(x·1e9+0.5) formula in both engines), so
+    dcg_num = Σ gain·d_k and idcg_num (ideal = the corpus-wide
+    top-20 grade multiset, which dominates any actual prefix
+    position-wise) are exact order-free BIGINTs; ndcg = ONE division
+    rounded in-engine at 9 dp.
+
+    Scale shape: the ranking leg is q_bm25_topk reused VERBATIM (and
+    its SQL embedded verbatim in the oracle — the rrf_fuse
+    drift-proofing); relevance is one corpus projection; the ideal
+    list is TakeOrderedAndProject(20); everything after is 20 rows
+    assembled driver-side (bm25 scalar precedent)."""
+    bm = q_bm25_topk(spark, sf_dir)
+    d = _load_wide(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    rel0 = (nw >= NDCG_NW_LO).cast("long") + (nw >= NDCG_NW_HI).cast("long")
+    rel = (
+        F.when(F.col("doc_id") % NDCG_NOISE_MOD == 3, F.lit(3) - rel0)
+        .otherwise(rel0)
+        .cast("long")
+    )
+    rels = d.select("doc_id", rel.alias("rel"))
+    actual = [
+        int(r["rel"])
+        for r in rels.join(F.broadcast(bm.select("doc_id", "score")), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    ideal = [
+        int(r["rel"])
+        for r in rels.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(NDCG_K)
+        .collect()
+    ]
+    gain = lambda r: (1 << r) - 1  # noqa: E731
+    rows, dcg, idcg = [], 0, 0
+    for k in range(1, min(NDCG_K, len(actual)) + 1):
+        dk = _ndcg_discount(k)
+        dcg += gain(actual[k - 1]) * dk
+        idcg += gain(ideal[k - 1]) * dk
+        rows.append((k, gain(actual[k - 1]), gain(ideal[k - 1]), dcg, idcg))
+    out = spark.createDataFrame(
+        rows,
+        schema="k long, gain long, ideal_gain long, dcg_num long, idcg_num long",
+    )
+    return out.select(
+        "*", F.round(F.col("dcg_num") / F.col("idcg_num"), 9).alias("ndcg")
+    )
+
+
+# --------------------------------------- market-basket association
+
+BASKET_MIN_SUPPORT = 3  # pair support threshold (63 pairs at sf0.01)
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders: for every part
+    pair co-occurring in ≥3 orders, support / confidence / lift —
+    the pairwise core of Agrawal-Srikant frequent-itemset mining,
+    which is how recommenders and assortment planners read
+    transaction logs.  lift = n_orders·c_ab/(c_a·c_b) rides as an
+    exact BIGINT rational (lift_num/lift_den) with the rounded
+    double alongside; confidences are one division each.
+
+    Scale shape (the cooccurrence_graph device): distinct
+    (order, part) → per-order sorted item arrays → i<j pair
+    expansion INSIDE the array expression (pairs per order are
+    C(items,2) with items ≤ 7 — bounded, no quadratic key group) →
+    one groupBy(pa, pb); item supports are a 2k-row broadcast joined
+    twice; n_orders is one scalar agg.  The oracle computes the same
+    pairs by a genuinely different algorithm — an items×items
+    self-join on order — so the array-expansion algebra is
+    cross-checked, not mirrored."""
+    li = _load_wide(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = int(
+        items.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+    pc = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
+    sb = supp.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
+    j = pc.join(F.broadcast(sa), "pa").join(F.broadcast(sb), "pb")
+    lift_num = F.lit(n_orders) * F.col("c_ab")
+    lift_den = F.col("c_a") * F.col("c_b")
+    return j.select(
+        F.col("pa").cast("long").alias("pa"),
+        F.col("pb").cast("long").alias("pb"),
+        "c_ab", "c_a", "c_b",
+        lift_num.cast("long").alias("lift_num"),
+        lift_den.cast("long").alias("lift_den"),
+        F.round(lift_num / lift_den, 9).alias("lift"),
+        F.round(F.col("c_ab") / F.col("c_a"), 9).alias("conf_ab"),
+        F.round(F.col("c_ab") / F.col("c_b"), 9).alias("conf_ba"),
+    )
+
+
+# ------------------------------------------ inter-rater agreement
+
+KAPPA_NW_LO, KAPPA_NW_HI = 30, 60      # rater A: word-count buckets
+KAPPA_NC_LO, KAPPA_NC_HI = 150, 300    # rater B: char-count buckets
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement per language — the
+    labeling-QA gate every human- or model-annotated dataset ships
+    with (agreement corrected for chance).  The two 'raters' are two
+    genuinely different measurements of the same latent size class:
+    A buckets by word count (30/60), B by char count (150/300) —
+    correlated but imperfect, so 0 < kappa < 1 in every language.
+
+    Exactness: with integer confusion counts, kappa =
+    (n·Σc_kk − Σ_k rA_k·rB_k) / (n² − Σ_k rA_k·rB_k) — carried as
+    exact BIGINTs (kappa_num/kappa_den) with ONE division at 9 dp.
+
+    Scale shape: ONE map-side-combined groupBy(lang, a, b) is the
+    only corpus-sized stage; marginals, the pe join, and the kappa
+    algebra run on ≤ langs×9 rows."""
+    d = _load_wide(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    ra = (
+        (nw >= KAPPA_NW_LO).cast("long") + (nw >= KAPPA_NW_HI).cast("long")
+    ).alias("ra")
+    rb = (
+        (F.length("text") >= KAPPA_NC_LO).cast("long")
+        + (F.length("text") >= KAPPA_NC_HI).cast("long")
+    ).alias("rb")
+    cells = (
+        d.select("lang", ra, rb)
+        .groupBy("lang", "ra", "rb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = cells.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = cells.groupBy(
+        F.col("lang").alias("lang_a"), F.col("ra").alias("cls_a")
+    ).agg(F.sum("c").alias("m_a"))
+    mb = cells.groupBy(
+        F.col("lang").alias("lang_b"), F.col("rb").alias("cls_b")
+    ).agg(F.sum("c").alias("m_b"))
+    pe = (
+        ma.join(
+            mb,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("cls_a") == F.col("cls_b")),
+        )
+        .select(
+            F.col("lang_a").alias("lang"),
+            (F.col("m_a") * F.col("m_b")).alias("p"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("p").cast("long").alias("pe_num"))
+    )
+    k = per.join(pe, "lang")
+    num = F.col("n") * F.col("agree") - F.col("pe_num")
+    den = F.col("n") * F.col("n") - F.col("pe_num")
+    return k.select(
+        "lang", "n", "agree", "pe_num",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        F.round(num / den, 9).alias("kappa"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -8969,6 +9185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_advisor": q_encoding_advisor,
         "psi_drift": q_psi_drift,
         "position_attribution": q_position_attribution,
+        "ndcg_eval": q_ndcg_eval,
+        "basket_lift": q_basket_lift,
+        "cohens_kappa": q_cohens_kappa,
     }
 
 
@@ -13165,3 +13384,132 @@ def _install_s12_batch5_oracles() -> None:
 
 
 _install_s12_batch5_oracles()
+
+
+def _install_s12_batch6_oracles() -> None:
+    # ndcg_eval: bm25 SQL embedded VERBATIM (rrf_fuse drift-proofing);
+    # same noise-graded relevance, same floor(x·1e9+0.5) discount
+    # table, same exact-BIGINT cumulative sums.
+    _ORACLE_SQL["ndcg_eval"] = f"""
+        WITH bm AS ({_ORACLE_SQL['bm25_topk']}),
+        rels AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % {NDCG_NOISE_MOD} = 3
+                        THEN 3 - (CAST(len(string_split(text, ' ')) >= {NDCG_NW_LO} AS INT)
+                                  + CAST(len(string_split(text, ' ')) >= {NDCG_NW_HI} AS INT))
+                        ELSE CAST(len(string_split(text, ' ')) >= {NDCG_NW_LO} AS INT)
+                             + CAST(len(string_split(text, ' ')) >= {NDCG_NW_HI} AS INT)
+                   END AS BIGINT) AS rel
+            FROM documents
+        ),
+        actual AS (
+            SELECT r.rel,
+                   ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id ASC)
+                       AS k
+            FROM bm b JOIN rels r USING (doc_id)
+        ),
+        ideal AS (
+            SELECT rel,
+                   ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS k
+            FROM rels ORDER BY rel DESC, doc_id ASC LIMIT {NDCG_K}
+        ),
+        disc AS (
+            SELECT k,
+                   CAST(FLOOR({NDCG_LN_SCALE} * LN(2.0) / LN(k + 1.0)
+                              + 0.5) AS BIGINT) AS d
+            FROM (SELECT UNNEST(RANGE(1, {NDCG_K} + 1)) AS k)
+        ),
+        g AS (
+            SELECT a.k,
+                   CAST(CASE a.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS gain,
+                   CAST(CASE i.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS ideal_gain,
+                   d.d
+            FROM actual a JOIN ideal i USING (k) JOIN disc d USING (k)
+        ),
+        c AS (
+            SELECT k, gain, ideal_gain,
+                   CAST(SUM(gain * d) OVER (ORDER BY k) AS BIGINT)
+                       AS dcg_num,
+                   CAST(SUM(ideal_gain * d) OVER (ORDER BY k) AS BIGINT)
+                       AS idcg_num
+            FROM g
+        )
+        SELECT k, gain, ideal_gain, dcg_num, idcg_num,
+               ROUND(dcg_num * 1.0 / idcg_num, 9) AS ndcg
+        FROM c
+    """
+    # basket_lift: the pairs come from an items x items self-join on
+    # order — a genuinely different algorithm from Spark's per-order
+    # array expansion; same support threshold, same exact rationals.
+    _ORACLE_SQL["basket_lift"] = f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+              FROM items),
+        supp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM items GROUP BY p),
+        pc AS (
+            SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT CAST(pc.pa AS BIGINT) AS pa, CAST(pc.pb AS BIGINT) AS pb,
+               pc.c_ab, sa.c AS c_a, sb.c AS c_b,
+               CAST(n.n_orders * pc.c_ab AS BIGINT) AS lift_num,
+               CAST(sa.c * sb.c AS BIGINT) AS lift_den,
+               ROUND(n.n_orders * pc.c_ab * 1.0 / (sa.c * sb.c), 9)
+                   AS lift,
+               ROUND(pc.c_ab * 1.0 / sa.c, 9) AS conf_ab,
+               ROUND(pc.c_ab * 1.0 / sb.c, 9) AS conf_ba
+        FROM pc
+        JOIN supp sa ON pc.pa = sa.p
+        JOIN supp sb ON pc.pb = sb.p
+        CROSS JOIN n
+    """
+    # cohens_kappa: same two raters, same exact-BIGINT kappa rational.
+    _ORACLE_SQL["cohens_kappa"] = f"""
+        WITH r AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) >= {KAPPA_NW_LO}
+                        AS BIGINT)
+                   + CAST(len(string_split(text, ' ')) >= {KAPPA_NW_HI}
+                          AS BIGINT) AS ra,
+                   CAST(length(text) >= {KAPPA_NC_LO} AS BIGINT)
+                   + CAST(length(text) >= {KAPPA_NC_HI} AS BIGINT) AS rb
+            FROM documents
+        ),
+        cells AS (
+            SELECT lang, ra, rb, CAST(COUNT(*) AS BIGINT) AS c
+            FROM r GROUP BY 1, 2, 3
+        ),
+        per AS (
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM cells GROUP BY lang
+        ),
+        ma AS (SELECT lang, ra, CAST(SUM(c) AS BIGINT) AS m_a
+               FROM cells GROUP BY 1, 2),
+        mb AS (SELECT lang, rb, CAST(SUM(c) AS BIGINT) AS m_b
+               FROM cells GROUP BY 1, 2),
+        pe AS (
+            SELECT ma.lang, CAST(SUM(ma.m_a * mb.m_b) AS BIGINT)
+                       AS pe_num
+            FROM ma JOIN mb ON ma.lang = mb.lang AND ma.ra = mb.rb
+            GROUP BY ma.lang
+        )
+        SELECT per.lang, per.n, per.agree, pe.pe_num,
+               CAST(per.n * per.agree - pe.pe_num AS BIGINT)
+                   AS kappa_num,
+               CAST(per.n * per.n - pe.pe_num AS BIGINT) AS kappa_den,
+               ROUND((per.n * per.agree - pe.pe_num) * 1.0
+                     / (per.n * per.n - pe.pe_num), 9) AS kappa
+        FROM per JOIN pe USING (lang)
+    """
+
+
+_install_s12_batch6_oracles()

@@ -177,6 +177,9 @@ RELATIONAL = [
     "encoding_advisor",
     "psi_drift",
     "position_attribution",
+    "ndcg_eval",
+    "basket_lift",
+    "cohens_kappa",
 ]
 
 
