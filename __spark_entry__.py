@@ -9017,6 +9017,266 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- golden-record survivorship
+
+GR_CLONE_OFF = 10_000_000   # exact-copy source-system offset
+GR_VAR_A_OFF = 20_000_000   # edited-variant system A offset
+GR_VAR_B_OFF = 30_000_000   # edited-variant system B offset
+
+
+def _gr_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-source record universe for entity resolution:
+    documents plus (a) the dedup_exact injector's exact clones
+    (doc_id%100==7 at +10M — _with_injected_dup_docs reused verbatim)
+    and (b) TWO one-word-edited variants per editdist-selected doc
+    (doc_id%50==9): 'EDITED' at +20M (the _ed_docs device) and
+    'AMENDED' at +30M — a third source system, which is what makes
+    entities of size 3 exist and the transitive-closure step
+    non-vacuous (linkage matches alone are all source↔variant pairs,
+    measured 15/15 size-2 at sf0.01)."""
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+
+    def edited(word: str, off: int) -> DataFrame:
+        t = F.array_join(
+            F.concat(
+                F.slice(toks, 1, 4),
+                F.array(F.lit(word)),
+                F.slice(toks, 6, F.size(toks)),
+            ),
+            " ",
+        )
+        return d.filter(
+            (F.col("doc_id") % ED_VARIANT_MOD == 9) & (F.size(toks) >= 6)
+        ).select((F.col("doc_id") + off).alias("doc_id"), t.alias("text"))
+
+    clones = d.filter(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + GR_CLONE_OFF).alias("doc_id"), "text"
+    )
+    return d.unionByName(clones).unionByName(
+        edited("EDITED", GR_VAR_A_OFF)
+    ).unionByName(edited("AMENDED", GR_VAR_B_OFF))
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the step AFTER matching that
+    entity resolution ships: union the edges of two independent
+    matchers (exact text digest; Fellegi-Sunter blocked field
+    scoring with the linkage_score weights), transitively close them
+    into entities (_cc_min_label — the dedup_cluster CC), then merge
+    each entity's records by per-field survivorship rules: text
+    survivor = longest (tie → min doc_id), lang/source = most
+    frequent value (tie → lexicographic min) — the deterministic
+    mode both engines replay.
+
+    Scale shape: both matchers are block-bounded (digest groupBy;
+    3-token-block self-join) — no all-pairs; CC runs on the matched
+    edge graph, orders of magnitude smaller than the corpus; the
+    survivor argmax is max(struct(len, −id)) (map-side combinable,
+    no window) and the mode windows partition by entity, bounded by
+    entity size.  Oracle: recursive-CTE reachability + window-rank
+    survivorship — independent algorithms for both halves."""
+    from pyspark.sql.window import Window
+
+    u = _gr_universe(spark, sf_dir)
+    # matcher 1: exact content digest (star edges to the group min)
+    ex = (
+        u.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("root"),
+            F.collect_set("doc_id").alias("ids"),
+        )
+        .filter(F.size("ids") > 1)
+        .select("root", F.explode("ids").alias("doc_id"))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("a"), F.col("doc_id").alias("b"))
+    )
+    # matcher 2: FS field scoring over 3-token blocks (linkage_score
+    # weights; fields resolved through pmod(id, 10M) so clones and
+    # both variant systems inherit their source row's lang/source)
+    flds = _load_wide(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_id"), "lang", "source"
+    )
+    base = u.join(
+        flds, F.pmod(F.col("doc_id"), F.lit(GR_CLONE_OFF)) == F.col("src_id")
+    ).select(
+        "doc_id", "lang", "source",
+        F.expr(f"length(text) div {FS_LEN_BUCKET}").alias("len_b"),
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("blk"),
+    )
+    a, b = [
+        base.select(*[F.col(c).alias(f"{p}_{c}") for c in base.columns])
+        for p in ("a", "b")
+    ]
+    score = None
+    for f, (wa, wd) in (
+        ("lang", FS_W["lang"]), ("source", FS_W["source"]), ("len_b", FS_W["len"])
+    ):
+        t = F.when(F.col(f"a_{f}") == F.col(f"b_{f}"), F.lit(wa)).otherwise(
+            F.lit(wd)
+        )
+        score = t if score is None else score + t
+    fs = (
+        a.join(b, F.col("a_blk") == F.col("b_blk"))
+        .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+        .filter(score >= FS_THRESHOLD)
+        .select(F.col("a_doc_id").alias("a"), F.col("b_doc_id").alias("b"))
+    )
+    pairs = ex.unionByName(fs).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = _cc_min_label(edges)
+    mem = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("entity_id")
+    ).join(
+        base.select("doc_id", "lang", "source"), "doc_id"
+    ).join(
+        u.select("doc_id", F.length("text").cast("long").alias("len_chars")),
+        "doc_id",
+    )
+    per = mem.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(
+            F.struct(F.col("len_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("sv"),
+    )
+    surv = per.select(
+        "entity_id", "n_members",
+        (-F.col("sv.neg")).cast("long").alias("survivor_id"),
+        F.col("sv.len_chars").cast("long").alias("survivor_len"),
+    )
+
+    def mode_of(col: str) -> DataFrame:
+        cnt = mem.groupBy("entity_id", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("entity_id").orderBy(F.desc("cnt"), F.asc(col))
+        return (
+            cnt.select(
+                "entity_id", col, F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("entity_id", F.col(col).alias(f"{col}_mode"))
+        )
+
+    return (
+        surv.join(mode_of("lang"), "entity_id")
+        .join(mode_of("source"), "entity_id")
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "n_members", "survivor_id", "survivor_len",
+            "lang_mode", "source_mode",
+        )
+    )
+
+
+# ----------------------------------------------- k-anonymity audit
+
+KANON_K = 5
+KANON_B0, KANON_B1 = 1000, 5000  # acctbal bucket widths, level 0 / 1
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer
+    quasi-identifiers (nation, market segment, account-balance
+    bucket) with a two-step generalization ladder (Samarati's
+    lattice walk): for every level-0 equivalence class report its
+    size and k<5 violation flag, plus the sizes the class would have
+    after (1) coarsening the balance bucket 1000→5000 and (2) also
+    dropping nation — the audit output a privacy officer needs to
+    pick the cheapest generalization that clears k.
+
+    Exactness: buckets are FLOOR(bal/width) — the SAME literal
+    formula in both engines (a bare integer CAST would hit the
+    truncate-vs-round seam on negative balances); floor(floor(x/a)/b)
+    = floor(x/(ab)) makes level-1 derivable from level-0 exactly.
+
+    Scale shape: ONE corpus-sized groupBy (level 0); levels 1 and 2
+    re-aggregate the class table (domain-sized, not corpus-sized) and
+    join back broadcast."""
+    c = _load_wide(spark, sf_dir, "customer")
+    b0 = F.floor(F.col("c_acctbal") / KANON_B0).cast("long")
+    cls0 = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        b0.alias("bal_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    step = KANON_B1 // KANON_B0
+    b1 = F.floor(F.col("bal_b") / F.lit(float(step))).cast("long")
+    lvl0 = cls0.withColumn("bal_b1", b1)
+    cls1 = lvl0.groupBy("nation", "segment", "bal_b1").agg(
+        F.sum("n").cast("long").alias("n1")
+    )
+    cls2 = cls1.groupBy("segment", "bal_b1").agg(
+        F.sum("n1").cast("long").alias("n2")
+    )
+    return (
+        lvl0.join(F.broadcast(cls1), ["nation", "segment", "bal_b1"])
+        .join(F.broadcast(cls2), ["segment", "bal_b1"])
+        .select(
+            "nation", "segment", "bal_b", "n",
+            (F.col("n") < KANON_K).cast("long").alias("violates"),
+            "n1",
+            (F.col("n1") >= KANON_K).cast("long").alias("gen1_ok"),
+            "n2",
+            (F.col("n2") >= KANON_K).cast("long").alias("gen2_ok"),
+        )
+    )
+
+
+# -------------------------------------------- seasonal anomaly flags
+
+SEAS_MULT = 2  # flag hours above 2x / below 1/2x their seasonal mean
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection over event volumes: each
+    (type, date, hour) cell is compared against its OWN seasonal
+    stratum — the (type, day-of-week, hour) mean — and flagged when
+    it exceeds 2× or falls below ½× that mean.  This is the
+    monitoring layer cusum_drift (sequential) and rolling_stats
+    (trailing window) don't give: a weekly-periodic baseline that
+    doesn't flag every Saturday as a drop.
+
+    Exactness: the comparisons are integer cross-multiplications
+    (c·m > 2·s and 2·c·m < s, with m = stratum cell count and s =
+    stratum sum) — no division anywhere.  Day-of-week is computed as
+    days-since-epoch mod 7 in BOTH engines (Spark dayofweek is
+    1=Sunday, DuckDB dow is 0=Sunday — the function seam is avoided,
+    not papered over).
+
+    Scale shape: one corpus groupBy onto (type, date, hour) cells;
+    the baseline is a second agg over the CELL table (calendar-sized)
+    joined back broadcast."""
+    e = _load_wide(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = cells.withColumn(
+        "dw",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long"),
+    )
+    baseline = cells.groupBy("event_type", "dw", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    j = cells.join(F.broadcast(baseline), ["event_type", "dw", "h"])
+    hi = F.col("c") * F.col("m") > F.lit(SEAS_MULT) * F.col("s")
+    lo = F.lit(SEAS_MULT) * F.col("c") * F.col("m") < F.col("s")
+    return (
+        j.filter(hi | lo)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "h", "dw", "c", "m", "s",
+            hi.cast("long").alias("flag_hi"),
+            lo.cast("long").alias("flag_lo"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -9188,6 +9448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "basket_lift": q_basket_lift,
         "cohens_kappa": q_cohens_kappa,
+        "golden_record": q_golden_record,
+        "k_anonymity": q_k_anonymity,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -13513,3 +13776,177 @@ def _install_s12_batch6_oracles() -> None:
 
 
 _install_s12_batch6_oracles()
+
+
+def _install_s12_batch7_oracles() -> None:
+    # golden_record: recursive-CTE reachability for the entity
+    # closure + window-rank survivorship — independent algorithms
+    # from Spark's label propagation + struct-argmax on both halves.
+    w = FS_W
+    _ORACLE_SQL["golden_record"] = f"""
+        WITH RECURSIVE uni AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {GR_CLONE_OFF}, text FROM documents
+            WHERE doc_id % 100 = 7
+            UNION ALL
+            SELECT doc_id + {GR_VAR_A_OFF},
+                   array_to_string(list_concat(list_concat(
+                       toks[1:4], ['EDITED']), toks[6:len(toks)]), ' ')
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+            WHERE doc_id % {ED_VARIANT_MOD} = 9 AND len(toks) >= 6
+            UNION ALL
+            SELECT doc_id + {GR_VAR_B_OFF},
+                   array_to_string(list_concat(list_concat(
+                       toks[1:4], ['AMENDED']), toks[6:len(toks)]), ' ')
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+            WHERE doc_id % {ED_VARIANT_MOD} = 9 AND len(toks) >= 6
+        ),
+        ex AS (
+            SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS a,
+                   doc_id AS b
+            FROM uni QUALIFY b > a
+        ),
+        base AS (
+            SELECT u.doc_id, s.lang, s.source,
+                   LEN(u.text) // {FS_LEN_BUCKET} AS len_b,
+                   array_to_string((string_split(u.text, ' '))[1:3], ' ')
+                       AS blk,
+                   CAST(LEN(u.text) AS BIGINT) AS len_chars
+            FROM uni u
+            JOIN documents s ON u.doc_id % {GR_CLONE_OFF} = s.doc_id
+        ),
+        fs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM base a JOIN base b USING (blk)
+            WHERE a.doc_id < b.doc_id
+              AND (CASE WHEN a.lang = b.lang
+                        THEN CAST({w['lang'][0]} AS DOUBLE)
+                        ELSE CAST({w['lang'][1]} AS DOUBLE) END
+                   + CASE WHEN a.source = b.source
+                          THEN CAST({w['source'][0]} AS DOUBLE)
+                          ELSE CAST({w['source'][1]} AS DOUBLE) END
+                   + CASE WHEN a.len_b = b.len_b
+                          THEN CAST({w['len'][0]} AS DOUBLE)
+                          ELSE CAST({w['len'][1]} AS DOUBLE) END)
+                  >= {FS_THRESHOLD}
+        ),
+        pairs AS (SELECT a, b FROM ex UNION SELECT a, b FROM fs),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ),
+        reach AS (
+            SELECT src AS node, dst AS r FROM edges
+            UNION
+            SELECT reach.node, e.dst FROM reach
+            JOIN edges e ON reach.r = e.src
+        ),
+        lab AS (
+            SELECT node AS doc_id, LEAST(node, MIN(r)) AS entity_id
+            FROM reach GROUP BY node
+        ),
+        mem AS (
+            SELECT lab.entity_id, base.doc_id, base.lang, base.source,
+                   base.len_chars
+            FROM lab JOIN base USING (doc_id)
+        ),
+        surv AS (
+            SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM mem GROUP BY entity_id
+        ),
+        sv AS (
+            SELECT entity_id, doc_id AS survivor_id,
+                   len_chars AS survivor_len,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                       ORDER BY len_chars DESC, doc_id ASC) AS rn
+            FROM mem
+        ),
+        lmode AS (
+            SELECT entity_id, lang AS lang_mode FROM (
+                SELECT entity_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY COUNT(*) DESC, lang ASC) AS rn
+                FROM mem GROUP BY entity_id, lang
+            ) WHERE rn = 1
+        ),
+        smode AS (
+            SELECT entity_id, source AS source_mode FROM (
+                SELECT entity_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY COUNT(*) DESC, source ASC) AS rn
+                FROM mem GROUP BY entity_id, source
+            ) WHERE rn = 1
+        )
+        SELECT CAST(s.entity_id AS BIGINT) AS entity_id, s.n_members,
+               CAST(v.survivor_id AS BIGINT) AS survivor_id,
+               v.survivor_len, l.lang_mode, m.source_mode
+        FROM surv s
+        JOIN (SELECT * FROM sv WHERE rn = 1) v USING (entity_id)
+        JOIN lmode l USING (entity_id)
+        JOIN smode m USING (entity_id)
+    """
+    # k_anonymity: same FLOOR bucketing, same ladder re-aggregation.
+    _step = KANON_B1 // KANON_B0
+    _ORACLE_SQL["k_anonymity"] = f"""
+        WITH cls0 AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   c_mktsegment AS segment,
+                   CAST(FLOOR(c_acctbal / {KANON_B0}) AS BIGINT) AS bal_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        lvl0 AS (
+            SELECT *, CAST(FLOOR(bal_b / {float(_step)}) AS BIGINT)
+                       AS bal_b1
+            FROM cls0
+        ),
+        cls1 AS (
+            SELECT nation, segment, bal_b1, CAST(SUM(n) AS BIGINT) AS n1
+            FROM lvl0 GROUP BY 1, 2, 3
+        ),
+        cls2 AS (
+            SELECT segment, bal_b1, CAST(SUM(n1) AS BIGINT) AS n2
+            FROM cls1 GROUP BY 1, 2
+        )
+        SELECT l.nation, l.segment, l.bal_b, l.n,
+               CAST(l.n < {KANON_K} AS BIGINT) AS violates,
+               c1.n1, CAST(c1.n1 >= {KANON_K} AS BIGINT) AS gen1_ok,
+               c2.n2, CAST(c2.n2 >= {KANON_K} AS BIGINT) AS gen2_ok
+        FROM lvl0 l
+        JOIN cls1 c1 USING (nation, segment, bal_b1)
+        JOIN cls2 c2 USING (segment, bal_b1)
+    """
+    # seasonal_anomaly: same epoch-mod-7 dow, same integer
+    # cross-multiplied flags.
+    _ORACLE_SQL["seasonal_anomaly"] = f"""
+        WITH cells AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3
+        ),
+        cd AS (
+            SELECT *, CAST(DATE_DIFF('day', DATE '1970-01-01', d) % 7
+                           AS BIGINT) AS dw
+            FROM cells
+        ),
+        baseline AS (
+            SELECT event_type, dw, h,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(c) AS BIGINT) AS s
+            FROM cd GROUP BY 1, 2, 3
+        )
+        SELECT cd.event_type, STRFTIME(cd.d, '%Y-%m-%d') AS d,
+               cd.h, cd.dw, cd.c, b.m, b.s,
+               CAST(cd.c * b.m > {SEAS_MULT} * b.s AS BIGINT) AS flag_hi,
+               CAST({SEAS_MULT} * cd.c * b.m < b.s AS BIGINT) AS flag_lo
+        FROM cd JOIN baseline b USING (event_type, dw, h)
+        WHERE cd.c * b.m > {SEAS_MULT} * b.s
+           OR {SEAS_MULT} * cd.c * b.m < b.s
+    """
+
+
+_install_s12_batch7_oracles()

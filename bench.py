@@ -180,6 +180,9 @@ RELATIONAL = [
     "ndcg_eval",
     "basket_lift",
     "cohens_kappa",
+    "golden_record",
+    "k_anonymity",
+    "seasonal_anomaly",
 ]
 
 
