@@ -9277,6 +9277,254 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- classifier macro/micro F1
+
+F1_Q_SCALE = 10**9
+
+
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + macro/micro rollups for the
+    char-n-gram language classifier against gold labels — consuming
+    q_lang_id_ngram's confusion matrix VERBATIM (the rrf_fuse
+    drift-proofing), which closes the eval suite: AUC ranks, NDCG
+    grades, calibration checks probabilities, kappa checks raters,
+    and this row scores the multiclass decision itself.
+
+    Exactness: tp/fp/fn are integers from the matrix; per class
+    F1 = 2tp/(2tp+fp+fn) rides as a BIGINT rational; the MACRO row
+    averages per-class F1s after quantizing each to 1e-9 (f1q =
+    ROUND(2tp·1e9/(2tp+fp+fn)) — one deterministic double per class,
+    the decayed_counts device), so macro_num = Σ f1q is exact and
+    order-free; the MICRO row uses the SAME rational formula on the
+    summed counts (for single-label multiclass it equals accuracy).
+
+    Scale shape: everything runs on the classes×classes matrix —
+    corpus-size-independent past the reused lang_id_ngram agg."""
+    cm = q_lang_id_ngram(spark, sf_dir)
+    by_true = cm.groupBy(F.col("lang").alias("label")).agg(
+        F.sum("n_docs").cast("long").alias("row_n"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), F.col("n_docs"))
+              .otherwise(0)).cast("long").alias("tp"),
+    )
+    by_pred = cm.groupBy(F.col("pred_lang").alias("label")).agg(
+        F.sum("n_docs").cast("long").alias("col_n")
+    )
+    per = by_true.join(by_pred, "label", "full_outer").select(
+        "label",
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        (F.coalesce("col_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+        .alias("fp"),
+        (F.coalesce("row_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+        .alias("fn"),
+    )
+    f1_num = F.lit(2) * F.col("tp")
+    f1_den = F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")
+    cls = per.select(
+        "label", "tp", "fp", "fn",
+        f1_num.cast("long").alias("f1_num"),
+        f1_den.cast("long").alias("f1_den"),
+        F.round(f1_num * F.lit(F1_Q_SCALE) / f1_den).cast("long")
+        .alias("f1_q"),
+        F.round(f1_num / f1_den, 9).alias("f1"),
+    )
+    micro = cls.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    ).select(
+        F.lit("__micro__").alias("label"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        (F.lit(2) * F.col("tp")).cast("long").alias("f1_num"),
+        (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("long")
+        .alias("f1_den"),
+        F.round(
+            F.lit(2) * F.col("tp") * F.lit(F1_Q_SCALE)
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).cast("long").alias("f1_q"),
+        F.round(
+            F.lit(2) * F.col("tp")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")),
+            9,
+        ).alias("f1"),
+    )
+    macro = cls.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"), F.sum("f1_q").alias("mnum"),
+        F.count(F.lit(1)).alias("k"),
+    ).select(
+        F.lit("__macro__").alias("label"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("mnum").cast("long").alias("f1_num"),
+        (F.col("k") * F.lit(F1_Q_SCALE)).cast("long").alias("f1_den"),
+        F.lit(None).cast("long").alias("f1_q"),
+        F.round(F.col("mnum") / (F.col("k") * F.lit(F1_Q_SCALE)), 9)
+        .alias("f1"),
+    )
+    return cls.unionByName(micro).unionByName(macro)
+
+
+# ------------------------------------------ snapshot vacuum planner
+
+VACUUM_RETAIN_DAYS = 7  # keep the last 7 daily snapshots
+
+
+def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry vacuum planner — the lakehouse GC step
+    (Iceberg expire_snapshots / Delta VACUUM): model the events table
+    as MVCC state files, one per (user, active day), where a user's
+    file is superseded the next day they have activity.  With daily
+    snapshots and a retain-last-7 policy, a file is safe to delete
+    iff its validity interval [day, next_day) ends at or before the
+    oldest retained snapshot — since snapshots exist at every active
+    day, the interval-overlap test collapses to ONE comparison
+    (next_day ≤ min_retained), no snapshot×file join.
+
+    Scale shape: files = one distinct over (user, day) (map-side
+    combined); next_day = LEAD over per-user windows (bounded by a
+    user's active days); min_retained is one scalar from the
+    domain-sized distinct-day table.  Output carries n_events as the
+    file-size proxy so the plan doubles as a reclaim estimate."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    files = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    days = [
+        r["d"]
+        for r in files.select("d").distinct()
+        .orderBy(F.desc("d")).limit(VACUUM_RETAIN_DAYS).collect()
+    ]
+    min_retained = min(days).strftime("%Y-%m-%d")
+    w = Window.partitionBy("user_id").orderBy("d")
+    led = files.withColumn("next_d", F.lead("d").over(w))
+    vac = F.col("next_d").isNotNull() & (
+        F.col("next_d") <= F.lit(min_retained).cast("date")
+    )
+    return led.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.date_format("next_d", "yyyy-MM-dd").alias("next_d"),
+        "n_events",
+        vac.cast("long").alias("vacuum"),
+    )
+
+
+# ------------------------------------------- k-core decomposition
+
+KCORE_K = 10        # core threshold
+KCORE_CLIQUE = 14   # deterministic clique overlay (docs 0..13) so the
+                    # K-core is non-empty: 13 mutual neighbors >= K
+KCORE_MAX_ROUNDS = 30
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected simple graph for the peel: the degree_powerlaw edge
+    universe (extracted crawl links + the hub overlay) symmetrized to
+    (a < b) pairs, plus an all-pairs clique over docs 0..13."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    crawl = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select("src", F.col("dd").cast("long").alias("dst"))
+    hubs = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[F.pmod(F.col("doc_id"), F.lit(1 << k)) for k in range(1, 10)])
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    clique = (
+        d.filter(F.col("doc_id") < KCORE_CLIQUE)
+        .select(F.col("doc_id").alias("src"))
+        .join(
+            d.filter(F.col("doc_id") < KCORE_CLIQUE)
+            .select(F.col("doc_id").alias("dst")),
+            F.col("src") < F.col("dst"),
+        )
+    )
+    e0 = crawl.unionByName(hubs).filter(F.col("src") != F.col("dst"))
+    und = e0.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).unionByName(clique.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    return und.distinct()
+
+
+def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel trace (Matula & Beck 1983; Batagelj-Zaveršnik):
+    synchronously remove all nodes of degree < K, repeat to fixpoint;
+    output every node with the ROUND it was peeled at (0 = survives
+    in the K-core) and its degree at that moment (for survivors, the
+    final in-core degree).  This is the graph-curation primitive
+    crawl pipelines use to separate link-farm periphery from the
+    densely-connected core — the iterative-peel sibling of the CC
+    row's label propagation.
+
+    Determinism: the peel is SYNCHRONOUS (all sub-K nodes of a round
+    leave together), so the trace is unique — no tie-breaking.  The
+    convergence probe is one scalar count per round, and per-round
+    lineage is truncated with localCheckpoint (the _cc_min_label
+    discipline).  The oracle unrolls 8 peel rounds as chained CTEs
+    (the Lloyd-unroll precedent; the sf0.01 cascade fixes in 6 —
+    pinned by tests) — a genuinely different formulation of the same
+    recursion.
+
+    Scale shape: per round ONE degree groupBy over surviving edges +
+    one semi-join — all key-partitioned, map-side combined; rounds =
+    O(peel depth), each O(|E_t|) with shrinking E_t."""
+    und = _kcore_edges(spark, sf_dir).localCheckpoint()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"))) \
+        .localCheckpoint()
+    # the node set is tracked EXPLICITLY (degree 0 via coalesce): a
+    # node whose last edges vanish inside one round must still be
+    # peeled, not silently dropped from the degree table
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    peeled_parts = []
+    for rnd in range(1, KCORE_MAX_ROUNDS + 1):
+        edeg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("edeg")
+        )
+        deg = nodes.join(edeg, "node", "left").select(
+            "node", F.coalesce("edeg", F.lit(0)).cast("long").alias("deg")
+        )
+        drop = deg.filter(F.col("deg") < KCORE_K).localCheckpoint()
+        if drop.count() == 0:
+            survivors = deg.select(
+                "node",
+                F.lit(0).cast("long").alias("peel_round"),
+                F.col("deg"),
+            )
+            break
+        peeled_parts.append(
+            drop.select(
+                "node",
+                F.lit(rnd).cast("long").alias("peel_round"),
+                F.col("deg"),
+            )
+        )
+        nodes = deg.filter(F.col("deg") >= KCORE_K).select("node") \
+            .localCheckpoint()
+        edges = (
+            edges.join(nodes.withColumnRenamed("node", "src"), "src", "semi")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds"
+        )
+    out = survivors
+    for p in peeled_parts:
+        out = out.unionByName(p)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -9451,6 +9699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "k_anonymity": q_k_anonymity,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "macro_f1": q_macro_f1,
+        "vacuum_plan": q_vacuum_plan,
+        "kcore_decompose": q_kcore_decompose,
     }
 
 
@@ -13950,3 +14201,151 @@ def _install_s12_batch7_oracles() -> None:
 
 
 _install_s12_batch7_oracles()
+
+
+def _install_s12_batch8_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    # macro_f1: the confusion matrix is the lang_id_ngram oracle
+    # VERBATIM; same rational F1s, same 1e-9 quantized macro average.
+    _ORACLE_SQL["macro_f1"] = f"""
+        WITH cm AS ({_ORACLE_SQL['lang_id_ngram']}),
+        bt AS (
+            SELECT lang AS label, CAST(SUM(n_docs) AS BIGINT) AS row_n,
+                   CAST(SUM(CASE WHEN pred_lang = lang THEN n_docs
+                            ELSE 0 END) AS BIGINT) AS tp
+            FROM cm GROUP BY 1
+        ),
+        bp AS (
+            SELECT pred_lang AS label, CAST(SUM(n_docs) AS BIGINT)
+                       AS col_n
+            FROM cm GROUP BY 1
+        ),
+        per AS (
+            SELECT COALESCE(bt.label, bp.label) AS label,
+                   COALESCE(tp, 0) AS tp,
+                   COALESCE(col_n, 0) - COALESCE(tp, 0) AS fp,
+                   COALESCE(row_n, 0) - COALESCE(tp, 0) AS fn
+            FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+        ),
+        cls AS (
+            SELECT label, CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                   CAST(2 * tp AS BIGINT) AS f1_num,
+                   CAST(2 * tp + fp + fn AS BIGINT) AS f1_den,
+                   CAST(ROUND(2 * tp * {F1_Q_SCALE}.0
+                              / (2 * tp + fp + fn)) AS BIGINT) AS f1_q,
+                   ROUND(2.0 * tp / (2 * tp + fp + fn), 9) AS f1
+            FROM per
+        )
+        SELECT * FROM cls
+        UNION ALL
+        SELECT '__micro__', CAST(SUM(tp) AS BIGINT),
+               CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT),
+               CAST(2 * SUM(tp) AS BIGINT),
+               CAST(2 * SUM(tp) + SUM(fp) + SUM(fn) AS BIGINT),
+               CAST(ROUND(2 * SUM(tp) * {F1_Q_SCALE}.0
+                    / (2 * SUM(tp) + SUM(fp) + SUM(fn))) AS BIGINT),
+               ROUND(2.0 * SUM(tp)
+                     / (2 * SUM(tp) + SUM(fp) + SUM(fn)), 9)
+        FROM cls
+        UNION ALL
+        SELECT '__macro__', CAST(SUM(tp) AS BIGINT),
+               CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT),
+               CAST(SUM(f1_q) AS BIGINT),
+               CAST(COUNT(*) * {F1_Q_SCALE} AS BIGINT),
+               CAST(NULL AS BIGINT),
+               ROUND(SUM(f1_q) * 1.0 / (COUNT(*) * {F1_Q_SCALE}), 9)
+        FROM cls
+    """
+    # vacuum_plan: same file model, same LEAD validity interval, same
+    # one-comparison retention test ("vacuum" quoted: DuckDB keyword).
+    _ORACLE_SQL["vacuum_plan"] = f"""
+        WITH f AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT MIN(d) AS mn FROM (
+                SELECT DISTINCT d FROM f ORDER BY d DESC
+                LIMIT {VACUUM_RETAIN_DAYS}
+            )
+        ),
+        l AS (
+            SELECT user_id, d,
+                   LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nd,
+                   n_events
+            FROM f
+        )
+        SELECT user_id, STRFTIME(d, '%Y-%m-%d') AS d,
+               STRFTIME(nd, '%Y-%m-%d') AS next_d, n_events,
+               CAST(nd IS NOT NULL AND nd <= r.mn AS BIGINT) AS "vacuum"
+        FROM l CROSS JOIN r
+    """
+    # kcore_decompose: the peel recursion UNROLLED as chained CTEs
+    # (Lloyd-unroll precedent) — 8 rounds; the sf0.01 cascade fixes
+    # in 6, and extra rounds are provable no-ops at the fixpoint.
+    rounds = 8
+    head = (
+        "WITH pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents), "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "hub AS (SELECT doc_id AS src, doc_id % (1 << k) AS d "
+        "FROM documents CROSS JOIN generate_series(1, 9) AS t(k) "
+        "WHERE doc_id <> doc_id % (1 << k)), "
+        "e0 AS (SELECT DISTINCT src, CAST(d AS BIGINT) AS dst FROM ex "
+        "UNION SELECT DISTINCT src, CAST(d AS BIGINT) FROM hub), "
+        f"cl AS (SELECT a.doc_id AS a, b.doc_id AS b FROM documents a "
+        f"JOIN documents b ON a.doc_id < b.doc_id "
+        f"WHERE a.doc_id < {KCORE_CLIQUE} AND b.doc_id < {KCORE_CLIQUE}), "
+        # MATERIALIZED: each unrolled round references sym twice; an
+        # inlined CTE would re-open the parquet per reference (8
+        # rounds blew DuckDB's file-handle budget before this hint)
+        "ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0 WHERE src <> dst "
+        "UNION SELECT a, b FROM cl), "
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ue "
+        "UNION ALL SELECT b, a FROM ue), "
+        "n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym), "
+    )
+    # every round CTE is MATERIALIZED: d{r} is referenced twice and
+    # n{r} three times by round r+1 — inlining compounds 3x per round
+    # (the un-hinted version never finished at 8 rounds)
+    parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n.node, "
+            f"CAST(COALESCE(e.c, 0) AS BIGINT) "
+            f"AS deg FROM n{p} n LEFT JOIN ("
+            f"SELECT s.src AS node, COUNT(*) AS c FROM sym s "
+            f"JOIN n{p} x ON s.src = x.node "
+            f"JOIN n{p} y ON s.dst = y.node GROUP BY s.src) e "
+            f"USING (node)), "
+            f"p{r} AS MATERIALIZED (SELECT node, "
+            f"CAST({r} AS BIGINT) AS peel_round, "
+            f"deg FROM d{r} WHERE deg < {KCORE_K}), "
+            f"n{r} AS MATERIALIZED (SELECT node FROM d{r} "
+            f"WHERE deg >= {KCORE_K}), "
+        )
+    tail = (
+        f"dfin AS (SELECT n.node, CAST(COALESCE(e.c, 0) AS BIGINT) "
+        f"AS deg FROM n{rounds} n LEFT JOIN ("
+        f"SELECT s.src AS node, COUNT(*) AS c FROM sym s "
+        f"JOIN n{rounds} x ON s.src = x.node "
+        f"JOIN n{rounds} y ON s.dst = y.node GROUP BY s.src) e "
+        f"USING (node)) "
+        "SELECT node, CAST(0 AS BIGINT) AS peel_round, deg FROM dfin "
+        + " ".join(
+            f"UNION ALL SELECT node, peel_round, deg FROM p{r}"
+            for r in range(1, rounds + 1)
+        )
+    )
+    _ORACLE_SQL["kcore_decompose"] = head + "".join(parts) + tail
+
+
+_install_s12_batch8_oracles()

@@ -183,6 +183,9 @@ RELATIONAL = [
     "golden_record",
     "k_anonymity",
     "seasonal_anomaly",
+    "macro_f1",
+    "vacuum_plan",
+    "kcore_decompose",
 ]
 
 
