@@ -9525,6 +9525,176 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------------------------ crawl BFS depth
+
+CRAWL_SEEDS = 3          # seed set = doc_id < 3
+CRAWL_MAX_DEPTH = 30
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the seed set over the DIRECTED extracted
+    link graph — crawl-frontier scheduling's core quantity (depth
+    caps, politeness budgets, discovery-order analytics all key on
+    it).  Frontier iteration: depth d's unvisited out-neighbors
+    become depth d+1 — each round is ONE join + ONE anti-join, both
+    key-partitioned, with lineage truncated per round
+    (_cc_min_label discipline); the convergence probe is the
+    frontier count scalar.  The fixture cascade runs 8 levels
+    (depths 0..7, all 500 docs reached — pinned by tests).
+
+    Oracle: a genuinely different formulation — DuckDB recursive CTE
+    enumerating (node, depth) pairs with UNION dedup (bounded by
+    nodes × depth cap, cycle-safe) and MIN(depth) per node.
+
+    Scale shape: no corpus-sized state beyond the edge list and the
+    visited set; each round shuffles only the current frontier's
+    out-edges."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    edges = (
+        wrapped.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+        )
+        .select("src", F.col("dd").cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = (
+        d.filter(F.col("doc_id") < CRAWL_SEEDS)
+        .select(F.col("doc_id").alias("node"))
+        .localCheckpoint()
+    )
+    visited = frontier.withColumn("depth", F.lit(0).cast("long")) \
+        .localCheckpoint()
+    for depth in range(1, CRAWL_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("depth", F.lit(depth).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"BFS did not converge in {CRAWL_MAX_DEPTH} rounds"
+        )
+    return visited
+
+
+# ------------------------------------------------ join-key skew audit
+
+SKEW_AUDIT_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+SKEW_LN_SCALE = 10**9
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the planning input the skew_join
+    row's salting decision consumes: for each candidate join key of
+    lineitem, the key cardinality, the heaviest key's count and
+    share, and the key-distribution Shannon entropy.  Entropy is
+    exact-ified the decayed_counts way: H·n·1e9 = n·lnq(n) − Σ c·lnq(c)
+    where lnq is the 1e-9-quantized ln evaluated once per DISTINCT
+    count value — both sums are order-free BIGINTs, ONE division at
+    the end.
+
+    Scale shape: ONE pass over the fact table — each row explodes
+    into (col, key) pairs inside an array expression (3× map-side
+    width, zero extra scans), one groupBy(col, key) with map-side
+    combine, then all metrics live on the per-column count tables."""
+    li = _load_wide(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("long").alias("k"),
+                    )
+                    for c in SKEW_AUDIT_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.k")
+    counts = pairs.groupBy("col", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lnq_c = F.round(F.log("c") * SKEW_LN_SCALE).cast("long")
+    per = counts.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.sum(F.col("c") * lnq_c).cast("long").alias("sum_clnq"),
+    )
+    lnq_n = F.round(F.log("n_rows") * SKEW_LN_SCALE).cast("long")
+    ent_num = F.col("n_rows") * lnq_n - F.col("sum_clnq")
+    return per.select(
+        "col", "n_rows", "n_keys", "max_cnt", "sum_clnq",
+        F.round(F.col("max_cnt") / F.col("n_rows"), 9).alias("top1_share"),
+        ent_num.cast("long").alias("ent_num"),
+        F.round(
+            ent_num / (F.col("n_rows") * F.lit(float(SKEW_LN_SCALE))), 9
+        ).alias("entropy"),
+    )
+
+
+# --------------------------------------------- gap backfill planner
+
+
+def q_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-job planner: find every missing hour in each event
+    type's hourly grid (min..max observed hour) and merge consecutive
+    misses into one backfill interval (gaps-and-islands on the
+    COMPLEMENT — fill_forward imputes values, this emits the job
+    list an orchestrator would actually run).  Island key = the
+    epoch-hour minus the per-type row_number, so a run of consecutive
+    missing hours shares one anchor — pure integer arithmetic, no
+    interval-type seams.
+
+    Scale shape: the observed-hour table is a map-side-combined
+    distinct; the grid is sequence() per type (calendar-sized);
+    anti-join + the per-type island window run on the miss table
+    (calendar-sized, never corpus)."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    bounds = obs.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("h"),
+    )
+    miss = grid.join(obs, ["event_type", "h"], "anti")
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = miss.select(
+        "event_type", "h",
+        (
+            (F.unix_timestamp("h") / 3600).cast("long")
+            - F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    return isl.groupBy("event_type", "anchor").agg(
+        F.date_format(F.min("h"), "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+        F.date_format(F.max("h"), "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    ).drop("anchor")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -9702,6 +9872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macro_f1": q_macro_f1,
         "vacuum_plan": q_vacuum_plan,
         "kcore_decompose": q_kcore_decompose,
+        "crawl_depth": q_crawl_depth,
+        "skew_audit": q_skew_audit,
+        "gap_backfill": q_gap_backfill,
     }
 
 
@@ -14349,3 +14522,89 @@ def _install_s12_batch8_oracles() -> None:
 
 
 _install_s12_batch8_oracles()
+
+
+def _install_s12_batch9_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    # crawl_depth: recursive-CTE (node, depth) enumeration with UNION
+    # dedup (cycle-safe, bounded by nodes x depth cap) + MIN per node
+    # — a different algorithm from Spark's frontier iteration.
+    _ORACLE_SQL["crawl_depth"] = (
+        "WITH RECURSIVE pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents), "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "edges AS MATERIALIZED (SELECT DISTINCT src, CAST(d AS BIGINT) "
+        "AS dst FROM ex WHERE src <> CAST(d AS BIGINT)), "
+        "walk AS (SELECT doc_id AS node, 0 AS depth FROM documents "
+        f"WHERE doc_id < {CRAWL_SEEDS} "
+        "UNION "
+        "SELECT e.dst, w.depth + 1 FROM walk w "
+        "JOIN edges e ON w.node = e.src "
+        f"WHERE w.depth < {CRAWL_MAX_DEPTH}) "
+        "SELECT node, CAST(MIN(depth) AS BIGINT) AS depth "
+        "FROM walk GROUP BY node"
+    )
+    # skew_audit: per-column mirror via UNION ALL; same quantized-ln
+    # exact entropy numerator.
+    col_sqls = []
+    for c in SKEW_AUDIT_COLS:
+        col_sqls.append(f"""
+        SELECT '{c}' AS col, n_rows, n_keys, max_cnt, sum_clnq,
+               ROUND(max_cnt * 1.0 / n_rows, 9) AS top1_share,
+               CAST(n_rows * CAST(ROUND(LN(n_rows) * {SKEW_LN_SCALE})
+                    AS BIGINT) - sum_clnq AS BIGINT) AS ent_num,
+               ROUND((n_rows * CAST(ROUND(LN(n_rows) * {SKEW_LN_SCALE})
+                      AS BIGINT) - sum_clnq) * 1.0
+                     / (n_rows * {SKEW_LN_SCALE}.0), 9) AS entropy
+        FROM (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_cnt,
+                   CAST(SUM(c * CAST(ROUND(LN(c) * {SKEW_LN_SCALE})
+                        AS BIGINT)) AS BIGINT) AS sum_clnq
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY {c}
+            )
+        )""")
+    _ORACLE_SQL["skew_audit"] = " UNION ALL ".join(col_sqls)
+    # gap_backfill: same grid/anti-join/island-anchor plan in SQL.
+    _ORACLE_SQL["gap_backfill"] = """
+        WITH obs AS (
+            SELECT DISTINCT event_type, date_trunc('hour', ts) AS h
+            FROM events
+        ),
+        bounds AS (
+            SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+            FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ),
+        miss AS (
+            SELECT g.event_type, g.h
+            FROM grid g LEFT JOIN obs o USING (event_type, h)
+            WHERE o.h IS NULL
+        ),
+        isl AS (
+            SELECT event_type, h,
+                   CAST(EPOCH(h) AS BIGINT) // 3600
+                   - ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS anchor
+            FROM miss
+        )
+        SELECT event_type,
+               STRFTIME(MIN(h), '%Y-%m-%d %H:%M:%S') AS gap_start,
+               STRFTIME(MAX(h), '%Y-%m-%d %H:%M:%S') AS gap_end,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM isl GROUP BY event_type, anchor
+    """
+
+
+_install_s12_batch9_oracles()

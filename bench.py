@@ -186,6 +186,9 @@ RELATIONAL = [
     "macro_f1",
     "vacuum_plan",
     "kcore_decompose",
+    "crawl_depth",
+    "skew_audit",
+    "gap_backfill",
 ]
 
 
