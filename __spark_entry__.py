@@ -9695,6 +9695,238 @@ def q_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("anchor")
 
 
+# --------------------------------------- referential-integrity audit
+
+FK_PURGE_CUST_MOD, FK_PURGE_CUST_RES = 97, 3
+FK_PURGE_PART_MOD, FK_PURGE_PART_RES = 89, 5
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit after a simulated compliance purge
+    — the check every forget_user-style deletion needs before the
+    next pipeline run: with customers (c_custkey%97==3) and parts
+    (p_partkey%89==5) purged, every FK edge of the star schema is
+    audited for dangling children: child row count, orphan row count,
+    distinct orphan keys.  Purged edges go non-zero; untouched edges
+    (orders→lineitem, supplier, nation) prove zero — both classes in
+    one report.
+
+    Scale shape: each edge is ONE anti-join on its key (the
+    customers_without_orders shape) feeding a scalar agg; dimension
+    parents broadcast; the two fact-side edges shuffle once each on
+    the child key."""
+    li = _load_wide(spark, sf_dir, "lineitem")
+    o = _load_wide(spark, sf_dir, "orders")
+    c = _load_wide(spark, sf_dir, "customer").filter(
+        ~(F.col("c_custkey") % FK_PURGE_CUST_MOD == FK_PURGE_CUST_RES)
+    )
+    p = _load_wide(spark, sf_dir, "part").filter(
+        ~(F.col("p_partkey") % FK_PURGE_PART_MOD == FK_PURGE_PART_RES)
+    )
+    s = _load_wide(spark, sf_dir, "supplier")
+    n = _load_wide(spark, sf_dir, "nation")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        orphans = child.select(F.col(ck).alias("k")).join(
+            parent.select(F.col(pk).alias("k")), "k", "anti"
+        )
+        row = child.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child")
+        ).crossJoin(
+            orphans.agg(
+                F.count(F.lit(1)).cast("long").alias("n_orphans"),
+                F.countDistinct("k").cast("long").alias("n_orphan_keys"),
+            )
+        ).select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans",
+                 "n_orphan_keys")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------- l-diversity audit
+
+LDIV_L = 3    # require >= 3 distinct sensitive values per QI class
+LDIV_B = 200  # finer bal bucket than k_anonymity: at width 1000 every
+              # class trivially clears l=3 (measured 55/55) — the QI
+              # must be fine enough that both verdicts occur (24 fail)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    property k-anonymity misses: a class can be large yet reveal the
+    sensitive attribute if everyone in it shares one value.  QI =
+    (market segment, FLOOR(bal/1000)); sensitive = nation.  Per
+    class: size, distinct sensitive values, the l>=3 verdict, and the
+    dominant value's share as an exact rational (top_cnt/n — the
+    probabilistic-disclosure risk).
+
+    Scale shape: ONE corpus groupBy(QI, sensitive); class rollups and
+    the deterministic dominant-value rank (cnt desc, value asc) run
+    on the domain-sized cell table with per-class-bounded windows."""
+    from pyspark.sql.window import Window
+
+    c = _load_wide(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / LDIV_B).cast("long").alias("bal_b"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per = cells.groupBy("segment", "bal_b").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+    )
+    w = Window.partitionBy("segment", "bal_b").orderBy(
+        F.desc("cnt"), F.asc("nation")
+    )
+    top = cells.select(
+        "segment", "bal_b", "nation", "cnt",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1).select(
+        "segment", "bal_b",
+        F.col("nation").alias("top_nation"),
+        F.col("cnt").alias("top_cnt"),
+    )
+    return per.join(top, ["segment", "bal_b"]).select(
+        "segment", "bal_b", "n", "n_sensitive",
+        (F.col("n_sensitive") >= LDIV_L).cast("long").alias("l_ok"),
+        "top_nation", "top_cnt",
+        F.round(F.col("top_cnt") / F.col("n"), 9).alias("top_share"),
+    )
+
+
+# ------------------------------------------- product quantization
+
+PQ_M = 4        # subspaces over the 64-dim embeddings (16 dims each)
+PQ_KSUB = 16    # centroids per subquantizer (codes are 4 x 4-bit)
+PQ_ITERS = 2    # Lloyd iterations per subquantizer
+
+
+def _pq_assign_expr(sub_col, cb) -> "F.Column":
+    """Nearest-centroid argmin over a subvector column by the
+    dot-product identity argmin|x−c|² = argmax(x·c − ½c·c), with the
+    first-max rule breaking ties toward the smallest code (codebook
+    sorted by cent_id — the _ivf_assign_expr convention).  Both the
+    x·c and c·c folds are left-to-right _dot64 chains, mirrored by
+    the oracle's LIST_DOT_PRODUCT."""
+    cb = sorted(cb, key=lambda r: r["cent_id"])
+    scores = F.array(
+        *[
+            _dot64(sub_col, F.array(*[F.lit(float(x)) for x in r["cent_vec"]]))
+            - F.lit(0.5)
+            * _dot64(
+                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]),
+                F.array(*[F.lit(float(x)) for x in r["cent_vec"]]),
+            )
+            for r in cb
+        ]
+    )
+    cids = F.array(*[F.lit(int(r["cent_id"])) for r in cb])
+    return F.element_at(
+        cids, F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+
+
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+    vector-compression half of the ANN stack (IVF partitions the
+    corpus; PQ compresses residents to M small codes): the 64-dim
+    embeddings split into M=4 16-dim subspaces, each trained with 2
+    Lloyd iterations (seed = first 16 vectors' slices), then every
+    vector is encoded as its per-subspace nearest-centroid code and
+    scored by the squared reconstruction error of that subspace.
+
+    Exactness: Lloyd means are exact int64 sums of floor(val·1e9)
+    (the _ivf_train_codebook device) WITHOUT spherical normalization
+    (PQ is plain k-means — subvectors are not unit-norm); assignment
+    uses argmin|x−c|² = argmax(x·c − ½c·c) where every fold is a
+    deterministic left-to-right _dot64 / LIST_DOT_PRODUCT chain and
+    ties break toward the smaller code; err² = x·x − 2x·c + c·c in a
+    FIXED 3-term order, rounded at 6 dp.
+
+    Scale shape: training collects only O(KSUB·d/M) centroid rows per
+    iteration (constant at any corpus size); assignment and error
+    are pure map-side projections against literal codebooks — the
+    serving shape of a PQ encoder at 100 TB."""
+    e = _load(spark, sf_dir, "embeddings")
+    width = 64 // PQ_M
+    rows = None
+    for m in range(PQ_M):
+        lo = m * width + 1
+        sub = F.transform(
+            F.slice("embedding", lo, width), lambda x: x.cast("double")
+        )
+        se = e.select("vec_id", sub.alias("subv"))
+        cb = (
+            se.filter(F.col("vec_id") < PQ_KSUB)
+            .select(
+                F.col("vec_id").cast("int").alias("cent_id"),
+                F.col("subv").alias("cent_vec"),
+            )
+            .collect()
+        )
+        for _ in range(PQ_ITERS):
+            assigned = se.select(
+                _pq_assign_expr(F.col("subv"), cb).alias("cluster"), "subv"
+            )
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode("subv").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("val") * 1000000000.0).cast("long")
+                    ).alias("s9"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+                .withColumn(
+                    "m", F.round(F.col("s9") / (F.col("cnt") * 1000000000.0), 6)
+                )
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+                )
+                .select(
+                    F.col("cluster").alias("cent_id"),
+                    F.transform("pm", lambda s: s["m"]).alias("cent_vec"),
+                )
+            )
+            cb = means.collect()
+        cbs = sorted(cb, key=lambda r: r["cent_id"])
+        code = _pq_assign_expr(F.col("subv"), cbs)
+        cvecs = F.array(
+            *[F.array(*[F.lit(float(x)) for x in r["cent_vec"]]) for r in cbs]
+        )
+        cids = F.array(*[F.lit(int(r["cent_id"])) for r in cbs])
+        cvec = F.element_at(
+            cvecs, (F.array_position(cids, F.col("code"))).cast("int")
+        )
+        part = (
+            se.withColumn("code", code)
+            .withColumn("cvec", cvec)
+            .select(
+                "vec_id",
+                F.lit(m).cast("long").alias("sub"),
+                F.col("code").cast("long").alias("code"),
+                F.round(
+                    _dot64(F.col("subv"), F.col("subv"))
+                    - F.lit(2.0) * _dot64(F.col("subv"), F.col("cvec"))
+                    + _dot64(F.col("cvec"), F.col("cvec")),
+                    6,
+                ).alias("err6"),
+            )
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -9875,6 +10107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": q_crawl_depth,
         "skew_audit": q_skew_audit,
         "gap_backfill": q_gap_backfill,
+        "fk_audit": q_fk_audit,
+        "l_diversity": q_l_diversity,
+        "pq_quantize": q_pq_quantize,
     }
 
 
@@ -14608,3 +14843,120 @@ def _install_s12_batch9_oracles() -> None:
 
 
 _install_s12_batch9_oracles()
+
+
+def _install_s12_batch10_oracles() -> None:
+    # fk_audit: per-edge anti-join (NOT IN over non-null keys) with
+    # the same simulated purge predicates.
+    purge_c = f"NOT (c_custkey % {FK_PURGE_CUST_MOD} = {FK_PURGE_CUST_RES})"
+    purge_p = f"NOT (p_partkey % {FK_PURGE_PART_MOD} = {FK_PURGE_PART_RES})"
+    fk_edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "SELECT o_orderkey FROM orders"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         f"SELECT p_partkey FROM part WHERE {purge_p}"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "SELECT s_suppkey FROM supplier"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         f"SELECT c_custkey FROM customer WHERE {purge_c}"),
+        (f"customer.c_nationkey->nation",
+         f"(SELECT * FROM customer WHERE {purge_c})", "c_nationkey",
+         "SELECT n_nationkey FROM nation"),
+    ]
+    subs = []
+    for name, child, ck, parent_sql in fk_edges:
+        subs.append(f"""
+        SELECT '{name}' AS fk_edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orphan_keys
+        FROM (SELECT {ck} AS k FROM {child}
+              WHERE {ck} NOT IN ({parent_sql}))""")
+    _ORACLE_SQL["fk_audit"] = " UNION ALL ".join(subs)
+    # l_diversity: same QI cells, same deterministic dominant rank.
+    _ORACLE_SQL["l_diversity"] = f"""
+        WITH cells AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(FLOOR(c_acctbal / {LDIV_B}) AS BIGINT) AS bal_b,
+                   CAST(c_nationkey AS BIGINT) AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        per AS (
+            SELECT segment, bal_b, CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_sensitive
+            FROM cells GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT segment, bal_b, nation AS top_nation,
+                   cnt AS top_cnt
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY segment, bal_b
+                    ORDER BY cnt DESC, nation ASC) AS rn
+                FROM cells
+            ) WHERE rn = 1
+        )
+        SELECT per.segment, per.bal_b, per.n, per.n_sensitive,
+               CAST(per.n_sensitive >= {LDIV_L} AS BIGINT) AS l_ok,
+               top.top_nation, top.top_cnt,
+               ROUND(top.top_cnt * 1.0 / per.n, 9) AS top_share
+        FROM per JOIN top USING (segment, bal_b)
+    """
+    # pq_quantize: per-subspace Lloyd unrolled as MATERIALIZED CTEs
+    # (the kcore inlining lesson), same floor-scaled exact means, same
+    # argmax(x·c − ½c·c) scoring with smallest-code ties, same 3-term
+    # err² order.
+    width = 64 // PQ_M
+    ctes, outs = [], []
+    for m in range(PQ_M):
+        lo, hi = m * width + 1, (m + 1) * width
+        ctes.append(
+            f"sub{m} AS MATERIALIZED (SELECT vec_id, "
+            f"(CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS subv "
+            f"FROM embeddings), "
+            f"cb{m}_0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cent_id, "
+            f"subv AS cent_vec FROM sub{m} WHERE vec_id < {PQ_KSUB}), "
+        )
+        for i in range(1, PQ_ITERS + 2):
+            prev = f"cb{m}_{i - 1}"
+            ctes.append(
+                f"s{m}_{i} AS (SELECT e.vec_id, e.subv, c.cent_id, "
+                f"LIST_DOT_PRODUCT(e.subv, c.cent_vec) "
+                f"- 0.5 * LIST_DOT_PRODUCT(c.cent_vec, c.cent_vec) AS score "
+                f"FROM sub{m} e CROSS JOIN {prev} c), "
+                f"a{m}_{i} AS MATERIALIZED (SELECT vec_id, subv, "
+                f"cent_id AS cluster FROM ("
+                f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+                f"ORDER BY score DESC, cent_id ASC) AS rn FROM s{m}_{i}"
+                f") WHERE rn = 1), "
+            )
+            if i <= PQ_ITERS:
+                ctes.append(
+                    f"m{m}_{i} AS (SELECT cluster, pos, "
+                    f"ROUND(CAST(SUM(CAST(FLOOR(val * 1000000000.0) "
+                    f"AS BIGINT)) AS DOUBLE) "
+                    f"/ (COUNT(*) * 1000000000.0), 6) AS m FROM ("
+                    f"SELECT cluster, UNNEST(subv) AS val, "
+                    f"UNNEST(GENERATE_SERIES(1, LEN(subv))) AS pos "
+                    f"FROM a{m}_{i}) GROUP BY 1, 2), "
+                    f"cb{m}_{i} AS MATERIALIZED (SELECT cluster AS cent_id, "
+                    f"LIST(m ORDER BY pos) AS cent_vec FROM m{m}_{i} "
+                    f"GROUP BY 1), "
+                )
+        last_a, last_cb = f"a{m}_{PQ_ITERS + 1}", f"cb{m}_{PQ_ITERS}"
+        outs.append(
+            f"SELECT a.vec_id, CAST({m} AS BIGINT) AS sub, "
+            f"CAST(a.cluster AS BIGINT) AS code, "
+            f"ROUND(LIST_DOT_PRODUCT(a.subv, a.subv) "
+            f"- 2.0 * LIST_DOT_PRODUCT(a.subv, c.cent_vec) "
+            f"+ LIST_DOT_PRODUCT(c.cent_vec, c.cent_vec), 6) AS err6 "
+            f"FROM {last_a} a JOIN {last_cb} c ON a.cluster = c.cent_id"
+        )
+    _ORACLE_SQL["pq_quantize"] = (
+        "WITH " + "".join(ctes).rstrip().rstrip(",")
+        + " " + " UNION ALL ".join(outs)
+    )
+
+
+_install_s12_batch10_oracles()

@@ -189,6 +189,9 @@ RELATIONAL = [
     "crawl_depth",
     "skew_audit",
     "gap_backfill",
+    "fk_audit",
+    "l_diversity",
+    "pq_quantize",
 ]
 
 
