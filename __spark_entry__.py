@@ -8459,8 +8459,16 @@ def _cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       seq 1: update doc_id%4==1 -> ' v2'
       seq 2: delete doc_id%9==5
       seq 3: second update doc_id%8==1 -> ' v3' (last-wins over seq 1),
-             insert new keys doc_id%10==3 at +CDC_NEW_OFFSET,
-             re-insert doc_id%18==5 ('resurrected:') over seq-2 deletes
+             insert new keys doc_id%10==3 at +CDC_NEW_OFFSET
+      seq 4: re-insert doc_id%18==5 ('resurrected:') over seq-2 deletes
+
+    The resurrection is its OWN transaction (seq 4), not part of the
+    seq-3 wave: doc_id ≡ 41 (mod 72) satisfies BOTH %8==1 and %18==5,
+    so a seq-3 resurrection would give one key two ops with equal seq
+    and the max_by winner would be engine-dependent (caught at
+    sf0.001 by test_entry_parity — the sf0.01 gate was green by
+    accident of tie-iteration order).  A seq per transaction is also
+    the honest CDC contract: real op logs are totally ordered per key.
     """
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
     u1 = d.filter(F.col("doc_id") % 4 == 1).select(
@@ -8485,7 +8493,7 @@ def _cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("digest"),
     )
     r3 = d.filter(F.col("doc_id") % 18 == 5).select(
-        "doc_id", F.lit(3).alias("seq"), F.lit("I").alias("op"),
+        "doc_id", F.lit(4).alias("seq"), F.lit("I").alias("op"),
         F.md5(F.concat(F.lit("resurrected:"), F.col("text"))).alias("digest"),
     )
     out = u1
@@ -14166,7 +14174,10 @@ def _install_s12_batch4_oracles() -> None:
             FROM documents WHERE doc_id % 10 = 3
         ),
         r3 AS (
-            SELECT doc_id, 3 AS seq, 'I' AS op,
+            -- seq 4, its own transaction: doc_id ≡ 41 (mod 72) is in
+            -- BOTH %8==1 and %18==5 — at seq 3 the max_by winner
+            -- would be an engine-dependent tie
+            SELECT doc_id, 4 AS seq, 'I' AS op,
                    MD5('resurrected:' || text)
             FROM documents WHERE doc_id % 18 = 5
         ),

@@ -89,10 +89,12 @@ def test_cdc_apply_branches(spark):
     # delete branch: keys whose last op is D vanish
     assert not (set(out.index) & deleted)
     # resurrection branch: deleted-then-reinserted keys survive with
-    # the NEW digest and last_seq 3
+    # the NEW digest and last_seq 4 (its own transaction — at seq 3
+    # doc_id ≡ 41 mod 72 would tie with the second update and the
+    # max_by winner would be engine-dependent)
     for i in sorted(resurrected)[:10]:
         assert out.loc[i, "digest"] == md5("resurrected:" + by_id[i])
-        assert out.loc[i, "last_seq"] == 3
+        assert out.loc[i, "last_seq"] == 4
     # last-wins: doc_id%8==1 got U@1 then U@3 -> v3 digest, 3 ops+base
     twice = [i for i in by_id if i % 8 == 1 and i % 9 != 5]
     assert twice
