@@ -9935,6 +9935,208 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+# ----------------------------------------- Pearson correlation matrix
+
+CORR_COLS = (
+    ("l_quantity", 1),        # integer-valued already
+    ("l_extendedprice", 100), # cents
+    ("l_discount", 100),      # percent points
+    ("l_revenue", 100),       # derived: extendedprice*(1-discount) —
+                              # the synthetic generator draws the raw
+                              # measures INDEPENDENTLY (all pairwise
+                              # corr ~0.003, unlike real TPC-H), so a
+                              # derived measure keeps the matrix
+                              # non-degenerate (corr ~0.998 with price)
+)
+_CORR_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    — the feature-screening / drift-monitoring statistic, computed
+    from algebraic sufficient statistics in ONE corpus pass (every
+    pair's Σx, Σx², Σxy in a single agg — no per-pair scans, no
+    iterative solver).
+
+    Exactness: each measure is quantized to its natural integer unit
+    (cents / percent points — ROUND, exact for these 2-dp values), so
+    all sufficient statistics are EXACT decimal(38,0) sums (int64
+    would overflow: Σ price²·cents² ≈ 6·10¹⁹ at sf0.1); the
+    correlation numerator n·Σxy − ΣxΣy is assembled driver-side in
+    Python bignums (the bm25 scalar precedent — collected stats are
+    O(cols²) scalars), and only the final sqrt/division touch floats,
+    mirrored op-for-op by the oracle (HUGEINT in DuckDB).
+
+    Scale shape: one map-side-combined agg over the fact table; the
+    output is the cols×cols matrix — corpus-size-independent."""
+    import math
+
+    li = _load_wide(spark, sf_dir, "lineitem").withColumn(
+        "l_revenue", F.expr(_CORR_REVENUE)
+    )
+    cols = [c for c, _ in CORR_COLS]
+    q = {
+        c: F.round(F.col(c) * F.lit(s)).cast("decimal(38,0)")
+        for c, s in CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(q[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(q[a] * q[b]).alias(f"sp_{a}_{b}"))
+    st = li.agg(*aggs).collect()[0]
+    n = int(st["n"])
+    s = {c: int(st[f"s_{c}"]) for c in cols}
+    ss = {c: int(st[f"ss_{c}"]) for c in cols}
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sp = int(st[f"sp_{a}_{b}"])
+            num = n * sp - s[a] * s[b]
+            va = n * ss[a] - s[a] * s[a]
+            vb = n * ss[b] - s[b] * s[b]
+            # emit the FULL-precision double: both engines derive it
+            # from identical exact integers with identical op order
+            # (float cast -> sqrt -> multiply -> divide), so the bits
+            # match and the driver's 9-dp canonicalization agrees —
+            # no in-engine ROUND, no half-even-vs-half-away seam
+            corr = (
+                float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+                if va > 0 and vb > 0
+                else None
+            )
+            rows.append((a, b, n, s[a], s[b], corr))
+    return spark.createDataFrame(
+        rows,
+        schema="col_a string, col_b string, n long, sum_a long, "
+               "sum_b long, corr double",
+    )
+
+
+# --------------------------------------- join cardinality estimation
+
+JCE_SCENARIOS = (
+    # (name, child filter SQL/Spark predicate pair applied to orders)
+    ("fk_plain", None),
+    ("filter_status_F", "o_orderstatus = 'F'"),
+    ("filter_hiprice", "o_totalprice >= 200000"),
+)
+
+
+def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer cardinality-estimation audit: the System-R uniform
+    assumption |A ⋈ B| ≈ n_A·n_B / max(d_A, d_B) evaluated against
+    the ACTUAL join size for three scenarios over
+    lineitem ⋈ orders(o_orderkey) — the unfiltered FK join (where the
+    formula is provably exact, q-error = 1) and two filtered variants
+    whose key-set/filter correlation breaks the independence
+    assumption (q-error > 1).  This is the planner-diagnostics row:
+    zone_map/skew_audit describe the data, this one scores the
+    estimator optimizers actually use on it.
+
+    Exactness: est rides as the BIGINT rational n_A·n_B / max(d_A,
+    d_B); q_error = max(est/actual, actual/est) compared and emitted
+    after ONE division each (6 dp).  Counts are exact aggregates;
+    the actual join count is one equi-join COUNT."""
+    li = _load_wide(spark, sf_dir, "lineitem")
+    o = _load_wide(spark, sf_dir, "orders")
+    n_li = li.count()
+    d_li = li.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+    out_rows = []
+    for name, pred in JCE_SCENARIOS:
+        ob = o if pred is None else o.filter(F.expr(pred))
+        n_o = ob.count()
+        d_o = ob.agg(F.countDistinct("o_orderkey")).collect()[0][0]
+        actual = li.join(
+            ob.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+        ).count()
+        est_num, est_den = n_li * n_o, max(d_li, d_o)
+        # full-precision doubles (the corr_matrix convention): both
+        # engines derive them from identical exact integers, so the
+        # driver's 9-dp canonicalization agrees without in-engine ROUND
+        est = est_num / est_den
+        q_err = max(est / actual, actual / est) if actual > 0 else None
+        out_rows.append(
+            (name, n_li, n_o, d_li, d_o, actual, est_num, est_den, est, q_err)
+        )
+    return spark.createDataFrame(
+        out_rows,
+        schema="scenario string, n_fact long, n_dim long, d_fact long, "
+               "d_dim long, actual long, est_num long, est_den long, "
+               "est double, q_error double",
+    )
+
+
+# ------------------------------------------- change-point detection
+
+CP_SCORE_SCALE = 10**6
+
+
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type (binary
+    segmentation, first split): over the daily-volume series, pick
+    the split that maximizes the between-segment term
+    S_L²/n_L + S_R²/n_R (equivalently minimizes total SSE — counts
+    are integers so the term is a rational), quantized to 1e-6 for
+    the argmax with earliest-day ties.
+
+    Exactness: daily counts, prefix sums, and S²·n cross terms are
+    exact BIGINTs (S² ≈ 4·10¹⁰ at sf0.1 — headroom to ~10⁵× more
+    volume); ONE deterministic double division per candidate is
+    quantized to the score; means are emitted after one division
+    each.
+
+    Scale shape: groupBy(type, day) is the only corpus stage; prefix
+    sums and the argmax run on the types×days table with per-type
+    windows."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    tot = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "d", "c",
+        F.sum("c").over(w).cast("long").alias("s_l"),
+        F.row_number().over(w).cast("long").alias("n_l"),
+        F.sum("c").over(tot).cast("long").alias("s"),
+        F.count(F.lit(1)).over(tot).cast("long").alias("m"),
+    ).filter(F.col("n_l") < F.col("m"))
+    s_r = (F.col("s") - F.col("s_l")).alias("s_r")
+    n_r = (F.col("m") - F.col("n_l")).alias("n_r")
+    cand = cum.select(
+        "event_type", "d", "n_l", "s_l", n_r, s_r, "s", "m"
+    ).withColumn(
+        "score",
+        F.round(
+            (
+                F.col("s_l") * F.col("s_l") * F.col("n_r")
+                + F.col("s_r") * F.col("s_r") * F.col("n_l")
+            )
+            * F.lit(float(CP_SCORE_SCALE))
+            / (F.col("n_l") * F.col("n_r")),
+        ).cast("long"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("d")
+    )
+    best = cand.select(
+        "*", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+        "n_l", "s_l", "n_r", "s_r", "score",
+        F.round(F.col("s_l") / F.col("n_l"), 6).alias("mean_l"),
+        F.round(F.col("s_r") / F.col("n_r"), 6).alias("mean_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -10118,6 +10320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": q_fk_audit,
         "l_diversity": q_l_diversity,
         "pq_quantize": q_pq_quantize,
+        "corr_matrix": q_corr_matrix,
+        "join_card_est": q_join_card_est,
+        "changepoint_detect": q_changepoint_detect,
     }
 
 
@@ -14971,3 +15176,115 @@ def _install_s12_batch10_oracles() -> None:
 
 
 _install_s12_batch10_oracles()
+
+
+def _install_s12_batch11_oracles() -> None:
+    # corr_matrix: same integer quantization, HUGEINT exact sums, and
+    # the identical float-op order (cast -> sqrt -> multiply ->
+    # divide) at FULL precision — the driver's 9-dp canonicalization
+    # does the only rounding.
+    pair_sqls = []
+    cols = [c for c, _ in CORR_COLS]
+    scale = dict(CORR_COLS)
+    qexp = {
+        c: f"CAST(ROUND({c} * {scale[c]}) AS BIGINT)" for c in cols
+    }
+    stat_cols = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        stat_cols.append(f"SUM({qexp[c]}) AS s_{c}")
+        stat_cols.append(f"SUM({qexp[c]} * {qexp[c]}) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            stat_cols.append(f"SUM({qexp[a]} * {qexp[b]}) AS sp_{a}_{b}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pair_sqls.append(f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+                   CAST(s_{a} AS BIGINT) AS sum_a,
+                   CAST(s_{b} AS BIGINT) AS sum_b,
+                   CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                   / (SQRT(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))
+                      * SQRT(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)))
+                       AS corr
+            FROM st""")
+    _ORACLE_SQL["corr_matrix"] = (
+        "WITH li AS (SELECT *, " + _CORR_REVENUE + " AS l_revenue "
+        "FROM lineitem), "
+        "st AS MATERIALIZED (SELECT "
+        + ", ".join(stat_cols)
+        + " FROM li) "
+        + " UNION ALL ".join(pair_sqls)
+    )
+    # join_card_est: same three scenarios, same uniform-assumption
+    # estimate, full-precision est / q_error doubles.
+    scen_sqls = []
+    for name, pred in JCE_SCENARIOS:
+        where = f"WHERE {pred}" if pred else ""
+        scen_sqls.append(f"""
+        SELECT '{name}' AS scenario, f.n_fact, s.n_dim, f.d_fact,
+               s.d_dim, a.actual,
+               CAST(f.n_fact * s.n_dim AS BIGINT) AS est_num,
+               CAST(GREATEST(f.d_fact, s.d_dim) AS BIGINT) AS est_den,
+               (f.n_fact * s.n_dim) * 1.0
+                   / GREATEST(f.d_fact, s.d_dim) AS est,
+               GREATEST(
+                   ((f.n_fact * s.n_dim) * 1.0
+                    / GREATEST(f.d_fact, s.d_dim)) / a.actual,
+                   a.actual / ((f.n_fact * s.n_dim) * 1.0
+                               / GREATEST(f.d_fact, s.d_dim))
+               ) AS q_error
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+                     CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_fact
+              FROM lineitem) f,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_dim,
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_dim
+              FROM orders {where}) s,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+              FROM lineitem l JOIN (SELECT o_orderkey FROM orders
+                                    {where}) o
+              ON l.l_orderkey = o.o_orderkey) a""")
+    _ORACLE_SQL["join_card_est"] = " UNION ALL ".join(scen_sqls)
+    # changepoint_detect: same prefix-sum candidates, same quantized
+    # score, same earliest-day argmax.
+    _ORACLE_SQL["changepoint_detect"] = f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, d, c,
+                   CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d)
+                        AS BIGINT) AS s_l,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY d) AS BIGINT) AS n_l,
+                   CAST(SUM(c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS m
+            FROM daily
+        ),
+        cand AS (
+            SELECT event_type, d, n_l, s_l,
+                   m - n_l AS n_r, s - s_l AS s_r, s, m,
+                   CAST(ROUND(
+                       (s_l * s_l * (m - n_l)
+                        + (s - s_l) * (s - s_l) * n_l)
+                       * {float(CP_SCORE_SCALE)}
+                       / (n_l * (m - n_l))) AS BIGINT) AS score
+            FROM cum WHERE n_l < m
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY score DESC, d ASC) AS rn
+            FROM cand
+        )
+        SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS split_day,
+               n_l, s_l, n_r, s_r, score,
+               ROUND(s_l * 1.0 / n_l, 6) AS mean_l,
+               ROUND(s_r * 1.0 / n_r, 6) AS mean_r
+        FROM best WHERE rn = 1
+    """
+
+
+_install_s12_batch11_oracles()

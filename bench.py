@@ -192,6 +192,9 @@ RELATIONAL = [
     "fk_audit",
     "l_diversity",
     "pq_quantize",
+    "corr_matrix",
+    "join_card_est",
+    "changepoint_detect",
 ]
 
 
