@@ -10137,6 +10137,236 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- JSON schema inference
+
+JSI_KEYS = ("k", "tag", "score", "flag")
+# value-token regex: a JSON string, number, or boolean right after the
+# key — the synthesized payloads are flat and escape-free, so the
+# token's first character classifies its type exactly
+_JSI_VAL = '"{key}"\\s*:\\s*("[^"]*"|-?[0-9]+\\.[0-9]+|-?[0-9]+|true|false)'
+
+
+def _jsi_payload_spark() -> "F.Column":
+    """Deterministically heterogenize the homogeneous {"k": int}
+    props (the _with_injected_dup_docs precedent — the raw fixture
+    would make inference vacuous): event_id%3==0 adds a string tag,
+    %5==0 adds a double score, %7==0 re-types k itself as a string
+    (a REAL type conflict), %11==0 drops k (missingness)."""
+    k_num = F.regexp_extract("props", '"k":\\s*([0-9]+)', 1)
+    parts = F.array(
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(F.lit('"k": "s'), k_num, F.lit('"')),
+            ).otherwise(F.concat(F.lit('"k": '), k_num))
+        ),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('"tag": "t'), (F.col("event_id") % 4).cast("string"), F.lit('"')),
+        ),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit('"score": '), (F.col("event_id") % 9).cast("string"), F.lit(".5")),
+        ),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit('"flag": '), F.when(F.col("event_id") % 4 == 0, F.lit("true")).otherwise(F.lit("false"))),
+        ),
+    )
+    return F.concat(
+        F.lit("{"),
+        F.array_join(F.filter(parts, lambda x: x.isNotNull()), ", "),
+        F.lit("}"),
+    )
+
+
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema inference — the ingestion-time discovery
+    step every JSON/event-log loader runs before a table exists: per
+    candidate key, presence count and per-type votes (long / double /
+    string / bool) from the raw value tokens, then the inferred
+    column type by the standard widening rules (any string-typed
+    occurrence → string; else any double → double; else bool if pure
+    bool; else long) plus nullability (= not always present).
+
+    The payloads are deterministically heterogenized (see
+    _jsi_payload_spark) so the operator exercises a genuine type
+    CONFLICT (k is long in most rows, string in %7 rows → string),
+    a float widening, a pure-bool column, and missingness.
+
+    Scale shape: ONE pass of pure JVM regexp projections (type
+    classification by the value token's first character — no JSON
+    library in the hot path, no Python); the vote table is
+    keys-sized."""
+    e = _load_wide(spark, sf_dir, "events")
+    p = e.select(F.col("event_id"), _jsi_payload_spark().alias("payload"))
+    n_total = p.count()
+    aggs = []
+    for key in JSI_KEYS:
+        tok = F.regexp_extract("payload", _JSI_VAL.format(key=key), 1)
+        first = F.substring(tok, 1, 1)
+        aggs.extend([
+            F.sum((tok != "").cast("long")).alias(f"present_{key}"),
+            F.sum((first == '"').cast("long")).alias(f"str_{key}"),
+            F.sum(tok.rlike("^-?[0-9]+$").cast("long")).alias(f"long_{key}"),
+            F.sum(tok.rlike("^-?[0-9]+\\.[0-9]+$").cast("long")).alias(f"dbl_{key}"),
+            F.sum(((tok == "true") | (tok == "false")).cast("long")).alias(f"bool_{key}"),
+        ])
+    st = p.agg(*aggs).collect()[0]
+    rows = []
+    for key in JSI_KEYS:
+        pres = int(st[f"present_{key}"])
+        ns, nl, nd, nb = (
+            int(st[f"str_{key}"]), int(st[f"long_{key}"]),
+            int(st[f"dbl_{key}"]), int(st[f"bool_{key}"]),
+        )
+        inferred = (
+            "string" if ns > 0
+            else "double" if nd > 0
+            else "bool" if nb == pres and pres > 0
+            else "long" if nl > 0
+            else "null"
+        )
+        rows.append(
+            (key, n_total, pres, nl, nd, ns, nb, inferred, int(pres < n_total))
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="key string, n_total long, n_present long, n_long long, "
+               "n_double long, n_string long, n_bool long, "
+               "inferred string, nullable long",
+    )
+
+
+# --------------------------------------- longest-prefix-match join
+
+LPM_NET_BASE = 10  # nation n owns the /8 block (10+n).0.0.0/8
+
+
+def q_ip_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match enrichment join (the geo-IP / CIDR lookup
+    every log pipeline ships): events get deterministic synthetic
+    IPv4s inside nation-owned /8 blocks; the prefix table holds the
+    25 /8 routes plus /16 overrides (x.7.0.0/16 for every 5th
+    nation), and each event takes its MOST SPECIFIC matching route.
+
+    Scale shape: candidates come from an equi-join on the /8 bucket
+    (first octet) — never a range cross-join; the prefix table is a
+    broadcast dim; specificity = one per-event rank over ≤2
+    candidates (mask-match filtered), all integer shift/AND
+    arithmetic that both engines evaluate exactly.
+
+    Output is the per-route traffic rollup (route, owner, n_events,
+    n_users) — the shape a traffic-attribution job actually emits."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    n = _load_wide(spark, sf_dir, "nation")
+    # ip32 = (10+user%25).(md5-derived 24 bits)
+    low24 = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "user_id", "event_id")), 1, 6), 16, 10)
+        .cast("long") % F.lit(1 << 24)
+    )
+    ips = e.select(
+        "event_id", "user_id",
+        (
+            (F.lit(LPM_NET_BASE) + F.col("user_id") % 25)
+            * F.lit(1 << 24) + low24
+        ).alias("ip"),
+    )
+    r8 = n.select(
+        ((F.lit(LPM_NET_BASE) + F.col("n_nationkey")) * F.lit(1 << 24))
+        .alias("prefix"),
+        F.lit(8).cast("long").alias("plen"),
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("owner"),
+    )
+    r16 = n.filter(F.col("n_nationkey") % 5 == 0).select(
+        (
+            (F.lit(LPM_NET_BASE) + F.col("n_nationkey")) * F.lit(1 << 24)
+            + F.lit(7 << 16)
+        ).alias("prefix"),
+        F.lit(16).cast("long").alias("plen"),
+        F.concat(F.lit("override:"), F.col("n_name")).alias("owner"),
+    )
+    routes = r8.unionByName(r16).withColumn(
+        "bucket", (F.col("prefix") / F.lit(1 << 24)).cast("long")
+    )
+    cand = ips.withColumn(
+        "bucket", (F.col("ip") / F.lit(1 << 24)).cast("long")
+    ).join(F.broadcast(routes), "bucket")
+    # mask match: ip >> (32 - plen) == prefix >> (32 - plen), as exact
+    # integer division (2^shift ≤ 2^24, values < 2^32 — no precision
+    # loss in the double pow)
+    shift = F.lit(32) - F.col("plen")
+    matched = cand.filter(
+        F.floor(F.col("ip") / F.pow(F.lit(2.0), shift))
+        == F.floor(F.col("prefix") / F.pow(F.lit(2.0), shift))
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("plen"))
+    best = matched.select(
+        "event_id", "user_id", "prefix", "plen", "owner",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("prefix", "plen", "owner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ------------------------------------------------- SLO burn rate
+
+SLO_THRESHOLD = 90.0  # "slow" above this value
+SLO_BUDGET_PCT = 10   # 90% SLO -> 10% error budget
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    treating value as a latency and value > 90 as an SLO miss
+    against a 90% target, compute per (type, day) the 1-day burn
+    rate (err_rate ÷ 10% budget) and the trailing-3-day burn, and
+    alert only when BOTH exceed their thresholds (short > 2, long >
+    1.5) — the two-window AND is what keeps one bad hour from paging.
+
+    Exactness: burns ride as integer rationals; the alert is pure
+    cross-multiplication (5·e₁ ≥ n₁ AND 20·e₃ ≥ 3·n₃); the emitted
+    burn doubles are single divisions.
+
+    Scale shape: one corpus groupBy(type, day); the trailing window
+    is per-type over the calendar-sized daily table."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("value") > SLO_THRESHOLD).cast("long"))
+        .cast("long").alias("err"),
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-2, 0)
+    )
+    j = daily.select(
+        "event_type", "d", "n", "err",
+        F.sum("n").over(w3).cast("long").alias("n3"),
+        F.sum("err").over(w3).cast("long").alias("e3"),
+    )
+    alert = (
+        (F.lit(5) * F.col("err") >= F.col("n"))
+        & (F.lit(20) * F.col("e3") >= F.lit(3) * F.col("n3"))
+    )
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n", "err", "n3", "e3",
+        F.round(F.lit(10) * F.col("err") / F.col("n"), 6).alias("burn_1d"),
+        F.round(F.lit(10) * F.col("e3") / F.col("n3"), 6).alias("burn_3d"),
+        alert.cast("long").alias("alert"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -10323,6 +10553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "join_card_est": q_join_card_est,
         "changepoint_detect": q_changepoint_detect,
+        "json_schema_infer": q_json_schema_infer,
+        "ip_lpm_join": q_ip_lpm_join,
+        "slo_burn": q_slo_burn,
     }
 
 
@@ -15288,3 +15521,134 @@ def _install_s12_batch11_oracles() -> None:
 
 
 _install_s12_batch11_oracles()
+
+
+def _install_s12_batch12_oracles() -> None:
+    # json_schema_infer: same deterministic payload synthesis, same
+    # value-token regex classification, same widening rules.
+    payload = """
+        '{' || array_to_string(list_filter([
+            CASE WHEN event_id % 11 = 0 THEN NULL
+                 WHEN event_id % 7 = 0 THEN '"k": "s'
+                      || regexp_extract(props, '"k":\\s*([0-9]+)', 1) || '"'
+                 ELSE '"k": '
+                      || regexp_extract(props, '"k":\\s*([0-9]+)', 1) END,
+            CASE WHEN event_id % 3 = 0 THEN '"tag": "t'
+                 || CAST(event_id % 4 AS VARCHAR) || '"' END,
+            CASE WHEN event_id % 5 = 0 THEN '"score": '
+                 || CAST(event_id % 9 AS VARCHAR) || '.5' END,
+            CASE WHEN event_id % 2 = 0 THEN '"flag": '
+                 || CASE WHEN event_id % 4 = 0 THEN 'true'
+                    ELSE 'false' END END
+        ], x -> x IS NOT NULL), ', ') || '}'
+    """
+    key_sqls = []
+    for key in JSI_KEYS:
+        # the pattern contains double quotes only — safe in a
+        # single-quoted SQL literal
+        tok = f"regexp_extract(payload, '{_JSI_VAL.format(key=key)}', 1)"
+        key_sqls.append(f"""
+        SELECT '{key}' AS key, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {tok} <> '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_present,
+               CAST(SUM(CASE WHEN regexp_matches({tok}, '^-?[0-9]+$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+               CAST(SUM(CASE WHEN regexp_matches({tok},
+                    '^-?[0-9]+\\.[0-9]+$') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_double,
+               CAST(SUM(CASE WHEN substring({tok}, 1, 1) = '"'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_string,
+               CAST(SUM(CASE WHEN {tok} IN ('true', 'false')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+               CASE WHEN SUM(CASE WHEN substring({tok}, 1, 1) = '"'
+                         THEN 1 ELSE 0 END) > 0 THEN 'string'
+                    WHEN SUM(CASE WHEN regexp_matches({tok},
+                         '^-?[0-9]+\\.[0-9]+$') THEN 1 ELSE 0 END) > 0
+                         THEN 'double'
+                    WHEN SUM(CASE WHEN {tok} IN ('true', 'false')
+                         THEN 1 ELSE 0 END)
+                         = SUM(CASE WHEN {tok} <> '' THEN 1 ELSE 0 END)
+                         AND SUM(CASE WHEN {tok} <> '' THEN 1 ELSE 0
+                         END) > 0 THEN 'bool'
+                    WHEN SUM(CASE WHEN regexp_matches({tok},
+                         '^-?[0-9]+$') THEN 1 ELSE 0 END) > 0
+                         THEN 'long'
+                    ELSE 'null' END AS inferred,
+               CAST(SUM(CASE WHEN {tok} <> '' THEN 1 ELSE 0 END)
+                    < COUNT(*) AS BIGINT) AS nullable
+        FROM pl""")
+    _ORACLE_SQL["json_schema_infer"] = (
+        f"WITH pl AS MATERIALIZED (SELECT event_id, {payload} AS payload "
+        "FROM events) " + " UNION ALL ".join(key_sqls)
+    )
+    # ip_lpm_join: same synthetic IPs, same /8-bucket candidates, same
+    # most-specific rank — integer shifts instead of floor/pow (the
+    # two formulations agree exactly on <2^32 values).
+    _ORACLE_SQL["ip_lpm_join"] = f"""
+        WITH ips AS (
+            SELECT event_id, user_id,
+                   ({LPM_NET_BASE} + user_id % 25) * (1 << 24)
+                   + CAST(('0x' || substring(md5(user_id || ':' ||
+                         event_id), 1, 6))::UBIGINT AS BIGINT)
+                     % (1 << 24) AS ip
+            FROM events
+        ),
+        routes AS (
+            SELECT ({LPM_NET_BASE} + n_nationkey) * (1 << 24) AS prefix,
+                   CAST(8 AS BIGINT) AS plen,
+                   'nation:' || n_name AS owner
+            FROM nation
+            UNION ALL
+            SELECT ({LPM_NET_BASE} + n_nationkey) * (1 << 24)
+                       + (7 << 16),
+                   CAST(16 AS BIGINT), 'override:' || n_name
+            FROM nation WHERE n_nationkey % 5 = 0
+        ),
+        cand AS (
+            SELECT i.event_id, i.user_id, i.ip,
+                   r.prefix, r.plen, r.owner
+            FROM ips i JOIN routes r
+            ON i.ip // (1 << 24) = r.prefix // (1 << 24)
+            WHERE i.ip // (1 << (32 - r.plen))
+                  = r.prefix // (1 << (32 - r.plen))
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                       ORDER BY plen DESC) AS rn
+            FROM cand
+        )
+        SELECT prefix, plen, owner,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM best WHERE rn = 1 GROUP BY 1, 2, 3
+    """
+    # slo_burn: same daily error census, same trailing-3 window, same
+    # cross-multiplied two-window alert.
+    _ORACLE_SQL["slo_burn"] = f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > {SLO_THRESHOLD}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS err
+            FROM events GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT event_type, d, n, err,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n3,
+                   CAST(SUM(err) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS e3
+            FROM daily
+        )
+        SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS d, n, err, n3, e3,
+               ROUND(10.0 * err / n, 6) AS burn_1d,
+               ROUND(10.0 * e3 / n3, 6) AS burn_3d,
+               CAST(5 * err >= n AND 20 * e3 >= 3 * n3 AS BIGINT)
+                   AS alert
+        FROM j
+    """
+
+
+_install_s12_batch12_oracles()

@@ -195,6 +195,9 @@ RELATIONAL = [
     "corr_matrix",
     "join_card_est",
     "changepoint_detect",
+    "json_schema_infer",
+    "ip_lpm_join",
+    "slo_burn",
 ]
 
 
