@@ -10367,6 +10367,267 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_SCALE = 10**6  # L1 normalization scale: a hub/auth score is a
+HITS_ITERS = 2      # BIGINT in [0, HITS_SCALE]; see overflow note below
+
+
+def _hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HUB-OVERLAID extracted link graph (degree_powerlaw's edge
+    synthesis): crawl links from the wrapped pages plus the
+    deterministic doc_id mod 2^k overlay — the overlay is what gives
+    the graph non-regular structure (the raw crawl links are
+    near-uniform, which would make HITS degenerate)."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    crawl = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select("src", F.col("dd").cast("long").alias("dst"))
+    hubs = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[F.pmod(F.col("doc_id"), F.lit(1 << k)) for k in range(1, 10)])
+        ).alias("dst"),
+    )
+    return (
+        crawl.unionByName(hubs)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _hits_normalize(nodes: DataFrame, raw: DataFrame, key: str,
+                    rawcol: str, outcol: str) -> DataFrame:
+    """L1-normalize a raw HITS mass column to exact BIGINTs in
+    [0, HITS_SCALE]: x -> (x * SCALE) DIV total.  The total rides as a
+    1-row broadcast (scalar subquery in the oracle); DIV (trunc) ==
+    // (floor) because every mass is non-negative.  Each round is
+    localCheckpoint'd: 2 iterations x 2 half-steps would otherwise
+    stack 8 joins of lineage (the dedup_cluster lesson)."""
+    tot = raw.agg(F.sum(rawcol).alias("tot"))
+    scaled = raw.crossJoin(F.broadcast(tot)).select(
+        F.col(key).alias("n"),
+        F.expr(f"({rawcol} * {HITS_SCALE}) DIV tot").alias(outcol),
+    )
+    return (
+        nodes.join(scaled, "n", "left")
+        .select(
+            "n",
+            F.coalesce(F.col(outcol), F.lit(0).cast("long")).alias(outcol),
+        )
+        .localCheckpoint()
+    )
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the hub-overlaid
+    extracted link graph — the second classic link-analysis fixed
+    point next to PageRank, with a genuinely different propagation
+    structure (two mutually-recursive scores over edge DIRECTION
+    instead of one damped mass flow).
+
+    Exactness: scores are exact BIGINTs at HITS_SCALE with L1
+    normalization after every half-step — a_raw(v) = Σ h(u) over
+    in-edges, then a = (a_raw·SCALE) DIV Σ a_raw; all sums order-free
+    integer adds, so two unrolled iterations hash identically in both
+    engines.  Overflow headroom: a_raw ≤ |V|·SCALE ≈ 5e9 at sf0.1;
+    a_raw·SCALE ≤ 5e15 < 2^63 (at 1e12 docs the multiply would ride
+    DECIMAL(38,0) — corr_matrix precedent).
+
+    Scale shape: identical to PageRank's two-shuffle step — one
+    src-join (score carry) + one dst-groupBy per half-step; edges
+    localCheckpoint'd once; the normalization total is a 1-row
+    broadcast, never a driver round-trip per iteration."""
+    edges = _hits_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["n"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        auth = _hits_normalize(nodes, a_raw, "dst", "ar", "a")
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["n"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hub = _hits_normalize(nodes, h_raw, "src", "hr", "h")
+    return (
+        nodes.join(hub, "n")
+        .join(auth, "n")
+        .select(
+            F.col("n").alias("node"),
+            F.col("h").alias("hub"),
+            F.col("a").alias("auth"),
+        )
+    )
+
+
+# Redirect-chain resolution: deterministic redirect map over the doc
+# universe — chains (u%20 in 1..3 -> u+1, length <= 3), a 2-cycle per
+# 100-block (50<->51), and a feeder INTO the cycle (49 -> 50, the
+# resolves-to-a-cycle class).  CASE order is identical in both
+# engines; the arms are provably disjoint (49/50/51 mod 20 are
+# 9/10/11).
+REDIR_CASE = (
+    "CASE WHEN doc_id % 100 = 49 THEN doc_id + 1 "
+    "WHEN doc_id % 100 = 50 THEN doc_id + 1 "
+    "WHEN doc_id % 100 = 51 THEN doc_id - 1 "
+    "WHEN doc_id % 20 IN (1, 2, 3) THEN doc_id + 1 END"
+)
+REDIR_ROUNDS = 4  # pointer doubling covers chains up to 2^4 = 16 hops
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over a functional graph (every URL
+    redirects to at most ONE target) — the crawl-frontier operator
+    that canonicalizes 301/302 chains before fetch dedup.  Pointer
+    DOUBLING composes the map with itself each round (u -> f(u), dist
+    telescopes d + d(f(u))), so chains of length L resolve in
+    ceil(log2 L) rounds — at 1e12 URLs that is ~5 joins instead of a
+    40-round sequential walk.  Nodes still unresolved after the bound
+    are cycle-bound (including chains that ENTER a cycle): final and
+    dist are NULLed, is_cycle = 1.
+
+    Composition telescoping is exact regardless of schedule, so the
+    doubling result equals the oracle's step-by-step recursive-CTE
+    walk on every resolved row.  Each round localCheckpoint'd (the
+    dedup_cluster lineage lesson).
+
+    Scale shape: the map is corpus-sized; each round is ONE self-join
+    on the current target key — at production the map would be
+    bucketed by u so round r's probe side reuses round r-1's layout."""
+    d = _load_wide(spark, sf_dir, "documents")
+    m = (
+        d.select(
+            F.col("doc_id").alias("u"),
+            F.expr(REDIR_CASE).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn("dist", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    full = m
+    for _ in range(REDIR_ROUNDS):
+        nxt = full.select(
+            F.col("u").alias("u2"),
+            F.col("v").alias("v2"),
+            F.col("dist").alias("d2"),
+        )
+        full = (
+            full.join(nxt, full["v"] == nxt["u2"], "left")
+            .select(
+                "u",
+                F.coalesce(F.col("v2"), F.col("v")).alias("v"),
+                (F.col("dist") + F.coalesce(F.col("d2"), F.lit(0).cast("long")))
+                .alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    sources = m.select(F.col("u").alias("su"))
+    out = full.join(sources, full["v"] == sources["su"], "left")
+    cyc = F.col("su").isNotNull()
+    return out.select(
+        F.col("u").alias("start"),
+        F.when(~cyc, F.col("v")).alias("final"),
+        F.when(~cyc, F.col("dist")).alias("dist"),
+        cyc.cast("long").alias("is_cycle"),
+    )
+
+
+# Benford first-digit audit: expected proportions log10(1 + 1/d)
+# quantized at 1e-4 — computed ONCE in Python and embedded as the same
+# CASE literal in both engines (the ndcg discount-table device).
+# Scale choice is the sf0.1 overflow bound: (n·SCALE)^2 ≤ (1.5e5·1e4)^2
+# = 2.25e18 < 2^63; at 1e12 rows the square would ride DECIMAL(38,0).
+BENFORD_SCALE = 10**4
+import math as _math
+
+BENFORD_EXP = {
+    dd: _math.floor(_math.log10(1 + 1 / dd) * BENFORD_SCALE)
+    for dd in range(1, 10)
+}
+BENFORD_EXP_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {dd} THEN {p}" for dd, p in BENFORD_EXP.items())
+    + " END"
+)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of o_totalprice per order
+    status — the fraud/data-quality screen for any ingested numeric
+    feed (Nigrini 2012).  First digit is extracted from the BIGINT
+    cents value's decimal string (floor(x·100 + 0.5) — the established
+    cents device; ×100 preserves the leading digit), never from float
+    formatting.
+
+    Exactness: the full status × digit(1..9) grid is generated so
+    unobserved cells still contribute their expected mass; the
+    chi-square statistic rides entirely in integers — expected mass
+    E_scaled = n·p_q (units 1e-4 counts), per-cell contribution
+    (n_obs·SCALE − E_scaled)² DIV E_scaled (units 1e-4 · (O−E)²/E),
+    and the per-status chi2_q is an order-free BIGINT window sum.
+
+    Scale shape: ONE corpus groupBy(status, digit); everything after
+    lives on the 27-cell grid."""
+    o = _load_wide(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        " AS STRING), 1, 1) AS BIGINT)"
+    )
+    per = o.groupBy(
+        F.col("o_orderstatus").alias("status"), digit.alias("digit")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    grid = (
+        o.select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+        .crossJoin(spark.range(1, 10).select(F.col("id").alias("digit")))
+    )
+    cells = grid.join(per, ["status", "digit"], "left").select(
+        "status",
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("status")
+    cells = cells.withColumn(
+        "n_total", F.sum("n_obs").over(w).cast("long")
+    ).withColumn("exp_scaled", F.expr(BENFORD_EXP_CASE).cast("long"))
+    cells = cells.withColumn(
+        "expected_n_scaled", (F.col("n_total") * F.col("exp_scaled")).cast("long")
+    ).withColumn(
+        "contrib_q",
+        F.expr(
+            f"((n_obs * {BENFORD_SCALE} - expected_n_scaled)"
+            f" * (n_obs * {BENFORD_SCALE} - expected_n_scaled))"
+            " DIV expected_n_scaled"
+        ),
+    )
+    return cells.select(
+        "status",
+        "digit",
+        "n_obs",
+        "n_total",
+        "exp_scaled",
+        "expected_n_scaled",
+        "contrib_q",
+        F.sum("contrib_q").over(w).cast("long").alias("chi2_q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -10556,6 +10817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_infer": q_json_schema_infer,
         "ip_lpm_join": q_ip_lpm_join,
         "slo_burn": q_slo_burn,
+        "link_hits": q_link_hits,
+        "redirect_resolve": q_redirect_resolve,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -15652,3 +15916,134 @@ def _install_s12_batch12_oracles() -> None:
 
 
 _install_s12_batch12_oracles()
+
+
+def _install_s14_batch1_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    # link_hits: the same hub-overlaid edge list, two unrolled HITS
+    # iterations with the identical (x * SCALE) // total integer
+    # normalization; the total is a scalar subquery (Spark: 1-row
+    # broadcast).  MATERIALIZED hints per the kcore inlining lesson.
+    hub_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, doc_id % {1 << k} AS dst FROM documents"
+        for k in range(1, 10)
+    )
+    its = []
+    prev_h = "h0"
+    last_a = None
+    for i in range(1, HITS_ITERS + 1):
+        its.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst, CAST(SUM(h.h) AS BIGINT)"
+            f" AS ar FROM edges e JOIN {prev_h} h ON e.src = h.n"
+            f" GROUP BY e.dst), "
+            f"a{i} AS MATERIALIZED (SELECT n.n, CAST(COALESCE("
+            f"(ar.ar * {HITS_SCALE}) // (SELECT SUM(ar) FROM ar{i}), 0)"
+            f" AS BIGINT) AS a FROM nodes n LEFT JOIN ar{i} ar"
+            f" ON ar.dst = n.n), "
+            f"hr{i} AS MATERIALIZED (SELECT e.src, CAST(SUM(a.a) AS BIGINT)"
+            f" AS hr FROM edges e JOIN a{i} a ON e.dst = a.n"
+            f" GROUP BY e.src), "
+            f"h{i} AS MATERIALIZED (SELECT n.n, CAST(COALESCE("
+            f"(hr.hr * {HITS_SCALE}) // (SELECT SUM(hr) FROM hr{i}), 0)"
+            f" AS BIGINT) AS h FROM nodes n LEFT JOIN hr{i} hr"
+            f" ON hr.src = n.n)"
+        )
+        prev_h = f"h{i}"
+        last_a = f"a{i}"
+    _ORACLE_SQL["link_hits"] = (
+        "WITH pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents), "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "crawl AS (SELECT src, CAST(d AS BIGINT) AS dst FROM ex), "
+        f"hubs AS ({hub_sel}), "
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT * FROM crawl UNION ALL SELECT * FROM hubs) "
+        "WHERE src <> dst), "
+        "nodes AS MATERIALIZED (SELECT src AS n FROM edges "
+        "UNION SELECT dst FROM edges), "
+        f"h0 AS (SELECT n, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes), "
+        + ", ".join(its)
+        + f" SELECT n AS node, h.h AS hub, a.a AS auth FROM nodes "
+        f"JOIN {prev_h} h USING (n) JOIN {last_a} a USING (n)"
+    )
+    # redirect_resolve: step-by-step recursive-CTE walk (a different
+    # algorithm from the doubling composition); resolved rows are the
+    # unique walk row whose cursor is not a redirect source, cycle
+    # rows are starts that never resolve within the 2^ROUNDS bound.
+    bound = 1 << REDIR_ROUNDS
+    _ORACLE_SQL["redirect_resolve"] = f"""
+        WITH RECURSIVE m AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT doc_id AS u, CAST({REDIR_CASE} AS BIGINT) AS v
+                FROM documents
+            ) WHERE v IS NOT NULL
+        ),
+        walk AS (
+            SELECT u AS start, v AS cur, 1 AS d FROM m
+            UNION ALL
+            SELECT w.start, m.v, w.d + 1 FROM walk w
+            JOIN m ON w.cur = m.u WHERE w.d < {bound}
+        ),
+        resolved AS (
+            SELECT w.start, w.cur AS final, CAST(w.d AS BIGINT) AS dist
+            FROM walk w LEFT JOIN m ON w.cur = m.u
+            WHERE m.u IS NULL
+        )
+        SELECT start, final, dist, CAST(0 AS BIGINT) AS is_cycle
+        FROM resolved
+        UNION ALL
+        SELECT u AS start, CAST(NULL AS BIGINT) AS final,
+               CAST(NULL AS BIGINT) AS dist, CAST(1 AS BIGINT) AS is_cycle
+        FROM m WHERE u NOT IN (SELECT start FROM resolved)
+    """
+    # benford_audit: same cents-string first digit, same full grid,
+    # same quantized expected table (the identical Python-computed
+    # CASE literal), same integer chi-square.
+    exp_case = BENFORD_EXP_CASE
+    _ORACLE_SQL["benford_audit"] = f"""
+        WITH per AS (
+            SELECT o_orderstatus AS status,
+                   CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM orders GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT status, CAST(digit AS BIGINT) AS digit
+            FROM (SELECT DISTINCT o_orderstatus AS status FROM orders)
+            CROSS JOIN generate_series(1, 9) AS g(digit)
+        ),
+        cells AS (
+            SELECT g.status, g.digit,
+                   CAST(COALESCE(p.n_obs, 0) AS BIGINT) AS n_obs
+            FROM grid g LEFT JOIN per p
+            ON g.status = p.status AND g.digit = p.digit
+        ),
+        w AS (
+            SELECT status, digit, n_obs,
+                   CAST(SUM(n_obs) OVER (PARTITION BY status) AS BIGINT)
+                       AS n_total,
+                   CAST({exp_case} AS BIGINT) AS exp_scaled
+            FROM cells
+        ),
+        f AS (
+            SELECT status, digit, n_obs, n_total, exp_scaled,
+                   CAST(n_total * exp_scaled AS BIGINT) AS expected_n_scaled,
+                   CAST(((n_obs * {BENFORD_SCALE} - n_total * exp_scaled)
+                        * (n_obs * {BENFORD_SCALE} - n_total * exp_scaled))
+                        // (n_total * exp_scaled) AS BIGINT) AS contrib_q
+            FROM w
+        )
+        SELECT status, digit, n_obs, n_total, exp_scaled, expected_n_scaled,
+               contrib_q,
+               CAST(SUM(contrib_q) OVER (PARTITION BY status) AS BIGINT)
+                   AS chi2_q
+        FROM f
+    """
+
+
+_install_s14_batch1_oracles()
