@@ -10628,6 +10628,221 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POLITE_DELAY_US = 4 * 3600 * 1_000_000  # 4h per-host crawl delay
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling: each host (user_id)
+    serves at most one fetch every POLITE_DELAY_US; request i starts
+    at t_i = max(avail_i, t_{i-1} + D) — the sequential per-host fold
+    every frontier implements before dispatch.
+
+    The fold LINEARIZES (unlike debounce, whose state is the last
+    KEPT row): by induction t_i = max_{j<=i}(avail_j + (i-j)·D)
+    = i·D + max_{j<=i}(avail_j − j·D), so the whole schedule is ONE
+    running-max window over (avail − seq·D) — no per-row Python, no
+    recursion.  The oracle walks the recurrence step-by-step in a
+    recursive CTE: two independent algorithms, one result, exact
+    integer microseconds (timestampdiff vs date_diff, both µs since
+    2024-01-01 on naive timestamps — the events_asof device).
+
+    Overflow: D·seq ≤ 1.44e10 · rows-per-host; at 1e12 fetches per
+    host the product would ride DECIMAL(38,0) (corr_matrix
+    precedent).  Scale shape: one shuffle on host; the window is a
+    single per-partition pass — at 1e12 URLs with per-host salting
+    the closed form still works because the prefix max is mergeable
+    across salt slices (max of slice maxima + slice seq offsets)."""
+    from pyspark.sql.window import Window
+
+    D = POLITE_DELAY_US
+    e = _load_wide(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").alias("host"),
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("avail_us"),
+    )
+    w_ord = Window.partitionBy("host").orderBy("avail_us", "event_id")
+    base = base.withColumn(
+        "seq", (F.row_number().over(w_ord) - 1).cast("long")
+    )
+    w_run = (
+        Window.partitionBy("host")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (
+        F.lit(D).cast("long") * F.col("seq")
+        + F.max(F.col("avail_us") - F.lit(D).cast("long") * F.col("seq")).over(w_run)
+    )
+    return (
+        base.withColumn("start_us", start.cast("long"))
+        .select(
+            "host",
+            "event_id",
+            "seq",
+            "avail_us",
+            "start_us",
+            (F.col("start_us") - F.col("avail_us")).alias("wait_us"),
+            (F.col("start_us") > F.col("avail_us")).cast("long").alias("delayed"),
+        )
+    )
+
+
+CPM_BLOCK = 20  # tasks per project block; precedence stays in-block
+
+
+def _cpm_edges_py(ids):
+    """Shared Python edge derivation for the task DAG: within a
+    CPM_BLOCK of doc_ids, r = u % 20 — u -> u+1 if r%4 != 3 else
+    u -> u+2, plus u -> u+5 if r%7 == 1; duration(u) = 1 + (u%4)·2.
+    Edges always go to a LARGER id in the same block (acyclic by
+    construction); targets missing from the corpus are skipped."""
+    s = set(ids)
+    edges = []
+    for u in ids:
+        r = u % CPM_BLOCK
+        for cond, d in ((r % 4 != 3, 1), (r % 4 == 3, 2), (r % 7 == 1, 5)):
+            v = u + d
+            if cond and r + d <= CPM_BLOCK - 1 and v in s:
+                edges.append((u, v, 1 + (u % 4) * 2))
+    return edges
+
+
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path method (CPM) over per-block task DAGs: earliest
+    start ES(v) = max over in-edges (ES(u) + dur(u)), earliest finish
+    EF = ES + dur, block makespan = max EF — the scheduling core of
+    any pipeline/workflow planner.
+
+    The Spark side runs the forward DP per block in applyInPandas
+    (the debounce device: a genuinely order-dependent recurrence,
+    vectorized-dispatched and parallel ACROSS blocks, O(block)
+    memory — blocks are 20 tasks, so the group fold is trivially
+    bounded).  Ascending id order IS a topological order (edges only
+    increase id), so one pass suffices.  The oracle ENUMERATES every
+    path in a recursive CTE and takes max(Σ dur) per endpoint — a
+    different algorithm whose equality with the DP is Bellman's
+    principle.  All integer.
+
+    Scale shape: one shuffle on block; at 1e12 tasks the block
+    partitioning is the skew story (each DAG is independent), and
+    the window for makespan reuses the same partitioning."""
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = sorted(int(x) for x in pdf["doc_id"])
+        es = {u: 0 for u in ids}
+        for u, v, w in _cpm_edges_py(ids):
+            es[v] = max(es[v], es[u] + w)
+        rows = []
+        for u in ids:
+            dur = 1 + (u % 4) * 2
+            rows.append((u, u // CPM_BLOCK, es[u], dur, es[u] + dur))
+        return pd.DataFrame(
+            rows, columns=["task", "block", "es", "dur", "ef"]
+        )
+
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents").select("doc_id")
+    folded = (
+        d.withColumn("block", F.expr(f"doc_id DIV {CPM_BLOCK}"))
+        .groupBy("block")
+        .applyInPandas(
+            fold,
+            schema="task bigint, block bigint, es bigint, dur bigint,"
+            " ef bigint",
+        )
+    )
+    w = Window.partitionBy("block")
+    return folded.withColumn(
+        "makespan", F.max("ef").over(w).cast("long")
+    ).withColumn(
+        "tail_critical", (F.col("ef") == F.col("makespan")).cast("long")
+    )
+
+
+# Spatial grid self-join: deterministic planar points from event_id
+# via a QUADRATIC mixer mod distinct primes — an affine LCG puts all
+# pair differences on a few lattice vectors (measured: 8 distinct
+# squared distances in 6505 pairs), the quadratic scatters them
+# (1350 distinct in 1561 pairs at R=300).  event_id is reduced mod P
+# BEFORE squaring so the square stays < 1e10 at any corpus size.
+SPATIAL_PX, SPATIAL_PY = 99991, 99989
+SPATIAL_R = 300
+_e = f"(event_id % {SPATIAL_PX})"
+SPATIAL_X_SQL = f"({_e} * {_e} + 3 * {_e}) % {SPATIAL_PX}"
+_e = f"(event_id % {SPATIAL_PY})"
+SPATIAL_Y_SQL = f"(7 * ({_e} * {_e}) + 11 * {_e} + 5) % {SPATIAL_PY}"
+del _e
+
+
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join via grid bucketing: all point pairs within
+    SPATIAL_R, found by hashing each point to an R×R cell and probing
+    only the 3×3 cell neighborhood — the standard spatial-join shape
+    (geohash / H3 cell join) that turns O(N²) into O(9N) candidate
+    rows + one equi-join shuffle.
+
+    Completeness proof: |dx| ≤ R implies the cells' x-indices differ
+    by at most 1 (same for y), so every qualifying pair has b's home
+    cell inside a's 9-cell probe set.  Uniqueness proof: a's 9 probe
+    keys are distinct and b has ONE home cell, so each ordered (a,b)
+    candidate is generated at most once — no DISTINCT needed; the
+    a < b filter keeps exactly one row per unordered pair.  The
+    oracle is the brute-force O(N²) cross join: grid pruning is the
+    thing under test.
+
+    Scale shape: candidates shuffle once on the cell key; dense
+    cells are the skew story (salt or cap per cell at production);
+    dist² stays < 2e10, far under 2^63."""
+    e = _load_wide(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        F.expr(SPATIAL_X_SQL).cast("long").alias("x"),
+        F.expr(SPATIAL_Y_SQL).cast("long").alias("y"),
+    ).withColumn("cx", F.expr(f"x DIV {SPATIAL_R}")).withColumn(
+        "cy", F.expr(f"y DIV {SPATIAL_R}")
+    )
+    probes = (
+        pts.select(
+            F.col("pid").alias("a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .select(
+            "a", "ax", "ay", "cx", "cy", "dx",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+        )
+        .select(
+            "a", "ax", "ay",
+            ((F.col("cx") + F.col("dx")) * 1000000 + F.col("cy") + F.col("dy"))
+            .alias("pk"),
+        )
+    )
+    homes = pts.select(
+        F.col("pid").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (F.col("cx") * 1000000 + F.col("cy")).alias("hk"),
+    )
+    dsq = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probes.join(homes, probes["pk"] == homes["hk"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist_sq", dsq.cast("long"))
+        .filter(F.col("dist_sq") <= SPATIAL_R * SPATIAL_R)
+        .select("a", "b", "dist_sq")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -10820,6 +11035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "redirect_resolve": q_redirect_resolve,
         "benford_audit": q_benford_audit,
+        "politeness_schedule": q_politeness_schedule,
+        "critical_path": q_critical_path,
+        "spatial_grid_join": q_spatial_grid_join,
     }
 
 
@@ -16047,3 +16265,99 @@ def _install_s14_batch1_oracles() -> None:
 
 
 _install_s14_batch1_oracles()
+
+
+def _install_s14_batch2_oracles() -> None:
+    # politeness_schedule: step-by-step recursive-CTE fold of
+    # t_i = max(avail_i, t_{i-1} + D) per host — the Spark side's
+    # prefix-max linearization is the thing under test.
+    D = POLITE_DELAY_US
+    _ORACLE_SQL["politeness_schedule"] = f"""
+        WITH RECURSIVE ranked AS (
+            SELECT user_id AS host, event_id,
+                   CAST(date_diff('microsecond',
+                        TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+                       AS avail_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts),
+                                event_id) AS rn
+            FROM events
+        ), walk AS (
+            SELECT host, event_id, avail_us, rn, avail_us AS start_us
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT r.host, r.event_id, r.avail_us, r.rn,
+                   GREATEST(r.avail_us, w.start_us + {D})
+            FROM walk w JOIN ranked r
+              ON r.host = w.host AND r.rn = w.rn + 1
+        )
+        SELECT host, event_id, CAST(rn - 1 AS BIGINT) AS seq, avail_us,
+               CAST(start_us AS BIGINT) AS start_us,
+               CAST(start_us - avail_us AS BIGINT) AS wait_us,
+               CAST(CASE WHEN start_us > avail_us THEN 1 ELSE 0 END
+                    AS BIGINT) AS delayed
+        FROM walk
+    """
+    # critical_path: enumerate EVERY path in the per-block DAG (the
+    # same edge arms as _cpm_edges_py, derived in SQL) and take
+    # max(sum of durations of non-terminal nodes) per endpoint —
+    # Bellman's principle says this equals the forward DP.
+    B = CPM_BLOCK
+    _ORACLE_SQL["critical_path"] = f"""
+        WITH RECURSIVE edges AS MATERIALIZED (
+            SELECT u, v, 1 + (u % 4) * 2 AS dur FROM (
+                SELECT doc_id AS u,
+                       doc_id + CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 2 END
+                           AS v
+                FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 5 FROM documents
+                WHERE (doc_id % {B}) % 7 = 1
+            ) t
+            WHERE v // {B} = u // {B}
+              AND v IN (SELECT doc_id FROM documents)
+        ),
+        walk AS (
+            SELECT v AS cur, dur AS dsum FROM edges
+            UNION ALL
+            SELECT e.v, w.dsum + e.dur FROM walk w
+            JOIN edges e ON e.u = w.cur
+        ),
+        es AS (SELECT cur AS task, MAX(dsum) AS es FROM walk GROUP BY cur),
+        base AS (
+            SELECT d.doc_id AS task, d.doc_id // {B} AS block,
+                   CAST(COALESCE(es.es, 0) AS BIGINT) AS es,
+                   CAST(1 + (d.doc_id % 4) * 2 AS BIGINT) AS dur
+            FROM documents d LEFT JOIN es ON es.task = d.doc_id
+        )
+        SELECT task, block, es, dur, es + dur AS ef,
+               CAST(MAX(es + dur) OVER (PARTITION BY block) AS BIGINT)
+                   AS makespan,
+               CAST(CASE WHEN es + dur = MAX(es + dur)
+                         OVER (PARTITION BY block)
+                    THEN 1 ELSE 0 END AS BIGINT) AS tail_critical
+        FROM base
+    """
+    # spatial_grid_join: brute-force O(N^2) cross join — the grid
+    # pruning (cell hash + 3x3 probe) is the thing under test.
+    R2 = SPATIAL_R * SPATIAL_R
+    _ORACLE_SQL["spatial_grid_join"] = f"""
+        WITH q AS (
+            SELECT event_id,
+                   CAST({SPATIAL_X_SQL} AS BIGINT) AS x,
+                   CAST({SPATIAL_Y_SQL} AS BIGINT) AS y
+            FROM events
+        )
+        SELECT a.event_id AS a, b.event_id AS b,
+               CAST((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+        FROM q a JOIN q b
+          ON a.event_id < b.event_id
+         AND (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= {R2}
+    """
+
+
+_install_s14_batch2_oracles()
