@@ -10843,6 +10843,246 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phrase queries for the positional-index search row.  Chosen from
+# the corpus for non-vacuity: "table table" (21 hits, and the corpus
+# contains "table table table" so OVERLAPPING matches are exercised),
+# plus two 3-gram phrases (8 and 7 hits at sf0.01).
+PHRASES = {
+    1: ("table", "table"),
+    2: ("slow", "hash", "batch"),
+    3: ("row", "column", "sort"),
+}
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: find every occurrence of each
+    query phrase as (phrase_id, doc_id, pos) — the IR operator behind
+    quoted-query retrieval, built the way a real engine does it:
+    tokenize once into a positional index, then intersect the POSTING
+    LISTS of the phrase's terms with pos arithmetic (term k must sit
+    at start+k).  Each join side is the index filtered to ONE term —
+    the selective-pushdown shape that makes phrase search cheap at
+    corpus scale — and the join key (doc_id, pos) co-partitions all
+    legs.  Overlapping matches are naturally emitted (every start
+    position is independent).
+
+    The oracle scans sequentially instead: tokenize + LEAD window
+    over each document, no index — two genuinely different
+    algorithms.  Tokenization is the identical split-on-space in
+    both engines (split vs string_split; 0-based positions).
+
+    Scale shape: one explode + one shuffle on (doc_id, pos) per leg;
+    posting-list filters prune before every join; at 1e12 docs the
+    index would be bucketed by term (the inverted_index row) so leg
+    joins are shuffle-free."""
+    d = _load_wide(spark, sf_dir, "documents")
+    idx = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).localCheckpoint()
+    parts = []
+    for pid, words in PHRASES.items():
+        cur = idx.filter(F.col("tok") == words[0]).select("doc_id", "pos")
+        for k, wd in enumerate(words[1:], 1):
+            leg = idx.filter(F.col("tok") == wd).select(
+                F.col("doc_id").alias("d2"), (F.col("pos") - k).alias("p2")
+            )
+            cur = cur.join(
+                leg, (cur["doc_id"] == leg["d2"]) & (cur["pos"] == leg["p2"])
+            ).select("doc_id", "pos")
+        parts.append(
+            cur.select(
+                F.lit(pid).cast("long").alias("phrase_id"),
+                "doc_id",
+                F.col("pos").cast("long").alias("pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+BITMAP_SEG_BITS = 62  # bits per segment; shift <= 61 keeps the mask
+#                       positive in BOTH engines (DuckDB's << THROWS
+#                       on 1<<63; Spark's shiftleft would wrap signed)
+
+
+def q_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via bitmap-index algebra: per (event_type,
+    user-segment) presence bitmaps (bit_or of 1<<(user % 62)), then
+    every type-pair's common-user count = Σ_seg bit_count(bm_a &
+    bm_b) — the roaring-bitmap / bitmap-index plan OLAP engines use
+    for COUNT(DISTINCT) intersections, shrinking a user-level join
+    to |types|·|users|/62 words.
+
+    The audience entity is the USER-DAY (user_id·1024 + µs-day):
+    every raw user turned out to engage every type at sf0.01, so a
+    plain user audience made all overlaps full sets (the l_diversity
+    fine-key lesson) — active user-days keep the intersection
+    strictly partial AND are the unit ad/engagement overlap is
+    actually reported in.  The day index is µs DIV 86400000000 (the
+    established µs device — calendar date_diff('day') counts
+    boundary crossings and would diverge between engines).
+
+    No DISTINCT is needed before the bit_or: duplicate events set
+    the same bit (idempotence IS the dedup — a deliberate scale win
+    over distinct-first).  The full type-pair grid is generated so a
+    zero-overlap pair still emits 0, and per-type exact entity
+    counts ride along (n_a, n_b) — also from the bitmaps.  The
+    oracle computes the same counts the relational way: DISTINCT
+    entity sets, self-join, COUNT — two different algorithms.
+
+    Scale shape: one shuffle on (type, seg) builds the bitmaps; the
+    pair join runs on the tiny bitmap relation.  At 1e12 events the
+    bitmap relation is |types| · (entities/62) rows — the
+    compression is what makes the pairwise overlap matrix feasible."""
+    e = _load_wide(spark, sf_dir, "events")
+    ent = F.expr(
+        "user_id * 1024 + timestampdiff(MICROSECOND,"
+        " TIMESTAMP '2024-01-01 00:00:00', ts) DIV 86400000000"
+    )
+    marked = e.select(
+        F.col("event_type").alias("etype"),
+        (ent.cast("long") % F.lit(BITMAP_SEG_BITS)).alias("bit"),
+        F.expr(
+            f"(user_id * 1024 + timestampdiff(MICROSECOND,"
+            f" TIMESTAMP '2024-01-01 00:00:00', ts) DIV 86400000000)"
+            f" DIV {BITMAP_SEG_BITS}"
+        ).alias("seg"),
+    ).select(
+        "etype",
+        "seg",
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))").alias("mask"),
+    )
+    bm = (
+        marked.groupBy("etype", "seg")
+        .agg(F.expr("bit_or(mask)").alias("bmp"))
+        .localCheckpoint()
+    )
+    totals = bm.groupBy("etype").agg(
+        F.sum(F.bit_count("bmp")).alias("n_users")
+    )
+    a = bm.select(
+        F.col("etype").alias("type_a"), "seg", F.col("bmp").alias("ba")
+    )
+    b = bm.select(
+        F.col("etype").alias("type_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("bmp").alias("bb"),
+    )
+    common = (
+        a.join(b, (a["seg"] == b["seg_b"]) & (a["type_a"] < b["type_b"]))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))).alias("nc"))
+    )
+    types = bm.select(F.col("etype").alias("t")).distinct()
+    grid = (
+        types.select(F.col("t").alias("type_a"))
+        .crossJoin(types.select(F.col("t").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    return (
+        grid.join(common, ["type_a", "type_b"], "left")
+        .join(
+            totals.select(F.col("etype").alias("type_a"), F.col("n_users").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            totals.select(F.col("etype").alias("type_b"), F.col("n_users").alias("n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+
+
+BOOT_B = 48      # bootstrap replicates
+BOOT_LO, BOOT_HI = 2, 47  # ~2.5% / 97.5% order statistics of 48
+# Poisson(1) pmf quantized at 1e-3 (CDF thresholds on r in [0,1000)):
+# P(0)=.368, P(1)=.368, P(2)=.184, P(3)=.061, tail -> 4.
+BOOT_THRESH = (368, 736, 920, 981)
+BOOT_M_CASE = (
+    f"CASE WHEN r < {BOOT_THRESH[0]} THEN 0"
+    f" WHEN r < {BOOT_THRESH[1]} THEN 1"
+    f" WHEN r < {BOOT_THRESH[2]} THEN 2"
+    f" WHEN r < {BOOT_THRESH[3]} THEN 3 ELSE 4 END"
+)
+BOOT_R = (
+    "((event_id % 1000003) * 48271 + (b + 1) * 104729)"
+    " % 2147483647 % 1000"
+)
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value
+    — the resampling scheme that works on a DATA-PARALLEL engine
+    (Chamandy et al., Google 2012): instead of drawing N rows with
+    replacement (which needs global coordination), each row enters
+    replicate b with multiplicity m ~ Poisson(1), computed row-local.
+    Here m is DETERMINISTIC: an LCG over (event_id, b) mapped through
+    the 1e-3-quantized Poisson(1) CDF — recomputable bit-for-bit by
+    both engines (the dp_histogram seeded-noise device).
+
+    Emits one row per replicate: n_eff = Σm, sum_cents = Σ m·cents
+    (exact cents via floor(value·100 + 0.5)), mean_q = (sum_cents ·
+    1e6) DIV n_eff, and the CI order statistics lo_q / hi_q (2nd and
+    47th of 48 sorted replicate means) broadcast onto every row.
+    All-integer; ties in mean_q are harmless because lo/hi are VALUE
+    order statistics.
+
+    Scale shape: the ×B explode is map-side (no shuffle until the
+    per-replicate agg, which is 48 keys with map-side combine); the
+    final ranking window runs on 48 rows.  n_eff ≈ N so the DIV is
+    safe for any non-trivial input."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    reps = e.crossJoin(
+        F.broadcast(spark.range(BOOT_B).select(F.col("id").alias("b")))
+    )
+    reps = reps.withColumn("r", F.expr(BOOT_R)).withColumn(
+        "m", F.expr(BOOT_M_CASE).cast("long")
+    )
+    agg = reps.groupBy("b").agg(
+        F.sum("m").alias("n_eff"),
+        F.sum(F.col("m") * F.col("cents")).alias("sum_cents"),
+    )
+    agg = agg.withColumn(
+        "mean_q", F.expr("(sum_cents * 1000000) DIV n_eff")
+    )
+    w_all = Window.orderBy("mean_q", "b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(Window.orderBy("mean_q", "b"))
+    return (
+        agg.withColumn("rn", rn)
+        .withColumn(
+            "lo_q",
+            F.max(F.when(F.col("rn") == BOOT_LO, F.col("mean_q"))).over(w_all),
+        )
+        .withColumn(
+            "hi_q",
+            F.max(F.when(F.col("rn") == BOOT_HI, F.col("mean_q"))).over(w_all),
+        )
+        .select(
+            "b",
+            F.col("n_eff").cast("long").alias("n_eff"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("mean_q").cast("long").alias("mean_q"),
+            F.col("lo_q").cast("long").alias("lo_q"),
+            F.col("hi_q").cast("long").alias("hi_q"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -11038,6 +11278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": q_politeness_schedule,
         "critical_path": q_critical_path,
         "spatial_grid_join": q_spatial_grid_join,
+        "phrase_search": q_phrase_search,
+        "bitmap_intersect": q_bitmap_intersect,
+        "poisson_bootstrap": q_poisson_bootstrap,
     }
 
 
@@ -16361,3 +16604,97 @@ def _install_s14_batch2_oracles() -> None:
 
 
 _install_s14_batch2_oracles()
+
+
+def _install_s14_batch3_oracles() -> None:
+    # phrase_search: sequential LEAD-window scan per document — no
+    # index; the posting-list intersection is the thing under test.
+    # DuckDB zips parallel UNNESTs, giving 0-based token positions.
+    arms = []
+    for pid, words in PHRASES.items():
+        cond = f"tok = '{words[0]}'" + "".join(
+            f" AND t{k} = '{w}'" for k, w in enumerate(words[1:], 1)
+        )
+        arms.append(
+            f"SELECT CAST({pid} AS BIGINT) AS phrase_id, doc_id,"
+            f" CAST(pos AS BIGINT) AS pos FROM scan WHERE {cond}"
+        )
+    _ORACLE_SQL["phrase_search"] = (
+        "WITH toks AS (SELECT doc_id,"
+        " UNNEST(string_split(text, ' ')) AS tok,"
+        " UNNEST(range(len(string_split(text, ' ')))) AS pos"
+        " FROM documents), "
+        "scan AS (SELECT doc_id, pos, tok,"
+        " LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,"
+        " LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2"
+        " FROM toks) "
+        + " UNION ALL ".join(arms)
+    )
+    # bitmap_intersect: the relational path — DISTINCT user sets,
+    # self-join on user, COUNT — vs the Spark side's bitmap algebra.
+    _ORACLE_SQL["bitmap_intersect"] = """
+        WITH pres AS (
+            SELECT DISTINCT event_type AS t,
+                   user_id * 1024
+                   + date_diff('microsecond',
+                               TIMESTAMP '2024-01-01 00:00:00', ts)
+                     // 86400000000 AS u
+            FROM events
+        ),
+        totals AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM pres GROUP BY t
+        ),
+        common AS (
+            SELECT a.t AS type_a, b.t AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS nc
+            FROM pres a JOIN pres b ON a.u = b.u AND a.t < b.t
+            GROUP BY a.t, b.t
+        ),
+        grid AS (
+            SELECT a.t AS type_a, b.t AS type_b
+            FROM totals a JOIN totals b ON a.t < b.t
+        )
+        SELECT g.type_a, g.type_b, ta.n AS n_a, tb.n AS n_b,
+               CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_common
+        FROM grid g
+        JOIN totals ta ON ta.t = g.type_a
+        JOIN totals tb ON tb.t = g.type_b
+        LEFT JOIN common c
+          ON c.type_a = g.type_a AND c.type_b = g.type_b
+    """
+    # poisson_bootstrap: identical deterministic construction (the
+    # LCG, the quantized pmf CASE, the integer mean, the rank-based
+    # CI) — the gate pins cross-engine integer agreement end-to-end.
+    _ORACLE_SQL["poisson_bootstrap"] = f"""
+        WITH reps AS (
+            SELECT b.b, e.event_id,
+                   CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents,
+                   {BOOT_R} AS r
+            FROM events e
+            CROSS JOIN (SELECT UNNEST(range({BOOT_B})) AS b) b
+        ),
+        mm AS (
+            SELECT b, cents, CAST({BOOT_M_CASE} AS BIGINT) AS m FROM reps
+        ),
+        agg AS (
+            SELECT b, CAST(SUM(m) AS BIGINT) AS n_eff,
+                   CAST(SUM(m * cents) AS BIGINT) AS sum_cents
+            FROM mm GROUP BY b
+        ),
+        q AS (
+            SELECT b, n_eff, sum_cents,
+                   CAST((sum_cents * 1000000) // n_eff AS BIGINT) AS mean_q,
+                   ROW_NUMBER() OVER (ORDER BY (sum_cents * 1000000)
+                                      // n_eff, b) AS rn
+            FROM agg
+        )
+        SELECT b, n_eff, sum_cents, mean_q,
+               CAST(MAX(CASE WHEN rn = {BOOT_LO} THEN mean_q END)
+                    OVER () AS BIGINT) AS lo_q,
+               CAST(MAX(CASE WHEN rn = {BOOT_HI} THEN mean_q END)
+                    OVER () AS BIGINT) AS hi_q
+        FROM q
+    """
+
+
+_install_s14_batch3_oracles()
