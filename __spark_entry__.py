@@ -11083,6 +11083,199 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Consistent-hash ring config (NOT data): 8 -> 9 physical nodes, 16
+# virtual nodes each.  Positions spread by a multiplier large enough
+# to wrap the ring many times — a small multiplier left every key on
+# a 1% arc and ZERO keys moved (measured).  Collision-freedom of the
+# 144 positions is asserted at import.
+RING_MOD = 2147483647
+RING_V = 16
+RING_OLD_N, RING_NEW_N = 8, 9
+
+
+def _ring_combos(n_nodes):
+    """Sorted (pos*64 + node) encodings — one BIGINT per vnode keeps
+    the ring a flat array literal both engines can binary-scan with
+    list_filter/min.  node < 64 so the encoding is reversible."""
+    combos = []
+    for node in range(n_nodes):
+        for v in range(RING_V):
+            pos = ((node * 1024 + v + 1) * 2654435761) % RING_MOD
+            combos.append(pos * 64 + node)
+    assert len({c // 64 for c in combos}) == len(combos)
+    return sorted(combos)
+
+
+RING_COMBOS_OLD = _ring_combos(RING_OLD_N)
+RING_COMBOS_NEW = _ring_combos(RING_NEW_N)
+RING_KEY_SQL = f"((doc_id % 1000003) * 1103515245 + 12345) % {RING_MOD}"
+
+
+def _ring_owner_sql(combos, kp_sql):
+    lit = ",".join(str(c) for c in combos)
+    arr = f"array({lit})"
+    return (
+        f"COALESCE(array_min(filter({arr}, c -> c >= ({kp_sql}) * 64)),"
+        f" {min(combos)}) % 64"
+    )
+
+
+def q_consistent_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring rebalance (Karger 1997): keys hash onto a
+    2^31-1 ring owned by the next virtual node clockwise (wraparound
+    to the ring minimum); adding physical node 8 moves ONLY the keys
+    whose successor vnode is one of the newcomer's — no old->old
+    churn, the property that makes ring sharding resizable.  The
+    complement of shard_assign's rendezvous row: same contract,
+    structurally different algorithm (successor search on a sorted
+    ring vs per-node max-weight).
+
+    The ring is CONFIG, not data, so it rides as a sorted literal
+    array of (pos·64 + node) encodings; ownership is
+    min(filter(ring, pos >= key)) with a COALESCE wraparound — pure
+    per-row expressions, zero shuffle, and the same list algebra in
+    DuckDB (list_filter/list_min).  The successor comparison is done
+    at the ENCODED scale (c >= kp·64): safe because node < 64.
+
+    Scale shape: map-side only.  Ring variance with V=16 is real
+    (measured old-owner spread 35..122 of 500) — that imbalance is
+    the classic argument for more vnodes, not a bug; the test pins
+    the exact move set instead of a balance assumption."""
+    d = _load_wide(spark, sf_dir, "documents")
+    kp = RING_KEY_SQL
+    return d.select(
+        "doc_id",
+        F.expr(_ring_owner_sql(RING_COMBOS_OLD, kp)).cast("long").alias("old_node"),
+        F.expr(_ring_owner_sql(RING_COMBOS_NEW, kp)).cast("long").alias("new_node"),
+    ).withColumn(
+        "moved", (F.col("old_node") != F.col("new_node")).cast("long")
+    )
+
+
+HIER_MAX_DEPTH = 41  # doc_id DIV 2^40 == 0 for any id < 2^40
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over an implicit binary hierarchy (parent(u) =
+    u DIV 2, root 0) — the org-chart / category-tree aggregation:
+    every node reports the total n_chars and descendant count of its
+    subtree, self included.
+
+    The Spark side inverts the problem: instead of walking DOWN from
+    each node (quadratic), each row EXPLODES its own O(log n)
+    ancestor chain (doc_id DIV 2^k, k = 0..40, array_distinct
+    collapses the 0-tail) and one groupBy(ancestor) sums
+    contributions — the log-depth closure device, one shuffle total.
+    The oracle climbs the same chain row-by-row in a recursive CTE.
+    Only nodes that exist as documents are reported (inner join),
+    but contributions FLOW THROUGH missing intermediate ids —
+    ancestry is arithmetic, not a join against the corpus.
+
+    Scale shape: explode factor is ≤ 41 regardless of corpus size;
+    the rollup groupBy is map-side combinable; at 1e12 docs the hot
+    root keys are classic skew — salt the first levels (the
+    transcribe repartition lesson)."""
+    d = _load_wide(spark, sf_dir, "documents")
+    chain = "array_distinct(array(" + ",".join(
+        f"doc_id DIV {1 << k}" for k in range(HIER_MAX_DEPTH)
+    ) + "))"
+    contrib = d.select(
+        F.col("n_chars"), F.explode(F.expr(chain)).alias("node")
+    )
+    rolled = contrib.groupBy("node").agg(
+        F.sum("n_chars").alias("subtree_chars"),
+        F.count(F.lit(1)).alias("n_desc"),
+    )
+    return (
+        d.select(F.col("doc_id").alias("node"))
+        .join(rolled, "node")
+        .select(
+            "node",
+            F.col("subtree_chars").cast("long").alias("subtree_chars"),
+            F.col("n_desc").cast("long").alias("n_desc"),
+        )
+    )
+
+
+CDF_BUCKET_CENTS = 2000  # ~25 buckets over the 0..490 value range
+CDF_SPLIT_DAY = 15       # period A: day < 15; period B: day >= 15
+
+
+def q_cdf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two periods per event_type via the
+    CDF: exact 1-D earth-mover distance (EMD = Σ |F_A − F_B| · gap
+    over the observed support) and Kolmogorov-Smirnov statistic
+    (max |F_A − F_B|) from ONE cumulative pass — the complement of
+    psi_drift (PSI is a density ratio; EMD/KS are CDF geometry, and
+    KS needs no binning assumptions to be valid).
+
+    Exactness: CDF differences ride cross-multiplied — |cumA·nB −
+    cumB·nA| in units of nA·nB — so no division ever happens; the
+    EMD adds the inter-support gap weight (LEAD(bucket) − bucket,
+    coalesced to 0 on the last row, where the cross term is provably
+    0 anyway since both CDFs reached their totals).  Overflow: cum ≤
+    n, so a term is ≤ nA·nB·gap ≈ 8e9 at sf0.1; 1e12-row inputs
+    would ride DECIMAL(38,0) (corr_matrix precedent).
+
+    Scale shape: ONE corpus groupBy(type, bucket); the window pass
+    runs on the tiny (type × observed-bucket) grid."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    day = (
+        "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        " DIV 86400000000"
+    )
+    base = e.select(
+        F.col("event_type").alias("etype"),
+        F.expr(
+            f"CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV {CDF_BUCKET_CENTS}"
+        ).alias("bucket"),
+        F.expr(f"CASE WHEN {day} < {CDF_SPLIT_DAY} THEN 1 ELSE 0 END").alias(
+            "in_a"
+        ),
+    )
+    per = base.groupBy("etype", "bucket").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    w_type = Window.partitionBy("etype")
+    w_cum = (
+        Window.partitionBy("etype")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("etype").orderBy("bucket")
+    per = (
+        per.withColumn("tot_a", F.sum("n_a").over(w_type).cast("long"))
+        .withColumn("tot_b", F.sum("n_b").over(w_type).cast("long"))
+        .withColumn("cum_a", F.sum("n_a").over(w_cum).cast("long"))
+        .withColumn("cum_b", F.sum("n_b").over(w_cum).cast("long"))
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.lead("bucket").over(w_lead) - F.col("bucket"), F.lit(0)
+            ).cast("long"),
+        )
+    )
+    diff = F.abs(
+        F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")
+    )
+    per = per.withColumn("contrib_q", (diff * F.col("gap")).cast("long"))
+    return per.select(
+        "etype",
+        "bucket",
+        "n_a",
+        "n_b",
+        "cum_a",
+        "cum_b",
+        "gap",
+        "contrib_q",
+        F.sum("contrib_q").over(w_type).cast("long").alias("emd_q"),
+        F.max(diff).over(w_type).cast("long").alias("ks_q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -11281,6 +11474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bitmap_intersect": q_bitmap_intersect,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "consistent_ring": q_consistent_ring,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "cdf_drift": q_cdf_drift,
     }
 
 
@@ -16698,3 +16894,97 @@ def _install_s14_batch3_oracles() -> None:
 
 
 _install_s14_batch3_oracles()
+
+
+def _install_s14_batch4_oracles() -> None:
+    # consistent_ring: the identical ring-literal successor search in
+    # DuckDB list algebra (list_filter/list_min with the same encoded
+    # combos) — the gate pins cross-engine agreement of the encoding,
+    # the wraparound, and the move set.
+    def owner(combos):
+        lit = "[" + ",".join(str(c) for c in combos) + "]"
+        return (
+            f"COALESCE(list_min(list_filter({lit},"
+            f" c -> c >= ({RING_KEY_SQL}) * 64)),"
+            f" {min(combos)}) % 64"
+        )
+
+    _ORACLE_SQL["consistent_ring"] = f"""
+        WITH assign AS (
+            SELECT doc_id,
+                   CAST({owner(RING_COMBOS_OLD)} AS BIGINT) AS old_node,
+                   CAST({owner(RING_COMBOS_NEW)} AS BIGINT) AS new_node
+            FROM documents
+        )
+        SELECT doc_id, old_node, new_node,
+               CAST(CASE WHEN old_node <> new_node THEN 1 ELSE 0 END
+                    AS BIGINT) AS moved
+        FROM assign
+    """
+    # hierarchy_rollup: climb the parent chain row-by-row in a
+    # recursive CTE (node -> node // 2 until root 0) — the Spark
+    # side's bounded ancestor-explode is the thing under test.
+    _ORACLE_SQL["hierarchy_rollup"] = """
+        WITH RECURSIVE climb AS (
+            SELECT doc_id AS node, n_chars FROM documents
+            UNION ALL
+            SELECT node // 2, n_chars FROM climb WHERE node > 0
+        ),
+        rolled AS (
+            SELECT node, CAST(SUM(n_chars) AS BIGINT) AS subtree_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_desc
+            FROM climb GROUP BY node
+        )
+        SELECT d.doc_id AS node, r.subtree_chars, r.n_desc
+        FROM documents d JOIN rolled r ON r.node = d.doc_id
+    """
+    # cdf_drift: same one-pass cumulative construction (same buckets,
+    # same cross-multiplied integers, same gap weighting).
+    day = (
+        "date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)"
+        " // 86400000000"
+    )
+    _ORACLE_SQL["cdf_drift"] = f"""
+        WITH base AS (
+            SELECT event_type AS etype,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       // {CDF_BUCKET_CENTS} AS bucket,
+                   CASE WHEN {day} < {CDF_SPLIT_DAY} THEN 1 ELSE 0 END
+                       AS in_a
+            FROM events
+        ),
+        per AS (
+            SELECT etype, bucket,
+                   CAST(SUM(in_a) AS BIGINT) AS n_a,
+                   CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+            FROM base GROUP BY etype, bucket
+        ),
+        cums AS (
+            SELECT etype, bucket, n_a, n_b,
+                   CAST(SUM(n_a) OVER (PARTITION BY etype) AS BIGINT)
+                       AS tot_a,
+                   CAST(SUM(n_b) OVER (PARTITION BY etype) AS BIGINT)
+                       AS tot_b,
+                   CAST(SUM(n_a) OVER (PARTITION BY etype ORDER BY bucket)
+                        AS BIGINT) AS cum_a,
+                   CAST(SUM(n_b) OVER (PARTITION BY etype ORDER BY bucket)
+                        AS BIGINT) AS cum_b,
+                   CAST(COALESCE(LEAD(bucket) OVER (PARTITION BY etype
+                        ORDER BY bucket) - bucket, 0) AS BIGINT) AS gap
+            FROM per
+        ),
+        contrib AS (
+            SELECT *, CAST(ABS(cum_a * tot_b - cum_b * tot_a) * gap
+                           AS BIGINT) AS contrib_q
+            FROM cums
+        )
+        SELECT etype, bucket, n_a, n_b, cum_a, cum_b, gap, contrib_q,
+               CAST(SUM(contrib_q) OVER (PARTITION BY etype) AS BIGINT)
+                   AS emd_q,
+               CAST(MAX(ABS(cum_a * tot_b - cum_b * tot_a))
+                    OVER (PARTITION BY etype) AS BIGINT) AS ks_q
+        FROM contrib
+    """
+
+
+_install_s14_batch4_oracles()
