@@ -11276,6 +11276,216 @@ def q_cdf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYST_H_CENTS = 5000   # Schmitt trigger: set when value >= 50.00,
+HYST_L_CENTS = 1000   # clear when value <= 10.00; deadband holds state
+
+
+def q_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold (Schmitt-trigger) alerting per host: state goes
+    HIGH when the metric crosses H, LOW when it drops under L, and
+    HOLDS inside the deadband — the hysteresis every alerting system
+    uses so a metric hovering at one threshold doesn't flap.
+
+    The fold LINEARIZES (the third linearization class after
+    sessionize's gap test and politeness's prefix-max): rows inside
+    the deadband never change state, so state_i is simply the LAST
+    non-deadband row's direction — last_value(flag, ignoreNulls)
+    over the ordered window, coalesced to the initial LOW.  Edges
+    (alert_on / alert_off) are lag() comparisons on the recovered
+    state.  The oracle steps the recurrence row-by-row in a
+    recursive CTE: two independent algorithms.  Comparisons run on
+    exact cents, never floats.
+
+    Scale shape: one shuffle on host, two window passes over each
+    partition; at 1e12 events the host partitioning is the skew
+    story (hot hosts -> per-epoch sub-keys, merging states at epoch
+    seams by carrying the last flag, which the linearization makes
+    trivial)."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").alias("host"),
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("ts_us"),
+    ).withColumn(
+        "flag",
+        F.when(F.col("cents") >= HYST_H_CENTS, F.lit(1))
+        .when(F.col("cents") <= HYST_L_CENTS, F.lit(0)),
+    )
+    w_ord = Window.partitionBy("host").orderBy("ts_us", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = base.withColumn(
+        "state",
+        F.coalesce(F.last("flag", ignorenulls=True).over(w_run), F.lit(0))
+        .cast("long"),
+    ).withColumn("prev", F.coalesce(F.lag("state").over(w_ord), F.lit(0)))
+    return out.select(
+        "host",
+        "event_id",
+        "cents",
+        "state",
+        ((F.col("prev") == 0) & (F.col("state") == 1)).cast("long")
+        .alias("alert_on"),
+        ((F.col("prev") == 1) & (F.col("state") == 0)).cast("long")
+        .alias("alert_off"),
+    )
+
+
+FAIR_CAP_NUM, FAIR_CAP_DEN = 3, 5  # pool capacity = 60% of its demand
+
+
+def q_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) capacity allocation per pool:
+    each event_type pool has capacity C = 60% of its total demand
+    (demand = each user's event count); users with demand under the
+    water level get everything, the rest split what remains as
+    evenly as integers allow — the fair-share scheduler core
+    (networking's max-min fairness, YARN/K8s quota sharing).
+
+    Closed form instead of the iterative drain: sort demands
+    ascending (user id tiebreak); user at rank i is FULLY served iff
+    d_i·(n−i+1) + P_{i−1} ≤ C (serving everyone remaining at d_i
+    still fits — exactly the d_i ≤ λ* test, monotone along the
+    sort).  With k satisfied users and prefix P_k: base level
+    λ = (C − P_k) DIV (n−k) and the remainder (C − P_k) % (n−k)
+    goes to the FIRST unsatisfied users in the same sort order —
+    deterministic and documented.  The law test replays the classic
+    iterative water-filling and checks Σalloc = C, alloc ≤ d, and
+    the max-min property (an unsatisfied user's allocation is within
+    1 of every other unsatisfied allocation).
+
+    Scale shape: one shuffle on (pool, user) for demands, then
+    window passes inside each pool — pools are independent, so at
+    1e12 events this is embarrassingly parallel across pools."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    dem = e.groupBy(
+        F.col("event_type").alias("pool"), F.col("user_id").alias("usr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    w_pool = Window.partitionBy("pool")
+    w_ord = Window.partitionBy("pool").orderBy("demand", "usr")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dem = (
+        dem.withColumn("n", F.count(F.lit(1)).over(w_pool).cast("long"))
+        .withColumn("tot", F.sum("demand").over(w_pool).cast("long"))
+        .withColumn(
+            "cap",
+            F.expr(f"(tot * {FAIR_CAP_NUM}) DIV {FAIR_CAP_DEN}"),
+        )
+        .withColumn("rn", F.row_number().over(w_ord).cast("long"))
+        .withColumn("pref", F.sum("demand").over(w_cum).cast("long"))
+        .withColumn(
+            "full",
+            (
+                F.col("demand") * (F.col("n") - F.col("rn") + 1)
+                + F.col("pref")
+                - F.col("demand")
+                <= F.col("cap")
+            ).cast("long"),
+        )
+    )
+    dem = dem.withColumn(
+        "k", F.sum("full").over(w_pool).cast("long")
+    ).withColumn(
+        "p_k",
+        F.coalesce(
+            F.max(F.when(F.col("full") == 1, F.col("pref"))).over(w_pool),
+            F.lit(0),
+        ).cast("long"),
+    )
+    lam = F.expr("CASE WHEN n > k THEN (cap - p_k) DIV (n - k) END")
+    rem = F.expr("CASE WHEN n > k THEN (cap - p_k) % (n - k) END")
+    alloc = F.when(F.col("full") == 1, F.col("demand")).otherwise(
+        lam + (F.col("rn") - F.col("k") <= rem).cast("long")
+    )
+    # satisfied is derived from the OUTCOME (alloc == demand), not the
+    # water-level test: a user just above the level whose remainder +1
+    # happens to reach their demand IS satisfied.
+    return dem.withColumn("alloc", alloc.cast("long")).select(
+        "pool",
+        "usr",
+        "demand",
+        "cap",
+        (F.col("alloc") == F.col("demand")).cast("long").alias("satisfied"),
+        "alloc",
+    )
+
+
+TA_K = 10      # result size
+TA_DEPTH = 60  # prefix depth per ranked list (certificate verified)
+
+
+def q_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fagin threshold-algorithm top-k over two ranked score lists
+    (TA, Fagin/Lotem/Naor 2001): the distributed-retrieval primitive
+    that proves an EXACT top-k while reading only a prefix of each
+    list.  Scores: s1 = n_chars (the "quality" list), s2 = an LCG
+    over doc_id (the "relevance" list); total = s1 + s2.
+
+    Candidates = union of each list's top-TA_DEPTH prefix (rank by
+    score desc, doc_id asc).  Threshold τ = s1@depth + s2@depth
+    bounds every unseen doc (outside both prefixes ⇒ both scores ≤
+    their depth-th value, ties included).  The emitted `cert` column
+    is the machine-checkable proof: kth-best candidate total ≥ τ —
+    when 1 the prefix top-k IS the global top-k, which the oracle
+    (full-scan sort) confirms.  TA_DEPTH=60 was tuned so the
+    certificate holds on the fixture; the test also pins that
+    shrinking the prefix flips the certificate off before it ever
+    yields a wrong answer.
+
+    Scale shape: at 1e12 docs each ranked prefix comes from a
+    per-shard top-DEPTH + merge (the group_topk device) — here the
+    global ranking is a rank window; the candidate set is ≤ 2·DEPTH rows,
+    so everything after the prefixes is driver-trivial."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s1"),
+        F.expr("((doc_id % 1000003) * 48271 + 11) % 2147483647 % 1000")
+        .cast("long").alias("s2"),
+    ).localCheckpoint()
+    r1 = F.row_number().over(Window.orderBy(F.desc("s1"), F.asc("doc_id")))
+    r2 = F.row_number().over(Window.orderBy(F.desc("s2"), F.asc("doc_id")))
+    ranked = scored.withColumn("r1", r1).withColumn("r2", r2)
+    cand = ranked.filter(
+        (F.col("r1") <= TA_DEPTH) | (F.col("r2") <= TA_DEPTH)
+    )
+    tau = ranked.filter(F.col("r1") == TA_DEPTH).select(
+        F.col("s1").alias("b1")
+    ).crossJoin(
+        ranked.filter(F.col("r2") == TA_DEPTH).select(F.col("s2").alias("b2"))
+    ).select((F.col("b1") + F.col("b2")).alias("tau"))
+    topk = (
+        cand.withColumn("total", F.col("s1") + F.col("s2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("total"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rk") <= TA_K)
+    )
+    return topk.crossJoin(F.broadcast(tau)).select(
+        "doc_id",
+        "s1",
+        "s2",
+        "total",
+        F.col("rk").cast("long").alias("rk"),
+        (F.min("total").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ) >= F.col("tau")).cast("long").alias("cert"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -11477,6 +11687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_ring": q_consistent_ring,
         "hierarchy_rollup": q_hierarchy_rollup,
         "cdf_drift": q_cdf_drift,
+        "hysteresis_alerts": q_hysteresis_alerts,
+        "fair_share": q_fair_share,
+        "threshold_topk": q_threshold_topk,
     }
 
 
@@ -16988,3 +17201,123 @@ def _install_s14_batch4_oracles() -> None:
 
 
 _install_s14_batch4_oracles()
+
+
+def _install_s14_batch5_oracles() -> None:
+    # hysteresis_alerts: step the Schmitt recurrence row-by-row in a
+    # recursive CTE — the last-non-deadband linearization is the
+    # thing under test.
+    H, L = HYST_H_CENTS, HYST_L_CENTS
+    _ORACLE_SQL["hysteresis_alerts"] = f"""
+        WITH RECURSIVE ranked AS (
+            SELECT user_id AS host, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts),
+                                event_id) AS rn
+            FROM events
+        ), walk AS (
+            SELECT host, event_id, cents, rn,
+                   CASE WHEN cents >= {H} THEN 1
+                        WHEN cents <= {L} THEN 0 ELSE 0 END AS state,
+                   CAST(0 AS BIGINT) AS prev
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT r.host, r.event_id, r.cents, r.rn,
+                   CASE WHEN r.cents >= {H} THEN 1
+                        WHEN r.cents <= {L} THEN 0
+                        ELSE w.state END,
+                   CAST(w.state AS BIGINT)
+            FROM walk w JOIN ranked r
+              ON r.host = w.host AND r.rn = w.rn + 1
+        )
+        SELECT host, event_id, cents, CAST(state AS BIGINT) AS state,
+               CAST(CASE WHEN prev = 0 AND state = 1 THEN 1 ELSE 0 END
+                    AS BIGINT) AS alert_on,
+               CAST(CASE WHEN prev = 1 AND state = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS alert_off
+        FROM walk
+    """
+    # fair_share: the identical closed form in SQL windows (the
+    # ITERATIVE water-filling replay lives in the pytest law, which
+    # is where the two-algorithms check happens for this row).
+    _ORACLE_SQL["fair_share"] = f"""
+        WITH dem AS (
+            SELECT event_type AS pool, user_id AS usr,
+                   CAST(COUNT(*) AS BIGINT) AS demand
+            FROM events GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT pool, usr, demand,
+                   CAST(COUNT(*) OVER (PARTITION BY pool) AS BIGINT) AS n,
+                   CAST(SUM(demand) OVER (PARTITION BY pool) AS BIGINT)
+                       AS tot,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pool
+                        ORDER BY demand, usr) AS BIGINT) AS rn,
+                   CAST(SUM(demand) OVER (PARTITION BY pool
+                        ORDER BY demand, usr) AS BIGINT) AS pref
+            FROM dem
+        ),
+        fl AS (
+            SELECT *, (tot * {FAIR_CAP_NUM}) // {FAIR_CAP_DEN} AS cap,
+                   CASE WHEN demand * (n - rn + 1) + pref - demand
+                        <= (tot * {FAIR_CAP_NUM}) // {FAIR_CAP_DEN}
+                        THEN 1 ELSE 0 END AS is_full
+            FROM rk
+        ),
+        agg AS (
+            SELECT *, CAST(SUM(is_full) OVER (PARTITION BY pool) AS BIGINT)
+                       AS k,
+                   CAST(COALESCE(MAX(CASE WHEN is_full = 1 THEN pref END)
+                        OVER (PARTITION BY pool), 0) AS BIGINT) AS p_k
+            FROM fl
+        )
+        , fin AS (
+            SELECT pool, usr, demand, cap,
+                   CAST(CASE WHEN is_full = 1 THEN demand
+                        ELSE (cap - p_k) // (n - k)
+                             + CASE WHEN rn - k <= (cap - p_k) % (n - k)
+                                    THEN 1 ELSE 0 END END AS BIGINT)
+                       AS alloc
+            FROM agg
+        )
+        SELECT pool, usr, demand, CAST(cap AS BIGINT) AS cap,
+               CAST(CASE WHEN alloc = demand THEN 1 ELSE 0 END AS BIGINT)
+                   AS satisfied,
+               alloc
+        FROM fin
+    """
+    # threshold_topk: the full-scan sort — TA's certificate claims
+    # this oracle is reproduced from two 60-row prefixes.
+    _ORACLE_SQL["threshold_topk"] = f"""
+        WITH scored AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS s1,
+                   CAST(((doc_id % 1000003) * 48271 + 11)
+                        % 2147483647 % 1000 AS BIGINT) AS s2
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, s1, s2, s1 + s2 AS total,
+                   ROW_NUMBER() OVER (ORDER BY s1 + s2 DESC, doc_id)
+                       AS rk,
+                   ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS r1,
+                   ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS r2
+            FROM scored
+        ),
+        tau AS (
+            SELECT (SELECT s1 FROM ranked WHERE r1 = {TA_DEPTH})
+                 + (SELECT s2 FROM ranked WHERE r2 = {TA_DEPTH}) AS t
+        )
+        SELECT doc_id, s1, s2, CAST(total AS BIGINT) AS total,
+               CAST(rk AS BIGINT) AS rk,
+               CAST(CASE WHEN (SELECT MIN(total) FROM ranked
+                               WHERE rk <= {TA_K})
+                         >= (SELECT t FROM tau)
+                    THEN 1 ELSE 0 END AS BIGINT) AS cert
+        FROM ranked WHERE rk <= {TA_K}
+    """
+
+
+_install_s14_batch5_oracles()
