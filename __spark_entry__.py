@@ -11486,6 +11486,253 @@ def q_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRAWDOWN_POS_TYPES = ("purchase", "signup")  # inflows; rest outflows
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per host over its signed cash-flow series
+    (inflow for purchase/signup, outflow otherwise, exact cents) —
+    the sequence-analytics core shared by finance risk (peak-to-
+    trough), capacity burn-down, and Kadane's max-subarray (drawdown
+    of the negated series).  The balance starts at 0 BEFORE the
+    first event, so the running peak is max(0, max cum) and drawdown
+    can begin on the first outflow.
+
+    Pure window algebra — cumulative sum, running max over the same
+    frame, max of the difference — no fold needed because both
+    running aggregates are prefix-monotone.  One output row per
+    host.
+
+    Scale shape: one shuffle on host, one window pass, one groupBy
+    reusing the same partitioning (no second exchange)."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    pos = ", ".join(f"'{t}'" for t in DRAWDOWN_POS_TYPES)
+    base = e.select(
+        F.col("user_id").alias("host"),
+        "event_id",
+        F.expr(
+            f"CASE WHEN event_type IN ({pos}) THEN 1 ELSE -1 END"
+            " * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+        ).alias("delta"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("ts_us"),
+    )
+    w_run = (
+        Window.partitionBy("host")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = base.withColumn("cum", F.sum("delta").over(w_run).cast("long"))
+    cur = cur.withColumn(
+        "peak",
+        F.greatest(F.lit(0).cast("long"), F.max("cum").over(w_run)),
+    ).withColumn("dd", F.col("peak") - F.col("cum"))
+    return cur.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("cum").alias("max_cents"),
+        # last-by-event-order, NOT F.last (which is partition-order-
+        # dependent inside a groupBy agg)
+        F.expr("max_by(cum, struct(ts_us, event_id))").alias("final_cents"),
+        F.max("dd").cast("long").alias("max_drawdown"),
+    ).select(
+        "host",
+        "n_events",
+        F.greatest(F.lit(0).cast("long"), F.col("max_cents")).alias(
+            "peak_cents"
+        ),
+        F.col("final_cents").cast("long").alias("final_cents"),
+        "max_drawdown",
+    )
+
+
+# SPRT constants (Wald 1945), all data-independent literals computed
+# once here and embedded identically in both engines: test p0 = 0.15
+# vs p1 = 0.25 conversion, alpha = beta = 0.05 -> log boundaries
+# +-ln(19).  Quantized at 1e-6 nats.
+import math as _m
+
+SPRT_L1 = _m.floor(_m.log(0.25 / 0.15) * 10**6)   # llr of a conversion
+SPRT_L0 = _m.floor(_m.log(0.75 / 0.85) * 10**6)   # llr of a miss
+SPRT_A = _m.floor(_m.log(19.0) * 10**6)            # accept H1 boundary
+del _m
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test per user: walk the
+    event stream accumulating the conversion log-likelihood ratio
+    (purchase = hit) and STOP at the first boundary crossing —
+    accept_h1 at +ln19, accept_h0 at −ln19, else keep sampling — the
+    sequential A/B-testing primitive that decides with ~half the
+    samples of a fixed-horizon test.
+
+    The stopped walk is recovered with windows, no fold: cum llr is
+    a prefix sum; the decision row is the MIN seq among crossing
+    rows (crossings AFTER the first are ignored — exactly Wald's
+    stopping rule, since what cum does after a stop is irrelevant);
+    the verdict is that row's crossing direction.  Integer nats at
+    1e-6; the llr increments are compile-time literals.
+
+    Scale shape: one shuffle on user, two window passes, final
+    groupBy on the same key; boundary literals broadcast as
+    constants."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").alias("usr"),
+        "event_id",
+        F.expr(
+            f"CASE WHEN event_type = 'purchase' THEN {SPRT_L1}"
+            f" ELSE {SPRT_L0} END"
+        ).cast("long").alias("llr"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("ts_us"),
+    )
+    w_ord = Window.partitionBy("usr").orderBy("ts_us", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur = base.withColumn("seq", (F.row_number().over(w_ord) - 1).cast("long"))
+    cur = cur.withColumn("cum", F.sum("llr").over(w_run).cast("long"))
+    cur = cur.withColumn(
+        "cross",
+        F.when(F.col("cum") >= SPRT_A, F.lit(1))
+        .when(F.col("cum") <= -SPRT_A, F.lit(-1)),
+    )
+    agg = cur.groupBy("usr").agg(
+        F.min(F.when(F.col("cross").isNotNull(), F.col("seq"))).alias("dseq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    first = cur.select(
+        F.col("usr").alias("u2"), F.col("seq").alias("s2"),
+        F.col("cross").alias("dir"), F.col("cum").alias("cum_stop"),
+    )
+    out = agg.join(
+        first,
+        (agg["usr"] == first["u2"]) & (agg["dseq"] == first["s2"]),
+        "left",
+    )
+    return out.select(
+        "usr",
+        "n_events",
+        F.coalesce(F.col("dseq"), F.lit(-1)).cast("long").alias("decision_seq"),
+        F.expr(
+            "CASE WHEN dir = 1 THEN 'accept_h1'"
+            " WHEN dir = -1 THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+        F.coalesce(F.col("cum_stop"), F.lit(0)).cast("long").alias("llr_stop"),
+    )
+
+
+CL_COHORTS = 4       # synthetic signup cohorts: user_id % 4 (week)
+CL_SCALE = 10**6     # development-factor quantization
+CL_WEEK_US = 7 * 86400000000
+
+
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development-triangle projection (the actuarial /
+    revenue-forecast standard, Mack 1993): cohorts accumulate value
+    by age; all-cohort development factors f_a = Σ C[·,a+1] / Σ
+    C[·,a] (over cohorts observing both ages) roll the last observed
+    diagonal forward to the horizon.
+
+    The fixture assigns signup cohorts deterministically (user_id %
+    4 = signup week; pre-signup events dropped) — every user's first
+    event landed in week 0, so NATURAL cohorts give a 1-row triangle
+    with nothing to project (the chain_ladder analog of the
+    l_diversity fine-key lesson).  Factors are quantized at 1e6 and
+    applied stepwise with floor division — the step ORDER is the
+    spec, identical in both engines; at most CL_COHORTS−1 steps ever
+    (cohort c misses exactly c diagonals), so the projection loop is
+    bounded by the cohort count, not the horizon.
+
+    Output: the full (cohort, age) grid — observed cumulative cents
+    (is_observed=1) plus projected cells (is_observed=0).
+
+    Scale shape: one corpus groupBy to the (cohort, age) grid;
+    everything after (factors, rollforward) lives on the tiny
+    triangle.  At 1e12 events the grid is |cohorts|·|ages| rows
+    regardless of input size."""
+    e = _load_wide(spark, sf_dir, "events")
+    base = e.select(
+        F.expr(f"user_id % {CL_COHORTS}").alias("cohort"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+            f" DIV {CL_WEEK_US}"
+        ).alias("wk"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("wk") >= F.col("cohort"))
+    horizon = base.agg(F.max("wk").alias("w")).collect()[0]["w"]
+    W = int(horizon)
+    inc = base.withColumn("age", F.col("wk") - F.col("cohort")).groupBy(
+        "cohort", "age"
+    ).agg(F.sum("cents").alias("inc"))
+    from pyspark.sql.window import Window
+
+    grid = (
+        spark.range(CL_COHORTS).select(F.col("id").alias("cohort"))
+        .crossJoin(spark.range(W + 1).select(F.col("id").alias("age")))
+        .filter(F.col("age") <= W - F.col("cohort"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = (
+        grid.join(inc, ["cohort", "age"], "left")
+        .withColumn("inc", F.coalesce(F.col("inc"), F.lit(0)))
+        .withColumn("cum", F.sum("inc").over(w_cum).cast("long"))
+        .localCheckpoint()
+    )
+    nxt = obs.select(
+        F.col("cohort").alias("c2"),
+        (F.col("age") - 1).alias("a2"),
+        F.col("cum").alias("cum_next"),
+    )
+    factors = (
+        obs.join(nxt, (obs["cohort"] == nxt["c2"]) & (obs["age"] == nxt["a2"]))
+        .groupBy("age")
+        .agg(
+            F.expr(f"(SUM(cum_next) * {CL_SCALE}) DIV SUM(cum)").alias("f_q")
+        )
+        .localCheckpoint()
+    )
+    diag = obs.filter(F.col("age") == W - F.col("cohort")).select(
+        "cohort", "age", "cum"
+    )
+    fac = factors.select(F.col("age").alias("f_age"), "f_q")
+    projected = []
+    cur = diag
+    for _ in range(CL_COHORTS - 1):
+        cur = (
+            cur.join(fac, F.col("age") == F.col("f_age"))
+            .select(
+                "cohort",
+                (F.col("age") + 1).alias("age"),
+                F.expr(f"(cum * f_q) DIV {CL_SCALE}").alias("cum"),
+            )
+            .filter(F.col("age") <= W)
+            .localCheckpoint()
+        )
+        projected.append(cur)
+    out = obs.select(
+        "cohort", "age", F.col("cum").alias("cum_cents"),
+        F.lit(1).cast("long").alias("is_observed"),
+    )
+    for p in projected:
+        out = out.unionByName(
+            p.select(
+                "cohort", "age", F.col("cum").alias("cum_cents"),
+                F.lit(0).cast("long").alias("is_observed"),
+            )
+        )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -11690,6 +11937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hysteresis_alerts": q_hysteresis_alerts,
         "fair_share": q_fair_share,
         "threshold_topk": q_threshold_topk,
+        "max_drawdown": q_max_drawdown,
+        "sprt_decision": q_sprt_decision,
+        "chain_ladder": q_chain_ladder,
     }
 
 
@@ -17321,3 +17571,151 @@ def _install_s14_batch5_oracles() -> None:
 
 
 _install_s14_batch5_oracles()
+
+
+def _install_s14_batch6_oracles() -> None:
+    # max_drawdown: the same window algebra (cum / running peak /
+    # max difference) — prefix-monotone, so no fold is needed in
+    # either engine.
+    pos = ", ".join(f"'{t}'" for t in DRAWDOWN_POS_TYPES)
+    _ORACLE_SQL["max_drawdown"] = f"""
+        WITH base AS (
+            SELECT user_id AS host, event_id,
+                   CASE WHEN event_type IN ({pos}) THEN 1 ELSE -1 END
+                   * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS delta,
+                   date_diff('microsecond',
+                             TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+            FROM events
+        ),
+        runs AS (
+            SELECT host, event_id, us,
+                   CAST(SUM(delta) OVER w AS BIGINT) AS cum
+            FROM base
+            WINDOW w AS (PARTITION BY host ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        dd AS (
+            SELECT host, us, event_id, cum,
+                   GREATEST(0, CAST(MAX(cum) OVER w AS BIGINT)) AS peak,
+                   ROW_NUMBER() OVER (PARTITION BY host
+                       ORDER BY us DESC, event_id DESC) AS rlast
+            FROM runs
+            WINDOW w AS (PARTITION BY host ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_events,
+               GREATEST(0, CAST(MAX(cum) AS BIGINT)) AS peak_cents,
+               CAST(MAX(CASE WHEN rlast = 1 THEN cum END) AS BIGINT)
+                   AS final_cents,
+               CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown
+        FROM dd GROUP BY host
+    """
+    # sprt_decision: identical stopped-walk recovery (prefix sum,
+    # first crossing, verdict from that row's direction).
+    _ORACLE_SQL["sprt_decision"] = f"""
+        WITH base AS (
+            SELECT user_id AS usr, event_id,
+                   CASE WHEN event_type = 'purchase' THEN {SPRT_L1}
+                        ELSE {SPRT_L0} END AS llr,
+                   date_diff('microsecond',
+                             TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+            FROM events
+        ),
+        runs AS (
+            SELECT usr, event_id,
+                   ROW_NUMBER() OVER w - 1 AS seq,
+                   CAST(SUM(llr) OVER (PARTITION BY usr ORDER BY us,
+                        event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum
+            FROM base
+            WINDOW w AS (PARTITION BY usr ORDER BY us, event_id)
+        ),
+        marked AS (
+            SELECT *, CASE WHEN cum >= {SPRT_A} THEN 1
+                           WHEN cum <= -{SPRT_A} THEN -1 END AS dir
+            FROM runs
+        ),
+        agg AS (
+            SELECT usr,
+                   MIN(CASE WHEN dir IS NOT NULL THEN seq END) AS dseq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM marked GROUP BY usr
+        )
+        SELECT a.usr, a.n_events,
+               CAST(COALESCE(a.dseq, -1) AS BIGINT) AS decision_seq,
+               CASE WHEN m.dir = 1 THEN 'accept_h1'
+                    WHEN m.dir = -1 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision,
+               CAST(COALESCE(m.cum, 0) AS BIGINT) AS llr_stop
+        FROM agg a LEFT JOIN marked m
+          ON m.usr = a.usr AND m.seq = a.dseq
+    """
+    # chain_ladder: same triangle, same quantized factors, the same
+    # bounded rollforward unrolled as CL_COHORTS-1 CTE steps.
+    steps = []
+    prev = "diag"
+    for s in range(1, CL_COHORTS):
+        steps.append(
+            f"p{s} AS (SELECT p.cohort, p.age + 1 AS age,"
+            f" CAST((p.cum * f.f_q) // {CL_SCALE} AS BIGINT) AS cum"
+            f" FROM {prev} p JOIN factors f ON f.age = p.age"
+            f" WHERE p.age + 1 <= (SELECT w FROM horizon))"
+        )
+        prev = f"p{s}"
+    proj_union = " UNION ALL ".join(
+        f"SELECT cohort, age, cum AS cum_cents,"
+        f" CAST(0 AS BIGINT) AS is_observed FROM p{s}"
+        for s in range(1, CL_COHORTS)
+    )
+    _ORACLE_SQL["chain_ladder"] = f"""
+        WITH base AS (
+            SELECT user_id % {CL_COHORTS} AS cohort,
+                   date_diff('microsecond',
+                             TIMESTAMP '2024-01-01 00:00:00', ts)
+                       // {CL_WEEK_US} AS wk,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        filt AS (SELECT * FROM base WHERE wk >= cohort),
+        horizon AS (SELECT MAX(wk) AS w FROM filt),
+        inc AS (
+            SELECT cohort, wk - cohort AS age,
+                   CAST(SUM(cents) AS BIGINT) AS inc
+            FROM filt GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT c.c AS cohort, a.a AS age
+            FROM (SELECT UNNEST(range({CL_COHORTS})) AS c) c
+            CROSS JOIN (SELECT UNNEST(range((SELECT w FROM horizon) + 1))
+                        AS a) a
+            WHERE a.a <= (SELECT w FROM horizon) - c.c
+        ),
+        obs AS MATERIALIZED (
+            SELECT g.cohort, g.age,
+                   CAST(SUM(COALESCE(i.inc, 0)) OVER (
+                        PARTITION BY g.cohort ORDER BY g.age
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM grid g LEFT JOIN inc i
+              ON i.cohort = g.cohort AND i.age = g.age
+        ),
+        factors AS MATERIALIZED (
+            SELECT o.age,
+                   CAST((SUM(n.cum) * {CL_SCALE}) // SUM(o.cum) AS BIGINT)
+                       AS f_q
+            FROM obs o JOIN obs n
+              ON n.cohort = o.cohort AND n.age = o.age + 1
+            GROUP BY o.age
+        ),
+        diag AS (
+            SELECT cohort, age, cum FROM obs
+            WHERE age = (SELECT w FROM horizon) - cohort
+        ),
+        {", ".join(steps)}
+        SELECT cohort, age, cum AS cum_cents,
+               CAST(1 AS BIGINT) AS is_observed FROM obs
+        UNION ALL
+        {proj_union}
+    """
+
+
+_install_s14_batch6_oracles()
