@@ -11733,6 +11733,196 @@ def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Point-in-polygon config (NOT data): three polygons on the
+# [0,1e5)^2 plane shared with spatial_grid_join — a triangle, a
+# convex quad, and a concave C-shape (the notch is what separates
+# ray casting from a bbox test; 459 fixture points land in the C's
+# bbox but outside the C).  Verified: no fixture point lies exactly
+# on any edge, so the half-open crossing rule has no parity seams.
+PIP_POLYS = {
+    0: [(10000, 10000), (90000, 20000), (30000, 80000)],
+    1: [(50000, 50000), (95000, 55000), (90000, 95000), (55000, 90000)],
+    2: [(5000, 40000), (45000, 40000), (45000, 55000), (15000, 55000),
+        (15000, 70000), (45000, 70000), (45000, 85000), (5000, 85000)],
+}
+
+
+def _pip_crossings_sql(poly, px, py):
+    """Literal-unrolled ray-casting crossings for one polygon: for
+    each non-horizontal edge normalized to y1 < y2, a crossing is
+    y1 <= py < y2 AND (px−x1)(y2−y1) < (x2−x1)(py−y1) — the
+    cross-multiplied form of 'px left of the edge at height py', so
+    the whole test is integer arithmetic with no division."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if y1 > y2:
+            x1, y1, x2, y2 = x2, y2, x1, y1
+        terms.append(
+            f"CASE WHEN {y1} <= {py} AND {py} < {y2}"
+            f" AND ({px} - {x1}) * {y2 - y1}"
+            f" < {x2 - x1} * ({py} - {y1}) THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment via integer ray casting — the
+    geofencing primitive (is this point inside the delivery zone /
+    country boundary / exclusion area).  Polygons are config, so the
+    entire test compiles to ONE literal-unrolled projection: per
+    polygon, a sum of per-edge crossing CASEs (cross-multiplied, no
+    division, half-open in y so shared vertices count once), parity
+    = containment.  Zero joins, zero shuffle, whole-stage codegen —
+    the correct 100 TB shape for config-sized geometry; a polygon
+    RELATION would instead broadcast edges and pay a per-row loop.
+
+    Emits per point: how many polygons contain it and the
+    containment bitmask.  The concave polygon's notch is the
+    regression the law test pins (inside-bbox ≠ inside).
+
+    Scale shape: pure map-side projection over the corpus."""
+    e = _load_wide(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        F.expr(SPATIAL_X_SQL).cast("long").alias("x"),
+        F.expr(SPATIAL_Y_SQL).cast("long").alias("y"),
+    )
+    inside = {
+        p: f"({_pip_crossings_sql(poly, 'x', 'y')} % 2)"
+        for p, poly in PIP_POLYS.items()
+    }
+    n_inside = " + ".join(inside.values())
+    mask = " + ".join(f"({ex}) * {1 << p}" for p, ex in inside.items())
+    return pts.select(
+        "pid",
+        "x",
+        "y",
+        F.expr(n_inside).cast("long").alias("n_inside"),
+        F.expr(mask).cast("long").alias("poly_mask"),
+    )
+
+
+KNAP_BLOCK = 15          # items per planning block (2^15 oracle masks)
+KNAP_CAP_NUM, KNAP_CAP_DEN = 2, 5  # IO budget = 40% of block weight
+
+
+def q_knapsack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0/1-knapsack compaction planning per block: given per-file
+    rewrite costs (weight = (n_chars % 50) + 10) and reclaim values
+    (value = n_chars), pick the subset maximizing reclaimed value
+    under an IO budget of 40% of the block's total cost — the
+    optimizer behind 'which files do we rewrite tonight'.
+
+    The Spark side runs the exact DP per block in applyInPandas
+    (value -> min-weight dict; the answer (max value, then min
+    weight at that value) is set-deterministic, so item order is
+    irrelevant).  The oracle ENUMERATES all 2^15 subsets as a mask
+    range join — exhaustive search as the cross-engine optimality
+    proof, the strongest oracle shape in the suite.  Block size 15
+    is chosen exactly so the oracle stays enumerable.
+
+    Scale shape: one shuffle on block; DP is O(items · distinct
+    values) per block, independent of corpus size; blocks are
+    embarrassingly parallel."""
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ws = [int(w) for w in pdf["w"]]
+        vs = [int(v) for v in pdf["v"]]
+        blk = int(pdf["block"].iloc[0])
+        cap = sum(ws) * KNAP_CAP_NUM // KNAP_CAP_DEN
+        best = {0: 0}  # achievable value -> min weight
+        for w, v in zip(ws, vs):
+            for val, wt in list(best.items()):
+                nv, nw = val + v, wt + w
+                if nw <= cap and (nv not in best or nw < best[nv]):
+                    best[nv] = nw
+        bv = max(best)
+        return pd.DataFrame(
+            [(blk, len(ws), sum(ws), cap, bv, best[bv])],
+            columns=[
+                "block", "n_items", "w_tot", "cap", "best_value",
+                "best_weight",
+            ],
+        )
+
+    d = _load_wide(spark, sf_dir, "documents")
+    items = d.select(
+        F.expr(f"doc_id DIV {KNAP_BLOCK}").alias("block"),
+        F.expr("(n_chars % 50) + 10").cast("long").alias("w"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return items.groupBy("block").applyInPandas(
+        fold,
+        schema="block bigint, n_items bigint, w_tot bigint, cap bigint,"
+        " best_value bigint, best_weight bigint",
+    )
+
+
+ACT_DUR_US_PER_CENT = 1_000_000  # interval length = cents seconds
+
+
+def q_activity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval scheduling (activity selection) per host: from each
+    host's intervals [start, start + cents·1s), keep the classic
+    earliest-end greedy's choices — provably a MAXIMUM-cardinality
+    non-overlapping set (the exchange argument; the law test
+    re-proves it per host against an independent DP).  Touching
+    intervals (next start == last end) are compatible.
+
+    The greedy's state is the last KEPT end — like debounce, it does
+    NOT linearize, so the Spark side is a per-host applyInPandas
+    fold (parallel across hosts, O(group) memory) and the oracle
+    steps the same rule in a recursive CTE ordered by (end, id).
+
+    Scale shape: one shuffle on host; the fold is one pass per
+    group."""
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["end_us", "event_id"])
+        rows = []
+        last = None
+        for eid, h, s, en in zip(
+            pdf["event_id"], pdf["host"], pdf["start_us"], pdf["end_us"]
+        ):
+            if last is None or int(s) >= last:
+                last = int(en)
+                rows.append(
+                    (int(h), int(eid), int(s), int(en), len(rows) + 1)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["host", "event_id", "start_us", "end_us", "k_idx"],
+        )
+
+    e = _load_wide(spark, sf_dir, "events")
+    iv = e.select(
+        F.col("user_id").alias("host"),
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).cast("long").alias("start_us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).select(
+        "host",
+        "event_id",
+        "start_us",
+        (F.col("start_us") + F.col("cents") * ACT_DUR_US_PER_CENT)
+        .alias("end_us"),
+    )
+    return iv.groupBy("host").applyInPandas(
+        fold,
+        schema="host bigint, event_id bigint, start_us bigint,"
+        " end_us bigint, k_idx bigint",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -11940,6 +12130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "sprt_decision": q_sprt_decision,
         "chain_ladder": q_chain_ladder,
+        "point_in_polygon": q_point_in_polygon,
+        "knapsack_plan": q_knapsack_plan,
+        "activity_select": q_activity_select,
     }
 
 
@@ -17719,3 +17912,112 @@ def _install_s14_batch6_oracles() -> None:
 
 
 _install_s14_batch6_oracles()
+
+
+def _install_s14_batch7_oracles() -> None:
+    # point_in_polygon: the same literal-unrolled crossing expression
+    # (CASE syntax and integer arithmetic are engine-identical).
+    inside = {
+        p: f"({_pip_crossings_sql(poly, 'x', 'y')} % 2)"
+        for p, poly in PIP_POLYS.items()
+    }
+    n_inside = " + ".join(inside.values())
+    mask = " + ".join(f"({ex}) * {1 << p}" for p, ex in inside.items())
+    _ORACLE_SQL["point_in_polygon"] = f"""
+        WITH pts AS (
+            SELECT event_id AS pid,
+                   CAST({SPATIAL_X_SQL} AS BIGINT) AS x,
+                   CAST({SPATIAL_Y_SQL} AS BIGINT) AS y
+            FROM events
+        )
+        SELECT pid, x, y,
+               CAST({n_inside} AS BIGINT) AS n_inside,
+               CAST({mask} AS BIGINT) AS poly_mask
+        FROM pts
+    """
+    # knapsack_plan: EXHAUSTIVE subset enumeration — every one of the
+    # 2^15 masks, weight/value sums via the set-bit join, then the
+    # (max value, min weight) argmax per block.  The DP is the thing
+    # under test; this oracle is the optimality proof.
+    M = 1 << KNAP_BLOCK
+    _ORACLE_SQL["knapsack_plan"] = f"""
+        WITH items AS MATERIALIZED (
+            SELECT doc_id // {KNAP_BLOCK} AS block,
+                   CAST((n_chars % 50) + 10 AS BIGINT) AS w,
+                   CAST(n_chars AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id // {KNAP_BLOCK}
+                                      ORDER BY doc_id) - 1 AS pos
+            FROM documents
+        ),
+        caps AS (
+            SELECT block, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(w) AS BIGINT) AS w_tot,
+                   (SUM(w) * {KNAP_CAP_NUM}) // {KNAP_CAP_DEN} AS cap
+            FROM items GROUP BY block
+        ),
+        masks AS (SELECT UNNEST(range({M})) AS mask),
+        sums AS (
+            SELECT i.block, m.mask,
+                   CAST(SUM(i.w) AS BIGINT) AS w_sum,
+                   CAST(SUM(i.v) AS BIGINT) AS v_sum
+            FROM masks m JOIN items i ON ((m.mask >> i.pos) & 1) = 1
+            GROUP BY i.block, m.mask
+        ),
+        feas AS (
+            SELECT s.block, s.w_sum, s.v_sum
+            FROM sums s JOIN caps c ON c.block = s.block
+            WHERE s.w_sum <= c.cap
+        ),
+        best AS (
+            SELECT block, MAX(v_sum) AS best_value FROM feas GROUP BY block
+        )
+        SELECT c.block, c.n_items, c.w_tot, CAST(c.cap AS BIGINT) AS cap,
+               CAST(b.best_value AS BIGINT) AS best_value,
+               CAST(MIN(f.w_sum) AS BIGINT) AS best_weight
+        FROM caps c
+        JOIN best b ON b.block = c.block
+        JOIN feas f ON f.block = c.block AND f.v_sum = b.best_value
+        GROUP BY c.block, c.n_items, c.w_tot, c.cap, b.best_value
+    """
+    # activity_select: step the earliest-end greedy in a recursive
+    # CTE, carrying (last kept end, kept count).
+    _ORACLE_SQL["activity_select"] = f"""
+        WITH RECURSIVE iv AS (
+            SELECT user_id AS host, event_id,
+                   CAST(date_diff('microsecond',
+                        TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+                       AS start_us,
+                   CAST(date_diff('microsecond',
+                        TIMESTAMP '2024-01-01 00:00:00', ts)
+                        + FLOOR(value * 100 + 0.5)
+                          * {ACT_DUR_US_PER_CENT} AS BIGINT) AS end_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                                + FLOOR(value * 100 + 0.5)
+                                  * {ACT_DUR_US_PER_CENT},
+                                event_id) AS rn
+            FROM events
+        ), walk AS (
+            SELECT host, event_id, start_us, end_us, rn,
+                   TRUE AS kept, end_us AS last_end,
+                   CAST(1 AS BIGINT) AS kcnt
+            FROM iv WHERE rn = 1
+            UNION ALL
+            SELECT i.host, i.event_id, i.start_us, i.end_us, i.rn,
+                   i.start_us >= w.last_end,
+                   CASE WHEN i.start_us >= w.last_end THEN i.end_us
+                        ELSE w.last_end END,
+                   w.kcnt + CASE WHEN i.start_us >= w.last_end
+                                 THEN 1 ELSE 0 END
+            FROM walk w JOIN iv i
+              ON i.host = w.host AND i.rn = w.rn + 1
+        )
+        SELECT host, event_id, start_us, end_us,
+               CAST(kcnt AS BIGINT) AS k_idx
+        FROM walk WHERE kept
+    """
+
+
+_install_s14_batch7_oracles()
