@@ -11923,6 +11923,162 @@ def q_activity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation between two per-doc
+    quality signals (n_chars vs token count) — the rank-agreement
+    complement to corr_matrix's Pearson: do two quality scorers
+    ORDER the corpus the same way (the question that matters for
+    threshold-based filtering), not do they co-vary linearly.
+
+    Exactness device: average ranks for ties are half-integers, so
+    the engine-shared quantity is 2·avgrank = 2·RANK() + tiecount −
+    1 — an exact BIGINT in both engines.  All five moment sums are
+    exact integer aggregates; the only float ops are ONE division
+    and ONE sqrt assembled in the same order in both engines
+    (IEEE-correctly-rounded on identical inputs ⇒ bit-identical;
+    the bm25/pmi lesson).  rho is reported at 6 dp.
+
+    Scale shape: two window sorts inside ONE hash partitioning by
+    source (the second window reuses the first's exchange), then a
+    partial-aggregated groupBy — no corpus-wide sort, no driver
+    collect.  At 1e12 docs the per-source rank windows are the cost;
+    for unbounded groups the production variant samples per source
+    first (the stratified_sample row)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("y"),
+    )
+    wx = Window.partitionBy("source").orderBy("x")
+    wy = Window.partitionBy("source").orderBy("y")
+    ranked = base.select(
+        "source",
+        (2 * F.rank().over(wx)
+         + F.count("*").over(Window.partitionBy("source", "x")) - 1
+         ).alias("rx"),
+        (2 * F.rank().over(wy)
+         + F.count("*").over(Window.partitionBy("source", "y")) - 1
+         ).alias("ry"),
+    )
+    a = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(denx.cast("double") * deny.cast("double")),
+            6,
+        ).alias("rho"),
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document lengths — the
+    corpus-diversity audit (is one source's contribution dominated
+    by a few huge documents?).  Data-mixture work cares about this
+    before sampling rates are set.
+
+    Exactness device: the sorted-prefix Gini G = (2·Σ i·x_i −
+    (n+1)·Σx) / (n·Σx) needs only ONE total order by (x, doc_id);
+    ties among equal x contribute x·Σi regardless of their relative
+    order, so the formula is tie-stable by algebra, not by
+    convention.  The numerator is emitted as an exact BIGINT
+    (gini_num) so the gate covers the integer algebra itself; the
+    single final division is the only float op.
+
+    Scale shape: one window rank inside a hash partitioning by
+    source + one partial-aggregated groupBy.  The law test
+    re-derives G per source from the O(n²) mean-absolute-difference
+    definition — a genuinely different formulation."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    a = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    num = 2 * F.col("six") - (F.col("n") + 1) * F.col("tot")
+    return a.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("tot").alias("total_chars"),
+        num.alias("gini_num"),
+        F.round(
+            num.cast("double") / (F.col("n") * F.col("tot")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+TOP_PATHS_LEN = 3   # events per user-path prefix
+TOP_PATHS_K = 20    # paths reported
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journey paths: each user's first TOP_PATHS_LEN
+    event types in (ts, event_id) order joined with '>', ranked by
+    how many users share the path — the product-analytics 'most
+    common first session shape' question (funnel_steps pins ONE
+    target path; this discovers the paths).
+
+    Deterministic by total order (n_users DESC, path ASC); the
+    boundary tie at rank K cuts identically in both engines.  At
+    sf0.01 the fixture realizes 88 distinct 3-paths with max
+    multiplicity 5 and 40 shared paths — non-vacuous ranking.
+
+    Scale shape: per-user collect_list+array_sort inside ONE
+    groupBy (user event counts are session-bounded), then a
+    path-count groupBy whose result is DOMAIN-sized (≤ |types|^L),
+    cut via TakeOrderedAndProject — no corpus sort.  The final
+    row_number window runs on exactly K rows (bounded, post-limit),
+    never on the corpus."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            1,
+            TOP_PATHS_LEN,
+        ).alias("first_k")
+    )
+    paths = seq.select(
+        F.concat_ws(
+            ">", F.transform("first_k", lambda s: s["event_type"])
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    top = counted.orderBy(F.desc("n_users"), F.asc("path")).limit(TOP_PATHS_K)
+    return top.withColumn(
+        "rank_idx",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_users"), F.asc("path")))
+        .cast("long"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -12133,6 +12289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon": q_point_in_polygon,
         "knapsack_plan": q_knapsack_plan,
         "activity_select": q_activity_select,
+        "spearman_corr": q_spearman_corr,
+        "gini_concentration": q_gini_concentration,
+        "top_paths": q_top_paths,
     }
 
 
@@ -18021,3 +18180,95 @@ def _install_s14_batch7_oracles() -> None:
 
 
 _install_s14_batch7_oracles()
+
+
+def _install_s15_batch1_oracles() -> None:
+    # spearman_corr: identical 2*avgrank integerization; every SUM is
+    # CAST to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT breaks the value
+    # hash, round-2 lesson); the one division + sqrt assembled in the
+    # same order as the Spark expression.
+    _ORACLE_SQL["spearman_corr"] = """
+        WITH b AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS x,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+            FROM documents
+        ),
+        r AS (
+            SELECT source,
+                   2 * RANK() OVER (PARTITION BY source ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY source, x) - 1 AS rx,
+                   2 * RANK() OVER (PARTITION BY source ORDER BY y)
+                     + COUNT(*) OVER (PARTITION BY source, y) - 1 AS ry
+            FROM b
+        ),
+        a AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rx) AS BIGINT) AS sx,
+                   CAST(SUM(ry) AS BIGINT) AS sy,
+                   CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                   CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                   CAST(SUM(rx * ry) AS BIGINT) AS sxy
+            FROM r GROUP BY source
+        )
+        SELECT source, n AS n_docs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)),
+                     6) AS rho
+        FROM a
+    """
+    # gini_concentration: same sorted-prefix algebra; gini_num under
+    # the gate as an exact BIGINT.
+    _ORACLE_SQL["gini_concentration"] = """
+        WITH r AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS x,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS BIGINT) AS i
+            FROM documents
+        ),
+        a AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS tot,
+                   CAST(SUM(i * x) AS BIGINT) AS six
+            FROM r GROUP BY source
+        )
+        SELECT source, n AS n_docs, tot AS total_chars,
+               2 * six - (n + 1) * tot AS gini_num,
+               ROUND(CAST(2 * six - (n + 1) * tot AS DOUBLE)
+                     / CAST(n * tot AS DOUBLE), 6) AS gini
+        FROM a
+    """
+    # top_paths: ordered STRING_AGG mirrors the sorted-collect_list;
+    # rank computed over the full count relation then cut at K (same
+    # total order as Spark's TakeOrderedAndProject + K-row window).
+    _ORACLE_SQL["top_paths"] = f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        p AS (
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY rn) AS path
+            FROM seq WHERE rn <= {TOP_PATHS_LEN} GROUP BY user_id
+        ),
+        c AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+        ),
+        ranked AS (
+            SELECT path, n_users,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_users DESC, path
+                   ) AS BIGINT) AS rank_idx
+            FROM c
+        )
+        SELECT path, n_users, rank_idx
+        FROM ranked WHERE rank_idx <= {TOP_PATHS_K}
+    """
+
+
+_install_s15_batch1_oracles()
