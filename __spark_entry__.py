@@ -12079,6 +12079,237 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIFO_CREDIT_TYPE = "purchase"   # credits consumed FIFO ...
+FIFO_DEBIT_TYPE = "view"        # ... by these debits
+
+
+def q_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation matching (inventory lots / cost basis / quota
+    consumption): per user, debit quantities consume credit
+    quantities strictly first-in-first-out; emit every (credit,
+    debit, matched_qty) lot.  The classic formulation is a stateful
+    queue walk — which does not distribute.
+
+    Linearization: credit i owns the cumulative-quantity interval
+    [ccum_{i-1}, ccum_i) and debit j owns [dcum_{j-1}, dcum_j);
+    FIFO matches are EXACTLY the pairwise interval overlaps
+    (max(0, min(hi) − max(lo))), because FIFO consumes the shared
+    quantity axis left to right on both sides.  Two window cumsums
+    + one equi-join on user with an overlap predicate — no state,
+    no Python, exact BIGINT cents throughout.
+
+    The oracle is the INDEPENDENT formulation: a recursive-CTE
+    two-pointer walk carrying (credit idx, debit idx, consumed
+    amounts) — queue semantics stepped one match at a time.
+
+    Scale shape: per-user match counts are bounded by per-user
+    event counts, so the overlap join fans out per user, not per
+    corpus; at unbounded per-key volumes the production variant
+    bins the quantity axis first (the interval_join pattern) so
+    candidate pairs are bucket-local."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    base = e.filter(
+        F.col("event_type").isin(FIFO_CREDIT_TYPE, FIFO_DEBIT_TYPE)
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("qty"),
+    ).filter(F.col("qty") > 0)
+
+    def _cum(etype: str, pfx: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        side = base.filter(F.col("event_type") == etype)
+        return side.select(
+            "user_id",
+            F.col("event_id").alias(f"{pfx}_event"),
+            F.sum("qty").over(w).alias(f"{pfx}_hi"),
+            (F.sum("qty").over(w) - F.col("qty")).alias(f"{pfx}_lo"),
+        )
+
+    c = _cum(FIFO_CREDIT_TYPE, "credit")
+    d = _cum(FIFO_DEBIT_TYPE, "debit").withColumnRenamed(
+        "user_id", "d_user"
+    )
+    pairs = c.join(
+        d,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("credit_lo") < F.col("debit_hi"))
+        & (F.col("debit_lo") < F.col("credit_hi")),
+    )
+    return pairs.select(
+        "user_id",
+        "credit_event",
+        "debit_event",
+        (
+            F.least("credit_hi", "debit_hi")
+            - F.greatest("credit_lo", "debit_lo")
+        ).alias("qty"),
+    )
+
+
+MAXSUB_BASE_CENTS = 3500  # fixed per-event cost; median revenue is 3459
+
+
+def q_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-sum contiguous run per user (best streak vs a fixed
+    per-event cost): Kadane's sequential fold linearized to windows
+    — gain ending at i = cum_i − min(0, min_{j<i} cum_j), so ONE
+    cumulative sum + ONE running struct-min replace the stateful
+    scan.  The running min is taken over struct(cum, seq) so the
+    argmin POSITION rides along exactly (earliest prefix argmin =
+    smallest start, matching the oracle's tie order); a virtual
+    seq-0 / cum-0 row per user represents the empty prefix.  Final
+    answer = one max(struct(gain, −end, −start)) per user — total
+    order (gain DESC, end ASC, start ASC), all exact BIGINT cents.
+
+    The oracle ENUMERATES every interval (all O(n²) prefix pairs)
+    and takes the same argmax — brute force as the optimality
+    proof (the knapsack_plan pattern).
+
+    Scale shape: one hash partitioning by user for the windows +
+    one partial-aggregated groupBy; nothing corpus-sorted."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("seq"),
+        (
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+            - MAXSUB_BASE_CENTS
+        ).alias("net"),
+    )
+    virtual = rows.select("user_id").distinct().select(
+        "user_id", F.lit(0).cast("long").alias("seq"),
+        F.lit(0).cast("long").alias("net"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    cum = rows.unionByName(virtual).select(
+        "user_id", "seq", F.sum("net").over(w).alias("cum")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = cum.select(
+        "user_id",
+        "seq",
+        "cum",
+        F.min(F.struct("cum", "seq")).over(wprev).alias("m"),
+    ).filter(F.col("seq") >= 1)
+    scored = cand.select(
+        "user_id",
+        F.struct(
+            (F.col("cum") - F.col("m.cum")).alias("gain"),
+            (-F.col("seq")).alias("neg_end"),
+            (-(F.col("m.seq") + 1)).alias("neg_start"),
+        ).alias("c"),
+    )
+    best = scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("c").alias("b")
+    )
+    return best.select(
+        "user_id",
+        "n_events",
+        F.col("b.gain").alias("best_sum"),
+        (-F.col("b.neg_start")).alias("start_seq"),
+        (-F.col("b.neg_end")).alias("end_seq"),
+    )
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-k autocorrelation of the event-value series
+    (k = 1..3) — the seasonality/burstiness diagnostic: is a user's
+    spend predictable from their previous events?  Spec: Pearson
+    correlation over the lagged PAIRS (x_i, x_{i−k}) — the
+    regression form of sample ACF; both engines implement this same
+    definition.
+
+    Exactness: cents are exact BIGINT, all six moment sums per lag
+    are exact integer aggregates over the non-null-lag rows, and
+    the one division + sqrt is assembled in the same operand order
+    in both engines (the spearman_corr device).  The three lags
+    ride ONE window partitioning (three lag() columns, same sort)
+    and ONE groupBy; stack() unpivots the 1-row-per-user aggregate
+    — free.
+
+    Scale shape: one hash partitioning by user + partial agg; no
+    self-join (lag() replaces the seq+k equi-join)."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("x"),
+        *[
+            F.lag(
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"), k
+            ).over(w).alias(f"y{k}")
+            for k in ACF_LAGS
+        ],
+    )
+    aggs = []
+    for k in ACF_LAGS:
+        y = F.col(f"y{k}")
+        ok = y.isNotNull()
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).alias(f"n{k}"),
+            F.sum(F.when(ok, F.col("x")).otherwise(0)).alias(f"sx{k}"),
+            F.sum(F.when(ok, y).otherwise(0)).alias(f"sy{k}"),
+            F.sum(F.when(ok, F.col("x") * F.col("x")).otherwise(0)).alias(
+                f"sxx{k}"
+            ),
+            F.sum(F.when(ok, y * y).otherwise(0)).alias(f"syy{k}"),
+            F.sum(F.when(ok, F.col("x") * y).otherwise(0)).alias(f"sxy{k}"),
+        ]
+    a = base.groupBy("user_id").agg(*aggs)
+    acfs = a.select(
+        "user_id",
+        *[
+            F.round(
+                (
+                    F.col(f"n{k}") * F.col(f"sxy{k}")
+                    - F.col(f"sx{k}") * F.col(f"sy{k}")
+                ).cast("double")
+                / F.sqrt(
+                    (
+                        F.col(f"n{k}") * F.col(f"sxx{k}")
+                        - F.col(f"sx{k}") * F.col(f"sx{k}")
+                    ).cast("double")
+                    * (
+                        F.col(f"n{k}") * F.col(f"syy{k}")
+                        - F.col(f"sy{k}") * F.col(f"sy{k}")
+                    ).cast("double")
+                ),
+                6,
+            ).alias(f"acf{k}")
+            for k in ACF_LAGS
+        ],
+        *[F.col(f"n{k}").alias(f"np{k}") for k in ACF_LAGS],
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), acf{k}, np{k}" for k in ACF_LAGS
+    )
+    return acfs.select(
+        "user_id",
+        F.expr(
+            f"stack({len(ACF_LAGS)}, {stack_args}) AS (lag_k, acf, n_pairs)"
+        ),
+    ).select("user_id", "lag_k", "acf", "n_pairs")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -12292,6 +12523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "gini_concentration": q_gini_concentration,
         "top_paths": q_top_paths,
+        "fifo_match": q_fifo_match,
+        "max_subarray": q_max_subarray,
+        "autocorrelation": q_autocorrelation,
     }
 
 
@@ -18272,3 +18506,151 @@ def _install_s15_batch1_oracles() -> None:
 
 
 _install_s15_batch1_oracles()
+
+
+def _install_s15_batch2_oracles() -> None:
+    # fifo_match: INDEPENDENT formulation — a recursive-CTE
+    # two-pointer queue walk (one row per match, state = both
+    # pointers + consumed amounts), vs the Spark side's
+    # interval-overlap algebra.  Equal-remainder steps advance BOTH
+    # pointers, exactly where the overlap form emits touching
+    # (zero-overlap) intervals that the qty>0 filter drops.
+    _ORACLE_SQL["fifo_match"] = f"""
+        WITH RECURSIVE c AS (
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qty,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+            WHERE event_type = '{FIFO_CREDIT_TYPE}'
+              AND FLOOR(value * 100 + 0.5) > 0
+        ),
+        d AS (
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qty,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+            WHERE event_type = '{FIFO_DEBIT_TYPE}'
+              AND FLOOR(value * 100 + 0.5) > 0
+        ),
+        walk AS (
+            SELECT u.user_id, 1 AS ci, 1 AS di,
+                   CAST(0 AS BIGINT) AS cu, CAST(0 AS BIGINT) AS du,
+                   CAST(NULL AS BIGINT) AS credit_event,
+                   CAST(NULL AS BIGINT) AS debit_event,
+                   CAST(0 AS BIGINT) AS qty
+            FROM (SELECT DISTINCT user_id FROM c) u
+            JOIN (SELECT DISTINCT user_id FROM d) v USING (user_id)
+            UNION ALL
+            SELECT w.user_id,
+                   CASE WHEN cc.qty - w.cu
+                             <= dd.qty - w.du THEN w.ci + 1
+                        ELSE w.ci END,
+                   CASE WHEN dd.qty - w.du
+                             <= cc.qty - w.cu THEN w.di + 1
+                        ELSE w.di END,
+                   CASE WHEN cc.qty - w.cu <= dd.qty - w.du
+                        THEN CAST(0 AS BIGINT)
+                        ELSE w.cu + LEAST(cc.qty - w.cu, dd.qty - w.du)
+                   END,
+                   CASE WHEN dd.qty - w.du <= cc.qty - w.cu
+                        THEN CAST(0 AS BIGINT)
+                        ELSE w.du + LEAST(cc.qty - w.cu, dd.qty - w.du)
+                   END,
+                   cc.event_id, dd.event_id,
+                   LEAST(cc.qty - w.cu, dd.qty - w.du)
+            FROM walk w
+            JOIN c cc ON cc.user_id = w.user_id AND cc.rn = w.ci
+            JOIN d dd ON dd.user_id = w.user_id AND dd.rn = w.di
+        )
+        SELECT user_id, credit_event, debit_event, qty
+        FROM walk WHERE qty > 0
+    """
+    # max_subarray: brute-force enumeration of EVERY interval via
+    # prefix pairs (incl. the virtual seq-0 prefix), argmax under the
+    # same (sum DESC, end ASC, start ASC) total order — the
+    # optimality proof for the Kadane linearization.
+    _ORACLE_SQL["max_subarray"] = f"""
+        WITH r AS (
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS seq,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       - {MAXSUB_BASE_CENTS} AS net
+            FROM events
+        ),
+        cum AS (
+            SELECT user_id, seq,
+                   CAST(SUM(net) OVER (
+                       PARTITION BY user_id ORDER BY seq
+                   ) AS BIGINT) AS cum
+            FROM r
+            UNION ALL
+            SELECT DISTINCT user_id, CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM r
+        ),
+        pairs AS (
+            SELECT i.user_id, j.seq + 1 AS start_seq, i.seq AS end_seq,
+                   i.cum - j.cum AS s
+            FROM cum i
+            JOIN cum j ON j.user_id = i.user_id AND j.seq < i.seq
+            WHERE i.seq >= 1
+        ),
+        best AS (
+            SELECT user_id, start_seq, end_seq, s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY s DESC, end_seq ASC, start_seq ASC
+                   ) AS rk
+            FROM pairs
+        ),
+        n AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id
+        )
+        SELECT b.user_id, n.n_events, b.s AS best_sum,
+               b.start_seq, b.end_seq
+        FROM best b JOIN n ON n.user_id = b.user_id
+        WHERE b.rk = 1
+    """
+    # autocorrelation: same lag() + exact-integer moment sums, the
+    # division/sqrt assembled in the same operand order.
+    lag_blocks = []
+    for k in ACF_LAGS:
+        lag_blocks.append(f"""
+            SELECT user_id, CAST({k} AS BIGINT) AS lag_k,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS acf,
+                   n AS n_pairs
+            FROM (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM (
+                    SELECT user_id,
+                           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+                           LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                               {k}) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) AS y
+                    FROM events
+                )
+                WHERE y IS NOT NULL
+                GROUP BY user_id
+            )""")
+    union = "\n            UNION ALL\n".join(lag_blocks)
+    _ORACLE_SQL["autocorrelation"] = union
+
+
+_install_s15_batch2_oracles()
