@@ -12310,6 +12310,173 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "lag_k", "acf", "n_pairs")
 
 
+TCLOSE_T_NUM, TCLOSE_T_DEN = 3, 20   # t = 0.15 (splits 165/109 at sf0.01)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — completes the
+    privacy trio: k_anonymity bounds class SIZE, l_diversity bounds
+    sensitive-value VARIETY, t-closeness bounds how far a class's
+    sensitive DISTRIBUTION drifts from the global one (a class can
+    be large and diverse yet still leak — e.g. 90% one nation vs 4%
+    globally).  Same QI as l_diversity (segment, floor(bal/1000));
+    sensitive = nationkey, an ORDERED domain, so the distance is the
+    ordered-domain EMD: Σ_i |cumP_i − cumQ_i| / (m−1).
+
+    Exactness device: cross-multiplied cumulative counts — the term
+    at domain position i is |cum_c_i·N − cum_C_i·n_g|, an exact
+    BIGINT; emd_num = Σ terms is under the gate as an integer, and
+    emd = emd_num / (n_g·N·(m−1)) is the single float division.
+    Missing domain values still contribute terms (the cum carries),
+    so the class table is densified against the 25-value domain
+    first — a DOMAIN-sized cross join, not a corpus one.
+
+    Scale shape: ONE corpus groupBy(QI, sensitive); everything after
+    runs on the cell table (|classes|·m rows) with per-class-bounded
+    windows and a broadcast 25-row global CDF."""
+    from pyspark.sql.window import Window
+
+    c = _load_wide(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / LDIV_B).cast("long").alias("bal_b"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    dom = cells.select("nation").distinct()
+    classes = cells.select("segment", "bal_b").distinct()
+    dense = classes.crossJoin(F.broadcast(dom)).join(
+        cells, ["segment", "bal_b", "nation"], "left"
+    ).select(
+        "segment", "bal_b", "nation",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+    wc = Window.partitionBy("segment", "bal_b").orderBy("nation")
+    cum_c = dense.select(
+        "segment", "bal_b", "nation",
+        F.sum("cnt").over(wc).alias("cum_c"),
+        F.sum("cnt").over(
+            Window.partitionBy("segment", "bal_b")
+        ).alias("n_g"),
+    )
+    glob = cells.groupBy("nation").agg(F.sum("cnt").alias("gcnt"))
+    wg = Window.orderBy("nation").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gcum = glob.select(
+        "nation",
+        F.sum("gcnt").over(wg).alias("cum_g"),
+        F.sum("gcnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_tot"),
+    )
+    m = dom.count()  # domain size: bounded, a model constant at scale
+    joined = cum_c.join(F.broadcast(gcum), "nation")
+    agg = joined.groupBy("segment", "bal_b").agg(
+        F.max("n_g").alias("n"),
+        F.max("n_tot").alias("n_tot"),
+        F.sum(
+            F.abs(
+                F.col("cum_c") * F.col("n_tot")
+                - F.col("cum_g") * F.col("n_g")
+            )
+        ).alias("emd_num"),
+    )
+    emd = F.col("emd_num").cast("double") / (
+        F.col("n") * F.col("n_tot") * F.lit(m - 1)
+    ).cast("double")
+    return agg.select(
+        "segment", "bal_b", "n", "emd_num",
+        F.round(emd, 9).alias("emd"),
+        (
+            F.col("emd_num") * TCLOSE_T_DEN
+            <= F.col("n") * F.col("n_tot") * F.lit(m - 1) * TCLOSE_T_NUM
+        ).cast("long").alias("t_ok"),
+    )
+
+
+def q_mutual_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor matching over embeddings: pairs
+    (a, b) where b is a's cosine argmax AND a is b's — the
+    bidirectional-agreement criterion used for translation-pair
+    mining, cross-corpus alignment, and high-precision semantic
+    dedup (one-directional NN is noisy; mutuality filters it).
+
+    Exactness: cosine via the deterministic left-to-right _dot64
+    fold, ROUNDED to 5 dp before the argmax so both engines rank the
+    identical quantized metric; ties broken by vec_id.  Output is
+    pairs + their quantized cosine — no float ambiguity survives.
+
+    Scale shape: the gate runs the exact all-pairs form (broadcast
+    right side, argmax per row, self-join of the two NN relations on
+    the reversed pair).  At corpus scale the candidate generator is
+    the LSH/IVF bucket path (embed_lsh_buckets / embed_ivf_topk);
+    mutuality filtering is the same reversed-pair self-join over the
+    bounded candidate set."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    right = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    scored = left.join(F.broadcast(right), F.col("a") != F.col("b")).select(
+        "a", "b", F.round(_dot64(F.col("va"), F.col("vb")), 5).alias("cos")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a", "b", "cos")
+    )
+    n2 = nn.select(
+        F.col("a").alias("b2"), F.col("b").alias("a2")
+    )
+    return (
+        nn.join(
+            n2, (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.col("cos").alias("cos_ab"),
+        )
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars per (user, day): open/close = value at the
+    first/last event under the (ts, event_id) total order, high/low
+    = extremes, plus count and exact cents volume — the canonical
+    time-series downsampling aggregation.
+
+    Device: open/close via min_by/max_by keyed on struct(ts,
+    event_id) — the declarative argmin/argmax (no window, no
+    self-join); the oracle picks the same rows with ROW_NUMBER
+    because DuckDB's arg_min takes no tuple key (the max_drawdown
+    lesson).  All outputs exact BIGINT cents.
+
+    Scale shape: ONE partial-aggregated groupBy(user, day); min_by
+    partials merge associatively, so the bar table never sees a
+    shuffle wider than its own (bounded) cardinality."""
+    e = _load_wide(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return base.groupBy("user_id", "day").agg(
+        F.expr("min_by(cents, struct(ts, event_id))").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.expr("max_by(cents, struct(ts, event_id))").alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.sum("cents").alias("vol_cents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -12526,6 +12693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fifo_match": q_fifo_match,
         "max_subarray": q_max_subarray,
         "autocorrelation": q_autocorrelation,
+        "t_closeness": q_t_closeness,
+        "mutual_match": q_mutual_match,
+        "ohlc_bars": q_ohlc_bars,
     }
 
 
@@ -18654,3 +18824,119 @@ def _install_s15_batch2_oracles() -> None:
 
 
 _install_s15_batch2_oracles()
+
+
+def _install_s15_batch3_oracles() -> None:
+    # t_closeness: same cross-multiplied cumulative algebra; the
+    # dense class x domain grid built by CROSS JOIN; every SUM cast
+    # (HUGEINT lesson).
+    _ORACLE_SQL["t_closeness"] = f"""
+        WITH cells AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(FLOOR(c_acctbal / {LDIV_B}) AS BIGINT) AS bal_b,
+                   CAST(c_nationkey AS BIGINT) AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        dom AS (SELECT DISTINCT nation FROM cells),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dom),
+        classes AS (SELECT DISTINCT segment, bal_b FROM cells),
+        dense AS (
+            SELECT cl.segment, cl.bal_b, d.nation,
+                   COALESCE(ce.cnt, 0) AS cnt
+            FROM classes cl CROSS JOIN dom d
+            LEFT JOIN cells ce
+              ON ce.segment = cl.segment AND ce.bal_b = cl.bal_b
+             AND ce.nation = d.nation
+        ),
+        cum AS (
+            SELECT segment, bal_b, nation,
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY segment, bal_b ORDER BY nation
+                   ) AS BIGINT) AS cum_c,
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY segment, bal_b
+                   ) AS BIGINT) AS n_g
+            FROM dense
+        ),
+        gcum AS (
+            SELECT nation,
+                   CAST(SUM(cnt) OVER (ORDER BY nation) AS BIGINT)
+                       AS cum_g,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n_tot
+            FROM (
+                SELECT nation, CAST(SUM(cnt) AS BIGINT) AS cnt
+                FROM cells GROUP BY nation
+            )
+        ),
+        agg AS (
+            SELECT c.segment, c.bal_b,
+                   MAX(c.n_g) AS n, MAX(g.n_tot) AS n_tot,
+                   CAST(SUM(ABS(c.cum_c * g.n_tot - g.cum_g * c.n_g))
+                        AS BIGINT) AS emd_num
+            FROM cum c JOIN gcum g ON g.nation = c.nation
+            GROUP BY c.segment, c.bal_b
+        )
+        SELECT segment, bal_b, n, emd_num,
+               ROUND(CAST(emd_num AS DOUBLE)
+                     / CAST(n * n_tot * (m.m - 1) AS DOUBLE), 9) AS emd,
+               CAST(CASE WHEN emd_num * {TCLOSE_T_DEN}
+                              <= n * n_tot * (m.m - 1) * {TCLOSE_T_NUM}
+                         THEN 1 ELSE 0 END AS BIGINT) AS t_ok
+        FROM agg, m
+    """
+    # mutual_match: LIST_DOT_PRODUCT is the same left-to-right fold
+    # as _dot64 (embed_topk precedent); ROUND-5 before the argmax,
+    # ties by vec_id, reversed-pair self-join.
+    _ORACLE_SQL["mutual_match"] = """
+        WITH scored AS (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                         5) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ),
+        nn AS (
+            SELECT a, b, cos
+            FROM (
+                SELECT a, b, cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a ORDER BY cos DESC, b ASC
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT n1.a AS id_a, n1.b AS id_b, n1.cos AS cos_ab
+        FROM nn n1 JOIN nn n2 ON n2.a = n1.b AND n2.b = n1.a
+        WHERE n1.a < n1.b
+    """
+    # ohlc_bars: ROW_NUMBER picks stand in for struct-keyed
+    # min_by/max_by (DuckDB arg_min takes no tuple key).
+    _ORACLE_SQL["ohlc_bars"] = """
+        WITH base AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id
+                   ) AS rf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rl
+            FROM events
+        )
+        SELECT user_id, day,
+               CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT)
+                   AS open_c,
+               CAST(MAX(cents) AS BIGINT) AS high_c,
+               CAST(MIN(cents) AS BIGINT) AS low_c,
+               CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT)
+                   AS close_c,
+               CAST(COUNT(*) AS BIGINT) AS n_trades,
+               CAST(SUM(cents) AS BIGINT) AS vol_cents
+        FROM base GROUP BY user_id, day
+    """
+
+
+_install_s15_batch3_oracles()
