@@ -12477,6 +12477,197 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FH_BUCKETS = 1024  # hashing-trick feature space
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML 2009):
+    tokens map to a fixed 2^10-bucket feature space via md5, with a
+    ±1 sign hash so colliding tokens cancel in expectation — the
+    vocabulary-free featurizer for streaming/classifier pipelines
+    (no vocab build pass, no OOV handling, bounded width at any
+    corpus size).
+
+    Exactness: bucket = 8 md5 hex chars (< 2^32, exact BIGINT) mod
+    buckets; sign from the 9th nibble's parity; weight = exact
+    integer signed term frequency.  Zero-weight cells (exact
+    cancellation) are dropped in both engines.
+
+    Scale shape: explode + ONE groupBy(doc, bucket) with map-side
+    partial aggregation; output is corpus x ≤1024 sparse — no
+    vocab-sized state anywhere."""
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % FH_BUCKETS
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+CDC_W = 8            # rolling-hash window (chars)
+CDC_B = 257          # polynomial base
+CDC_P = 2147483647   # modulus (2^31 - 1): products stay < 2^40
+CDC_MOD = 32         # boundary if h % 32 == 0 -> ~32-char avg chunks
+
+
+def _cdc_hash_sql(text_col: str, pos: str) -> str:
+    """ONE emitter for the window-W polynomial rolling hash — the
+    identical nested-mod algebra compiles for Spark and DuckDB (the
+    zorder_layout pattern), so the bit-twiddling itself is under the
+    cross-engine gate.  Seed cast to BIGINT (DuckDB ascii is INT32
+    and would overflow at the first multiply)."""
+    h = f"CAST(ascii(substr({text_col}, {pos}-{CDC_W - 1}, 1)) AS BIGINT)"
+    for k in range(CDC_W - 2, -1, -1):
+        h = (
+            f"(({h}) * {CDC_B} + ascii(substr({text_col}, {pos}-{k}, 1)))"
+            f" % {CDC_P}"
+        )
+    return h
+
+
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC primitive):
+    split each document where a W=8-char polynomial rolling hash
+    ≡ 0 (mod 32) — boundaries depend only on LOCAL content, so an
+    insertion near the front re-chunks only its neighborhood and
+    every later chunk keeps its identity (the shift-resistance
+    exact dedup by fixed offsets lacks; pinned by the law test).
+    Emits (chunk_idx, start, len, chunk md5) per doc; at sf0.01 the
+    shared vocabulary yields 358 cross-doc duplicate chunk hashes —
+    the storage-dedup signal this operator exists to expose.
+
+    Implementation: boundary positions as ONE filter(transform(
+    sequence)) array expression (O(n·W) JVM char ops, no Python, no
+    shuffle); the sentinel end-of-doc boundary closes the tail
+    chunk; chunk spans derive from the ends array by index.  Docs
+    shorter than W take the sentinel-only path (the descending-
+    sequence ANSI landmine, ngram_novelty lesson).  Production
+    FastCDC adds min/max chunk-size clamps — a debounce-family
+    sequential fold, documented not implemented.
+
+    Scale shape: pure per-doc projection + explode; zero shuffles.
+    The cross-doc dedup consumer is ONE groupBy(chunk_md5) away."""
+    h = _cdc_hash_sql("text", "i")
+    ends_expr = f"""
+        array_distinct(concat(
+            CASE WHEN length(text) >= {CDC_W}
+                 THEN filter(
+                     transform(sequence({CDC_W}, length(text)),
+                               i -> CASE WHEN ({h}) % {CDC_MOD} = 0
+                                         THEN CAST(i AS BIGINT)
+                                         ELSE CAST(NULL AS BIGINT) END),
+                     x -> x IS NOT NULL)
+                 ELSE CAST(array() AS ARRAY<BIGINT>)
+            END,
+            array(CAST(length(text) AS BIGINT))))
+    """
+    d = _load_wide(spark, sf_dir, "documents")
+    w = d.select("doc_id", "text", F.expr(ends_expr).alias("ends"))
+    ch = w.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                "transform(ends, (e, j) -> struct("
+                "  CAST(j + 1 AS BIGINT) AS chunk_idx,"
+                "  CASE WHEN j = 0 THEN CAST(1 AS BIGINT)"
+                "       ELSE element_at(ends, j) + 1 END AS start_pos,"
+                "  e AS endp))"
+            )
+        ).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_pos").alias("start_pos"),
+        (F.col("c.endp") - F.col("c.start_pos") + 1).alias("chunk_len"),
+        F.substring(
+            F.md5(
+                F.expr(
+                    "substr(text, CAST(c.start_pos AS INT),"
+                    " CAST(c.endp - c.start_pos + 1 AS INT))"
+                )
+            ),
+            1,
+            16,
+        ).alias("chunk_md5"),
+    )
+
+
+BFS_SEEDS_BELOW = 5  # seed set: doc_id < 5
+BFS_MAX_HOPS = 6
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (shortest hop count) over the extracted
+    doc→doc link graph — the frontier-propagation primitive behind
+    crawl-depth-from-seeds, blast-radius, and influence-horizon
+    questions (link_pagerank flows mass; this flows DISTANCE).
+
+    Spark side: fixed-point relaxation — BFS_MAX_HOPS rounds of
+    (edge join + union + min-per-node), the dedup_cluster shape:
+    lineage localCheckpoint-truncated each round, no driver data
+    motion.  Edges reuse the SAME page-synthesis + href-regex
+    extraction the anchor_texts row gates.  The oracle is the
+    INDEPENDENT formulation: a recursive-CTE frontier enumeration
+    over the arithmetic link rule, deduplicated by UNION — path
+    enumeration vs fixed-point relaxation, and regex extraction vs
+    closed-form edges, in one gate.
+
+    Scale shape: each round is one src-equi-join + one min groupBy
+    (both on the node key, partitioning reused); rounds are bounded
+    by the hop cap, not the diameter of the data."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.expr(H.wrap_links_spark()).alias("html")
+    )
+    edges = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dd").cast("long").alias("dst"),
+    ).distinct().localCheckpoint()
+    dist = d.filter(F.col("doc_id") < BFS_SEEDS_BELOW).select(
+        F.col("doc_id").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    for _ in range(BFS_MAX_HOPS):
+        nxt = edges.join(
+            dist, edges["src"] == dist["node"]
+        ).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -12696,6 +12887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "mutual_match": q_mutual_match,
         "ohlc_bars": q_ohlc_bars,
+        "feature_hashing": q_feature_hashing,
+        "cdc_chunking": q_cdc_chunking,
+        "graph_bfs": q_graph_bfs,
     }
 
 
@@ -18940,3 +19134,91 @@ def _install_s15_batch3_oracles() -> None:
 
 
 _install_s15_batch3_oracles()
+
+
+def _install_s15_batch4_oracles() -> None:
+    # feature_hashing: DuckDB hex-cast idiom for the md5 bucket (the
+    # hll_distinct device); identical bucket/sign algebra.
+    _ORACLE_SQL["feature_hashing"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+                        AS BIGINT) % {FH_BUCKETS} AS bucket,
+                   CASE WHEN CAST(('0x' || substring(md5(tok), 9, 1))
+                                  ::UBIGINT AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM toks WHERE tok != ''
+        )
+        SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+        FROM hashed GROUP BY doc_id, bucket
+        HAVING SUM(sign) != 0
+    """
+    # cdc_chunking: the SAME _cdc_hash_sql emitter; positions via
+    # LATERAL range (empty for short docs), ends = boundaries UNION
+    # sentinel, chunk spans via LAG, chunk_idx via ROW_NUMBER over
+    # the ascending ends order.
+    h = _cdc_hash_sql("d.text", "p.i")
+    _ORACLE_SQL["cdc_chunking"] = f"""
+        WITH pos AS (
+            SELECT d.doc_id, p.i, {h} AS h
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(range(8, d.n_chars + 1)) AS i) p
+        ),
+        ends AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS e
+            FROM pos WHERE h % {CDC_MOD} = 0
+            UNION
+            SELECT doc_id, CAST(n_chars AS BIGINT) FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, e AS endp,
+                   COALESCE(LAG(e) OVER (
+                       PARTITION BY doc_id ORDER BY e
+                   ), 0) + 1 AS start_pos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY e
+                   ) AS BIGINT) AS chunk_idx
+            FROM ends
+        )
+        SELECT c.doc_id, c.chunk_idx,
+               CAST(c.start_pos AS BIGINT) AS start_pos,
+               CAST(c.endp - c.start_pos + 1 AS BIGINT) AS chunk_len,
+               substring(md5(substr(d.text, CAST(c.start_pos AS INT),
+                                    CAST(c.endp - c.start_pos + 1 AS INT))),
+                         1, 16) AS chunk_md5
+        FROM ch c JOIN documents d ON d.doc_id = c.doc_id
+    """
+    # graph_bfs: recursive frontier enumeration over the closed-form
+    # link rules (independent of the regex extraction path), UNION
+    # deduplicated, min per node.
+    from ocular_spark.functions import html as H
+
+    edge_union = "\n            UNION ".join(
+        f"SELECT CAST(doc_id AS BIGINT) AS src,"
+        f" CAST((doc_id * {a} + {c}) % {H.LINK_UNIVERSE} AS BIGINT) AS dst"
+        f" FROM documents"
+        for a, c in H.LINK_RULES
+    )
+    _ORACLE_SQL["graph_bfs"] = f"""
+        WITH RECURSIVE edges AS (
+            {edge_union}
+        ),
+        walk AS (
+            SELECT CAST(doc_id AS BIGINT) AS node,
+                   CAST(0 AS BIGINT) AS dist
+            FROM documents WHERE doc_id < {BFS_SEEDS_BELOW}
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.dist < {BFS_MAX_HOPS}
+        )
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """
+
+
+_install_s15_batch4_oracles()
