@@ -12668,6 +12668,245 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
+BURST_MIN_DF = 10       # report terms seen in >= this many docs
+BURST_DOC_MOD = 50      # overlay: burst docs are doc_id % 50 == 0
+BURST_TF = 40           # overlay: burst term count inside a burst doc
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness via the Fano factor (variance-to-mean
+    ratio of per-doc term counts, zeros included) — the corpus
+    statistic that separates topical/bursty terms (a term that
+    appears 40 times in 1 of 50 docs) from function words (one
+    occurrence everywhere) even when their TOTAL frequencies tie;
+    the signal behind Church-Gale burstiness weighting and
+    stopword-vs-content routing in cleaning pipelines.
+
+    Exactness: with N docs, F = var/mean = (N·Σc² − (Σc)²)/(N·Σc) —
+    numerator/denominator emitted as exact BIGINTs (zero docs
+    contribute nothing to either sum, so only nonzero tf rows are
+    touched), the double is ONE division, and the dispersion verdict
+    is pure integer comparison (num<den → under; num≤2·den →
+    poisson; else bursty).  FIXTURE LESSON: the synthetic generator
+    is near-Poisson (every real token's F ∈ [1.02, 1.49]) — a
+    deterministic overlay (one term at 40× in every 50th doc, one
+    term once per doc) makes all three verdict classes occur, the
+    hub-overlay/clique-injection device.
+
+    Scale shape: ONE map-side-combined groupBy(term) over the
+    exploded corpus; N arrives via a broadcast 1-row cross join; the
+    report is vocabulary-sized."""
+    d = _load_wide(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    burst = d.filter(F.col("doc_id") % BURST_DOC_MOD == 0).select(
+        F.lit("burstword").alias("term"),
+        "doc_id",
+        F.lit(BURST_TF).cast("long").alias("c"),
+    )
+    steady = d.select(
+        F.lit("steadyword").alias("term"),
+        "doc_id",
+        F.lit(1).cast("long").alias("c"),
+    )
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    agg = (
+        tf.unionByName(burst)
+        .unionByName(steady)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .filter(F.col("doc_freq") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    num = F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("n_docs") * F.col("s1")
+    return agg.select(
+        "term",
+        "doc_freq",
+        F.col("s1").alias("total_tf"),
+        num.alias("fano_num"),
+        den.alias("fano_den"),
+        (num.cast("double") / den.cast("double")).alias("fano"),
+        F.when(num < den, F.lit("under"))
+        .when(num <= 2 * den, F.lit("poisson"))
+        .otherwise(F.lit("bursty"))
+        .alias("dispersion"),
+    )
+
+
+ZIPF_TOP = 256  # fit over at most this many top ranks (overflow headroom)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency table: OLS of
+    ln(freq) on ln(rank) — slope ≈ −s is the Zipf exponent, the
+    one-number corpus-health signature (natural text ≈ −1; a
+    template-spam corpus flattens, boilerplate-heavy dedup residue
+    steepens) used to sanity-check crawl snapshots before training.
+
+    Exactness: both logs quantized to BIGINT via FLOOR(ln(·)·1e6)
+    (the skew_audit lnq device — ln over exact integer-valued
+    doubles agreed bit-for-bit cross-engine), so ALL five OLS
+    sufficient statistics (m, Σx, Σy, Σxy, Σx²) are exact integers;
+    slope = (m·Σxy − Σx·Σy)/(m·Σx² − (Σx)²) and the intercept touch
+    float in ONE division each, identical op order both engines,
+    with the exact numerator/denominator BIGINTs emitted beside
+    them.  Rank = frequency desc, term asc (total order).  At
+    ZIPF_TOP=256 every cross product stays < 2^62.
+
+    Scale shape: one exploded groupBy(term) corpus pass; the
+    rank/fit stages run on the vocabulary-sized table (the global
+    row_number sorts ≤256 rows)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = (
+        freq.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("f"), F.asc("term"))
+            ).cast("long"),
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP)
+        .select(
+            "rnk",
+            "f",
+            F.expr(
+                "CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000D) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000D) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    stats = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    s_num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    s_den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = s_num.cast("double") / s_den.cast("double")
+    return stats.select(
+        F.col("m").alias("n_terms"),
+        s_num.alias("slope_num"),
+        s_den.alias("slope_den"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("m").cast("double")
+            / F.lit(1000000.0)
+        ).alias("intercept_ln"),
+    )
+
+
+BH_N_TRIALS = 48                      # Bernoulli trials per hypothesis
+BH_ALPHA_NUM, BH_ALPHA_DEN = 1, 20    # FDR level alpha = 0.05
+BH_PRED_TYPES = ("click", "view")     # success predicate (global share .4)
+# cumulative Bin(48, 1/2) numerators: CUM[x] = sum_{j<=x} C(48,j);
+# p-value = CUM[x] / 2^48 — ONE Python emitter shared by both engines
+_BH_CUM: list[int] = []
+_acc, _c = 0, 1
+for _j in range(BH_N_TRIALS + 1):
+    _acc += _c
+    _BH_CUM.append(_acc)
+    _c = _c * (BH_N_TRIALS - _j) // (_j + 1)
+BH_TWO_N = 2**BH_N_TRIALS
+assert _BH_CUM[-1] == BH_TWO_N
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (step-up) over one exact
+    binomial test per user: among each user's first 48 events (by
+    (ts, event_id)), is the click/view share significantly BELOW
+    the p₀ = 1/2 null?  The multiple-testing gate every per-segment
+    metric scan needs — with 150 simultaneous hypotheses, pointwise
+    α = 0.05 would flag ~7 users by chance alone; BH bounds the
+    expected false-discovery FRACTION instead.
+
+    Exactness: the one-sided p-value is the exact binomial lower
+    tail CUM[x]/2^48, with the 49-entry cumulative-C(48,j) table
+    emitted from ONE Python math.comb loop into both engines (the
+    _cdc_hash_sql shared-emitter device); the step-up condition
+    p_(k) ≤ k·α/m becomes 20·m·CUM[x] ≤ k·2^48 — all BIGINT (peak
+    20·1500·2^48 ≈ 8.4e18 < 2^63 even at 10× the fixture's user
+    count).  k* = max satisfying rank; reject ranks ≤ k* (the
+    step-up reach-back: a hypothesis can be rejected even when its
+    OWN pointwise line fails — pinned by the law test).  The data
+    carries genuine signal: the true click/view share is ≈0.4, so
+    per-user noise decides which hypotheses clear the line and both
+    verdict classes occur.
+
+    Scale shape: ONE corpus pass (per-user window + groupBy); all
+    BH machinery (rank, m, k*) runs on the m-row hypothesis table —
+    the global sort is over users, never events."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    w48 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        e.withColumn("rn", F.row_number().over(w48))
+        .filter(F.col("rn") <= BH_N_TRIALS)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin(*BH_PRED_TYPES), 1)
+                .otherwise(0)
+            ).cast("long").alias("x")
+        )
+    )
+    cum = F.array(*[F.lit(v) for v in _BH_CUM])
+    scored = per_user.select(
+        "user_id",
+        "x",
+        F.element_at(cum, (F.col("x") + 1).cast("int")).alias("p_num"),
+    )
+    wr = Window.orderBy("p_num", "user_id")
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "user_id",
+        "x",
+        "p_num",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+    ok = (
+        F.lit(BH_ALPHA_DEN) * F.col("m") * F.col("p_num")
+        <= F.col("rnk") * F.lit(BH_TWO_N) * F.lit(BH_ALPHA_NUM)
+    )
+    kstar = F.max(F.when(ok, F.col("rnk"))).over(wall)
+    return ranked.select(
+        "user_id",
+        "x",
+        "p_num",
+        (F.col("p_num").cast("double") / F.lit(float(BH_TWO_N))).alias(
+            "p_value"
+        ),
+        "rnk",
+        (F.col("rnk") <= F.coalesce(kstar, F.lit(0)))
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -12890,6 +13129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "cdc_chunking": q_cdc_chunking,
         "graph_bfs": q_graph_bfs,
+        "term_burstiness": q_term_burstiness,
+        "zipf_fit": q_zipf_fit,
+        "bh_fdr": q_bh_fdr,
     }
 
 
@@ -19222,3 +19464,126 @@ def _install_s15_batch4_oracles() -> None:
 
 
 _install_s15_batch4_oracles()
+
+
+def _install_s15_batch5_oracles() -> None:
+    # term_burstiness: the same overlay (burst term in every 50th doc,
+    # steady term once per doc) unioned at the tf level; Fano as exact
+    # cross-multiplied BIGINT rational, verdict by integer comparison.
+    _ORACLE_SQL["term_burstiness"] = f"""
+        WITH tf AS (
+            SELECT tok AS term, doc_id, COUNT(*)::BIGINT AS c
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok != '' GROUP BY 1, 2
+            UNION ALL
+            SELECT 'burstword', doc_id, {BURST_TF}::BIGINT
+            FROM documents WHERE doc_id % {BURST_DOC_MOD} = 0
+            UNION ALL
+            SELECT 'steadyword', doc_id, 1::BIGINT FROM documents
+        ),
+        agg AS (
+            SELECT term, COUNT(*)::BIGINT AS doc_freq,
+                   SUM(c)::BIGINT AS s1, SUM(c * c)::BIGINT AS s2
+            FROM tf GROUP BY 1
+            HAVING COUNT(*) >= {BURST_MIN_DF}
+        ),
+        n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+        SELECT term, doc_freq, s1 AS total_tf,
+               CAST(n_docs * s2 - s1 * s1 AS BIGINT) AS fano_num,
+               CAST(n_docs * s1 AS BIGINT) AS fano_den,
+               CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+                   / CAST(n_docs * s1 AS DOUBLE) AS fano,
+               CASE WHEN n_docs * s2 - s1 * s1 < n_docs * s1
+                    THEN 'under'
+                    WHEN n_docs * s2 - s1 * s1 <= 2 * n_docs * s1
+                    THEN 'poisson'
+                    ELSE 'bursty' END AS dispersion
+        FROM agg, n
+    """
+    # zipf_fit: identical quantized-ln sufficient statistics; slope and
+    # intercept assembled with the same op order.
+    _ORACLE_SQL["zipf_fit"] = f"""
+        WITH freq AS (
+            SELECT tok AS term, COUNT(*)::BIGINT AS f
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok != '' GROUP BY 1
+        ),
+        ranked AS (
+            SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS x,
+                   CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            FROM (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term)
+                             AS rnk
+                  FROM freq)
+            WHERE rnk <= {ZIPF_TOP}
+        ),
+        s AS (
+            SELECT COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx,
+                   SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+                   SUM(x * x)::BIGINT AS sxx
+            FROM ranked
+        )
+        SELECT m AS n_terms,
+               CAST(m * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(m * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+                   / CAST(m * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(m * sxy - sx * sy AS DOUBLE)
+                   / CAST(m * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+                   / CAST(m AS DOUBLE) / 1000000.0 AS intercept_ln
+        FROM s
+    """
+    # bh_fdr: the same CUM literal (one Python emitter), the same
+    # integer step-up condition, rank/m/k* as window functions.
+    cum_list = ", ".join(f"{v}::BIGINT" for v in _BH_CUM)
+    _ORACLE_SQL["bh_fdr"] = f"""
+        WITH first48 AS (
+            SELECT user_id, event_type
+            FROM (SELECT user_id, event_type,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS rn
+                  FROM events)
+            WHERE rn <= {BH_N_TRIALS}
+        ),
+        hyp AS (
+            SELECT user_id,
+                   SUM(CASE WHEN event_type IN ('click', 'view')
+                            THEN 1 ELSE 0 END)::BIGINT AS x
+            FROM first48 GROUP BY 1
+        ),
+        scored AS (
+            SELECT user_id, x,
+                   ([{cum_list}])[CAST(x + 1 AS INT)] AS p_num
+            FROM hyp
+        ),
+        ranked AS (
+            SELECT user_id, x, p_num,
+                   ROW_NUMBER() OVER (ORDER BY p_num, user_id)::BIGINT
+                       AS rnk,
+                   COUNT(*) OVER ()::BIGINT AS m
+            FROM scored
+        ),
+        cut AS (
+            SELECT *,
+                   MAX(CASE WHEN {BH_ALPHA_DEN} * m * p_num
+                                 <= rnk * {BH_TWO_N}::BIGINT
+                                    * {BH_ALPHA_NUM}
+                            THEN rnk END) OVER () AS kstar
+            FROM ranked
+        )
+        SELECT user_id, x, p_num,
+               CAST(p_num AS DOUBLE) / {float(BH_TWO_N)} AS p_value,
+               rnk,
+               CAST(CASE WHEN rnk <= COALESCE(kstar, 0)
+                         THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        FROM cut
+    """
+
+
+_install_s15_batch5_oracles()
