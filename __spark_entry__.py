@@ -12907,6 +12907,308 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_Z2_NUM = 2401  # 1.96^2 = (49/25)^2 as an exact rational
+TREND_Z2_DEN = 625
+MK_OVERLAY_N = 30  # injected monotone series length
+MK_MIN_N = 10
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend detection per user: is the time-ordered
+    series of event values monotonically drifting?  The
+    distribution-free trend test (Mann 1945, Kendall 1975) that
+    OLS-slope (q_ols_trend) can't replace — it is invariant to any
+    monotone transform of the values and exact under ties.
+
+    Exactness: S = Σ_{i<j} sign(v_j − v_i) is an exact BIGINT (each
+    sign cast to long before the order-free sum); the tie-corrected
+    variance stays scaled by 18: var18 = n(n−1)(2n+5) − Σ_t
+    t(t−1)(2t+5), also exact; the two-sided α=0.05 verdict is the
+    all-BIGINT line 625·18·(|S|−1)² ≥ 2401·var18 (continuity
+    correction |S|−1 clamped at 0), so 'increasing'/'decreasing'/
+    'no_trend' never touches a float; the reported z is ONE shared
+    sqrt, (S∓1)/sqrt(var18/18).  Overlay (the burstword device):
+    user −1 carries a strictly increasing 30-point series and user
+    −2 its mirror, so both signed verdicts occur on any corpus;
+    real users supply 'no_trend' (plus chance crossings, identical
+    in both engines).
+
+    Scale shape: the pair enumeration is a per-user self-join —
+    O(n²) rows per key but ZERO cross-key traffic (one hash
+    partition by user_id serves rn-window, join, and both aggs).
+    Per-key n here is ≤ ~100; for unbounded series the exact
+    alternative is the merge-sort inversion count (documented, not
+    needed at this per-key cardinality).  Int64 headroom: the
+    verdict line stays < 2^63 for per-key n up to ~5·10⁴."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    real = e.select(
+        "user_id", F.row_number().over(w).alias("rn"), F.col("value").alias("v")
+    )
+    rng = spark.range(1, MK_OVERLAY_N + 1)
+    up = rng.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.col("id").cast("int").alias("rn"),
+        F.col("id").cast("double").alias("v"),
+    )
+    down = rng.select(
+        F.lit(-2).cast("long").alias("user_id"),
+        F.col("id").cast("int").alias("rn"),
+        (F.lit(MK_OVERLAY_N + 1) - F.col("id")).cast("double").alias("v"),
+    )
+    base = real.unionByName(up).unionByName(down)
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.rn") < F.col("r.rn")),
+    )
+    s_agg = pairs.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.sum(F.signum(F.col("r.v") - F.col("l.v")).cast("long")).alias("s")
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        base.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("t18")
+        )
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("t18")).alias("var18")
+    joined = (
+        per_user.join(ties, "user_id")
+        .join(s_agg, "user_id")
+        .filter(n >= MK_MIN_N)
+        .select("user_id", "n", "s", var18)
+    )
+    s = F.col("s")
+    s_adj = F.greatest(F.abs(s) - 1, F.lit(0).cast("long"))
+    sig = (
+        F.lit(TREND_Z2_DEN) * 18 * s_adj * s_adj
+        >= F.lit(TREND_Z2_NUM) * F.col("var18")
+    ) & (s != 0)
+    z = (
+        F.when(F.col("var18") == 0, F.lit(0.0))
+        .when(s > 0, (s - 1).cast("double") / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "user_id",
+        "n",
+        "s",
+        "var18",
+        z.alias("z"),
+        F.when(sig & (s > 0), F.lit("increasing"))
+        .when(sig & (s < 0), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+MW_GRP_TYPE = "purchase"  # sample 1 = this event type, sample 2 = the rest
+MW_MIN_N = 5
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per user: do the user's
+    '{purchase}' event values rank-shift against their other
+    events?  The two-sample location test that needs no normality —
+    the per-segment A/B primitive t-tests can't supply on skewed
+    value distributions.
+
+    Exactness: ranks ride the 2·avg-rank trick (rank2 = 2·RANK +
+    tiecount − 1, an exact BIGINT), so 2·U₁ = Σ_grp1 rank2 −
+    n₁(n₁+1) is exact; the tie-corrected variance stays scaled by
+    12N(N−1): vnum = n₁n₂·(N(N−1)(N+1) − Σ_t(t³−t)) with the tie
+    sum folded to Σ_rows(ceq²−1) (each member of a t-group
+    contributes t²−1, summing to t³−t — no second grouping);
+    two-sided α=0.05 verdict is the all-BIGINT line
+    625·3·N(N−1)·(2U−n₁n₂)² ≥ 2401·vnum; z is ONE shared sqrt.
+    Overlay: user −1 gets a fully separated 10-vs-10 sample
+    ('shift' guaranteed), user −2 two identical samples (all-tie
+    'null', vnum exercises the tie path hard).
+
+    Scale shape: one window pass (rank within user) + one groupBy —
+    both hash-partitioned by user_id, zero extra shuffles; the
+    hypothesis table is user-sized.  Int64 headroom: the verdict
+    line stays < 2^63 for per-key N up to ~600 (here N ≤ ~100)."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    real = e.select(
+        "user_id",
+        (F.col("event_type") == MW_GRP_TYPE).cast("long").alias("grp"),
+        F.col("value").alias("v"),
+    )
+    rng = spark.range(1, 11)
+    sep = rng.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(1).cast("long").alias("grp"),
+        (F.col("id") + 100).cast("double").alias("v"),
+    ).unionByName(
+        rng.select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0).cast("long").alias("grp"),
+            F.col("id").cast("double").alias("v"),
+        )
+    )
+    null = rng.select(
+        F.lit(-2).cast("long").alias("user_id"),
+        F.lit(1).cast("long").alias("grp"),
+        F.col("id").cast("double").alias("v"),
+    ).unionByName(
+        rng.select(
+            F.lit(-2).cast("long").alias("user_id"),
+            F.lit(0).cast("long").alias("grp"),
+            F.col("id").cast("double").alias("v"),
+        )
+    )
+    base = real.unionByName(sep).unionByName(null)
+    wv = Window.partitionBy("user_id").orderBy("v")
+    wuv = Window.partitionBy("user_id", "v")
+    ranked = base.select(
+        "user_id",
+        "grp",
+        (
+            2 * F.rank().over(wv).cast("long")
+            + F.count(F.lit(1)).over(wuv).cast("long")
+            - 1
+        ).alias("rank2"),
+        F.count(F.lit(1)).over(wuv).cast("long").alias("ceq"),
+    )
+    agg = ranked.groupBy("user_id").agg(
+        F.sum("grp").alias("n1"),
+        F.sum(1 - F.col("grp")).alias("n2"),
+        F.sum(F.col("grp") * F.col("rank2")).alias("r1_2"),
+        F.sum(F.col("ceq") * F.col("ceq") - 1).alias("tsum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u2 = (F.col("r1_2") - n1 * (n1 + 1)).alias("u2")
+    stats = agg.filter((n1 >= MW_MIN_N) & (n2 >= MW_MIN_N)).select(
+        "user_id",
+        "n1",
+        "n2",
+        u2,
+        (n1 * n2).alias("e2"),
+        (n1 * n2 * (nn * (nn - 1) * (nn + 1) - F.col("tsum"))).alias("vnum"),
+    )
+    d = F.col("u2") - F.col("e2")
+    nb = F.col("n1") + F.col("n2")
+    z = F.when(F.col("vnum") == 0, F.lit(0.0)).otherwise(
+        d.cast("double")
+        / (
+            2.0
+            * F.sqrt(
+                F.col("vnum") / (12.0 * nb.cast("double") * (nb - 1).cast("double"))
+            )
+        )
+    )
+    sig = (
+        F.lit(TREND_Z2_DEN) * 3 * nb * (nb - 1) * d * d
+        >= F.lit(TREND_Z2_NUM) * F.col("vnum")
+    ) & (F.col("vnum") > 0)
+    return stats.select(
+        "user_id",
+        "n1",
+        "n2",
+        "u2",
+        "e2",
+        "vnum",
+        z.alias("z"),
+        F.when(sig, F.lit("shift")).otherwise(F.lit("null")).alias("verdict"),
+    )
+
+
+AP_SCORE_TOK = "query"  # ranking score = tf of this token
+AP_REL_TOK = "dup"  # relevant if doc contains it ...
+AP_REL_MOD, AP_REL_RES = 11, 4  # ... or doc_id % 11 == 4 (label overlay)
+AP_SCALE = 1_000_000_000_000  # precision@k quantization (1e-12)
+
+
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision per source (the MAP inner loop): each
+    source's docs are ranked by a deterministic score (tf of
+    '{query}', ties by doc_id) and scored against binary relevance
+    labels — the rank-sensitive retrieval metric that completes the
+    eval triad next to AUC (pairwise) and NDCG (graded): AP is the
+    area under the precision-recall curve and weights EARLY
+    precision the way recall-oriented curation sweeps care about.
+
+    Exactness: AP = (1/R)·Σ_{k: rel_k} precision@k has per-term
+    denominators k, so the float sum would be order-dependent —
+    instead each precision@k is quantized to an exact BIGINT
+    (c_k·10¹² DIV k, pure integer division; c_k = cumulative
+    relevant count, a running window sum) and the order-free
+    integer SUM is divided ONCE by R·10¹² at the end.  Labels are
+    token presence of '{dup}' OR doc_id ≡ 4 (mod 11) — the
+    deterministic label overlay (ndcg's noise-mod device) that
+    guarantees both relevant and irrelevant docs in every source.
+
+    Scale shape: one projection (split + filter-count, pure JVM),
+    one window pass partitioned by source (rank + running sum on
+    the same partitioning), one groupBy(source) — a single hash
+    partition by source serves all three; the report is
+    source-sized.  Int64 headroom: c_k·10¹² needs c_k < 9.2·10⁶
+    per source partition."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.size(F.filter(toks, lambda t: t == F.lit(AP_SCORE_TOK)))
+    rel = (
+        F.array_contains(toks, AP_REL_TOK)
+        | (F.col("doc_id") % AP_REL_MOD == AP_REL_RES)
+    ).cast("long")
+    labeled = d.select(
+        "source",
+        "doc_id",
+        score.cast("long").alias("score"),
+        rel.alias("rel"),
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wcum = Window.partitionBy("source").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = labeled.withColumn(
+        "rn", F.row_number().over(wrank).cast("long")
+    ).withColumn("ck", F.sum("rel").over(wcum))
+    term = F.when(
+        F.col("rel") == 1,
+        F.expr(f"(ck * {AP_SCALE}) DIV rn"),
+    ).otherwise(F.lit(0))
+    out = (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("rel").alias("n_rel"),
+            F.sum(term).alias("ap_num"),
+        )
+        .filter(F.col("n_rel") >= 1)
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_rel",
+        "ap_num",
+        (
+            F.col("ap_num").cast("double")
+            / (F.col("n_rel") * F.lit(AP_SCALE)).cast("double")
+        ).alias("ap"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -13132,6 +13434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": q_term_burstiness,
         "zipf_fit": q_zipf_fit,
         "bh_fdr": q_bh_fdr,
+        "mann_kendall": q_mann_kendall,
+        "mann_whitney": q_mann_whitney,
+        "avg_precision": q_avg_precision,
     }
 
 
@@ -19587,3 +19892,173 @@ def _install_s15_batch5_oracles() -> None:
 
 
 _install_s15_batch5_oracles()
+
+
+def _install_s16_batch1_oracles() -> None:
+    # mann_kendall: same overlay series via generate_series, same
+    # pair self-join, same all-BIGINT verdict line and shared-sqrt z.
+    _ORACLE_SQL["mann_kendall"] = f"""
+        WITH base AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn,
+                   value AS v
+            FROM events
+            UNION ALL
+            SELECT -1::BIGINT, gs, CAST(gs AS DOUBLE)
+            FROM generate_series(1, {MK_OVERLAY_N}) t(gs)
+            UNION ALL
+            SELECT -2::BIGINT, gs, CAST({MK_OVERLAY_N} + 1 - gs AS DOUBLE)
+            FROM generate_series(1, {MK_OVERLAY_N}) t(gs)
+        ),
+        s_agg AS (
+            SELECT l.user_id,
+                   SUM(CAST(SIGN(r.v - l.v) AS BIGINT))::BIGINT AS s
+            FROM base l JOIN base r
+              ON l.user_id = r.user_id AND l.rn < r.rn
+            GROUP BY 1
+        ),
+        per_user AS (
+            SELECT user_id, COUNT(*)::BIGINT AS n FROM base GROUP BY 1
+        ),
+        ties AS (
+            SELECT user_id,
+                   SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS t18
+            FROM (SELECT user_id, v, COUNT(*)::BIGINT AS t
+                  FROM base GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        j AS (
+            SELECT p.user_id, p.n, s.s,
+                   CAST(p.n * (p.n - 1) * (2 * p.n + 5) - t.t18
+                        AS BIGINT) AS var18
+            FROM per_user p
+            JOIN ties t USING (user_id)
+            JOIN s_agg s USING (user_id)
+            WHERE p.n >= {MK_MIN_N}
+        )
+        SELECT user_id, n, s, var18,
+               CASE WHEN var18 = 0 THEN 0.0
+                    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                                    / SQRT(var18 / 18.0)
+                    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                                    / SQRT(var18 / 18.0)
+                    ELSE 0.0 END AS z,
+               CASE WHEN s != 0
+                         AND {TREND_Z2_DEN} * 18
+                             * GREATEST(ABS(s) - 1, 0)
+                             * GREATEST(ABS(s) - 1, 0)
+                             >= {TREND_Z2_NUM} * var18
+                    THEN CASE WHEN s > 0 THEN 'increasing'
+                              ELSE 'decreasing' END
+                    ELSE 'no_trend' END AS trend
+        FROM j
+    """
+    # mann_whitney: same 2*avg-rank trick, same folded tie sum
+    # (ceq^2 - 1), same verdict line 1875*N(N-1)*(2U-n1n2)^2 >= 2401*vnum.
+    _ORACLE_SQL["mann_whitney"] = f"""
+        WITH base AS (
+            SELECT user_id,
+                   CASE WHEN event_type = '{MW_GRP_TYPE}'
+                        THEN 1 ELSE 0 END::BIGINT AS grp,
+                   value AS v
+            FROM events
+            UNION ALL
+            SELECT -1::BIGINT, 1::BIGINT, CAST(gs + 100 AS DOUBLE)
+            FROM generate_series(1, 10) t(gs)
+            UNION ALL
+            SELECT -1::BIGINT, 0::BIGINT, CAST(gs AS DOUBLE)
+            FROM generate_series(1, 10) t(gs)
+            UNION ALL
+            SELECT -2::BIGINT, 1::BIGINT, CAST(gs AS DOUBLE)
+            FROM generate_series(1, 10) t(gs)
+            UNION ALL
+            SELECT -2::BIGINT, 0::BIGINT, CAST(gs AS DOUBLE)
+            FROM generate_series(1, 10) t(gs)
+        ),
+        ranked AS (
+            SELECT user_id, grp,
+                   2 * RANK() OVER (PARTITION BY user_id ORDER BY v)
+                       + COUNT(*) OVER (PARTITION BY user_id, v)
+                       - 1 AS rank2,
+                   COUNT(*) OVER (PARTITION BY user_id, v)::BIGINT
+                       AS ceq
+            FROM base
+        ),
+        agg AS (
+            SELECT user_id,
+                   SUM(grp)::BIGINT AS n1,
+                   SUM(1 - grp)::BIGINT AS n2,
+                   SUM(grp * rank2)::BIGINT AS r1_2,
+                   SUM(ceq * ceq - 1)::BIGINT AS tsum
+            FROM ranked GROUP BY 1
+        ),
+        stats AS (
+            SELECT user_id, n1, n2,
+                   CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+                   CAST(n1 * n2 AS BIGINT) AS e2,
+                   CAST(n1 * n2 * ((n1 + n2) * (n1 + n2 - 1)
+                                   * (n1 + n2 + 1) - tsum)
+                        AS BIGINT) AS vnum
+            FROM agg
+            WHERE n1 >= {MW_MIN_N} AND n2 >= {MW_MIN_N}
+        )
+        SELECT user_id, n1, n2, u2, e2, vnum,
+               CASE WHEN vnum = 0 THEN 0.0
+                    ELSE CAST(u2 - e2 AS DOUBLE)
+                         / (2.0 * SQRT(vnum
+                               / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                                  * CAST(n1 + n2 - 1 AS DOUBLE))))
+               END AS z,
+               CASE WHEN vnum > 0
+                         AND {TREND_Z2_DEN} * 3 * (n1 + n2)
+                             * (n1 + n2 - 1) * (u2 - e2) * (u2 - e2)
+                             >= {TREND_Z2_NUM} * vnum
+                    THEN 'shift' ELSE 'null' END AS verdict
+        FROM stats
+    """
+    # avg_precision: same deterministic score/labels, same quantized
+    # precision@k via pure integer floor-division, ONE final division.
+    _ORACLE_SQL["avg_precision"] = f"""
+        WITH labeled AS (
+            SELECT source, doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t = '{AP_SCORE_TOK}'))::BIGINT
+                       AS score,
+                   CASE WHEN list_contains(string_split(text, ' '),
+                                           '{AP_REL_TOK}')
+                             OR doc_id % {AP_REL_MOD} = {AP_REL_RES}
+                        THEN 1 ELSE 0 END::BIGINT AS rel
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY score DESC, doc_id ASC
+                   )::BIGINT AS rn,
+                   SUM(rel) OVER (
+                       PARTITION BY source
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS ck
+            FROM labeled
+        ),
+        agg AS (
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   SUM(rel)::BIGINT AS n_rel,
+                   SUM(CASE WHEN rel = 1
+                            THEN (ck * {AP_SCALE}) // rn
+                            ELSE 0 END)::BIGINT AS ap_num
+            FROM ranked GROUP BY 1
+            HAVING SUM(rel) >= 1
+        )
+        SELECT source, n_docs, n_rel, ap_num,
+               CAST(ap_num AS DOUBLE)
+                   / CAST(n_rel * {AP_SCALE} AS DOUBLE) AS ap
+        FROM agg
+    """
+
+
+_install_s16_batch1_oracles()
