@@ -13209,6 +13209,357 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AA_SCALE = 1_000_000_000_000  # 1/ln(deg) quantization (1e-12)
+AA_MIN_CN = 2  # report pairs with >= this many common neighbors
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the crawl link graph: for
+    every non-adjacent pair (u,v), AA = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)
+    — the common-neighbor score that downweights promiscuous hubs
+    (Adamic & Adar 2003), the standard 'suggest related docs /
+    likely missing link' primitive next to triangle counting
+    (which scores EXISTING closure, not candidates).
+
+    Exactness: each hub's weight 1/ln(deg) is quantized ONCE to an
+    exact BIGINT (FLOOR(10¹²/ln(deg)), the zipf quantized-ln device
+    — deg ≥ 2 is structural: a wedge center has two distinct
+    neighbors), so per-pair AA numerators are order-free integer
+    sums; the reported aa is ONE division.  Candidates with a
+    direct edge are removed by anti-join on the SAME canonical
+    (least, greatest) edge set that generated the wedges.
+
+    Edges reuse the link_triangles graph verbatim (href-extracted
+    crawl links + doc_id-div-5 'related' cliques).  Non-vacuity:
+    crawl links make inter-group wedges whose endpoints are NOT
+    directly linked, so real candidates survive the anti-join.
+
+    Scale shape: wedges = one self-join of the adjacency list on
+    the center key — Σ deg² rows; at web scale the hub tail is
+    capped (1/ln(deg) of a 10⁶-degree hub contributes ~0.07 —
+    sampling hubs changes AA by o(1), documented not needed at
+    fixture degrees); the pair aggregation and the anti-join both
+    shuffle on the canonical pair key only."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    crawl = wrapped.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+    ).select("src", F.col("dd").cast("long").alias("dst"))
+    clique = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr("transform(sequence(0, 4), j -> (doc_id div 5) * 5 + j)")
+        ).alias("dst"),
+    )
+    und = (
+        crawl.unionByName(clique)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # cut re-extraction lineage (pagerank lesson)
+    )
+    adj = und.select(
+        F.col("u").alias("w"), F.col("v").alias("n")
+    ).unionByName(und.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    weighted = adj.join(
+        deg.select(
+            "w",
+            F.floor(
+                F.lit(float(AA_SCALE)) / F.log(F.col("deg").cast("double"))
+            )
+            .cast("long")
+            .alias("invln_q"),
+        ),
+        "w",
+    )
+    l, r = weighted.alias("l"), weighted.alias("r")
+    wedges = l.join(
+        r,
+        (F.col("l.w") == F.col("r.w")) & (F.col("l.n") < F.col("r.n")),
+    ).select(
+        F.col("l.n").alias("u"),
+        F.col("r.n").alias("v"),
+        F.col("l.invln_q").alias("invln_q"),
+    )
+    pairs = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("invln_q").alias("aa_num"),
+        )
+        .filter(F.col("cn") >= AA_MIN_CN)
+    )
+    cand = pairs.join(und, ["u", "v"], "left_anti")
+    return cand.select(
+        "u",
+        "v",
+        "cn",
+        "aa_num",
+        (F.col("aa_num").cast("double") / F.lit(float(AA_SCALE))).alias("aa"),
+    )
+
+
+DBSCAN_EPS = 150
+DBSCAN_MIN_PTS = 10  # core = >= this many points within eps (incl self)
+_DBSCAN_BLOBS = ((10000, 10000), (50000, 50000), (90000, 20000))
+
+
+def q_dbscan_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the 2-D event point cloud (density clustering:
+    Ester et al. 1996): core points (≥ minPts neighbors within eps,
+    self included) form clusters by eps-reachability; non-core
+    points within eps of a core are border; the rest is noise —
+    the cluster family that finds arbitrary-shape dense regions and
+    labels sparse background as OUTLIERS, which centroid methods
+    (the IVF codebook) structurally cannot.
+
+    Determinism: cluster id = MIN core pid in the component
+    (_cc_min_label, the dedup_cluster device); a border point takes
+    the MIN label among its core neighbors.  The verdict needs no
+    floats anywhere — dist² ≤ eps² is exact integer arithmetic.
+    Overlay (the clique-injection device): 3 planted 20-point grid
+    blobs (spacing 25 → blob diameter 125 < eps, so each blob is a
+    complete eps-graph and all 60 points are core) + one satellite
+    140 px right of each blob's corner (within eps of exactly that
+    corner → border, 2 < minPts) guarantee all three roles; the
+    hash-scattered background (≈1 expected point per 3·eps² cell)
+    can never reach minPts → noise.
+
+    Scale shape: the eps-neighbor graph rides the spatial_grid_join
+    cell device — eps-sized cells, 3×3 probe, each ordered pair
+    generated exactly once, ONE shuffle on the cell key; the CC
+    runs on the core-core subgraph only (blob-sized, not
+    corpus-sized); counts/roles are one groupBy each."""
+    e = _load_wide(spark, sf_dir, "events")
+    hashpts = e.select(
+        F.col("event_id").alias("pid"),
+        F.expr(SPATIAL_X_SQL).cast("long").alias("x"),
+        F.expr(SPATIAL_Y_SQL).cast("long").alias("y"),
+    )
+    blob = spark.range(60).select(
+        (-(F.col("id") + 1)).alias("pid"),
+        F.element_at(
+            F.array(*[F.lit(bx) for bx, _ in _DBSCAN_BLOBS]),
+            (F.col("id") / 20 + 1).cast("int"),
+        )
+        + (F.col("id") % 5) * 25,
+        F.element_at(
+            F.array(*[F.lit(by) for _, by in _DBSCAN_BLOBS]),
+            (F.col("id") / 20 + 1).cast("int"),
+        )
+        + ((F.col("id") % 20) / 5).cast("long") * 25,
+    ).toDF("pid", "x", "y")
+    sat = spark.range(3).select(
+        (-(F.col("id") + 1001)).alias("pid"),
+        (
+            F.element_at(
+                F.array(*[F.lit(bx) for bx, _ in _DBSCAN_BLOBS]),
+                (F.col("id") + 1).cast("int"),
+            )
+            + 100
+            + 140
+        ).alias("x"),
+        (
+            F.element_at(
+                F.array(*[F.lit(by) for _, by in _DBSCAN_BLOBS]),
+                (F.col("id") + 1).cast("int"),
+            )
+            + 75
+        ).alias("y"),
+    )
+    pts = hashpts.unionByName(blob).unionByName(sat).localCheckpoint()
+    cell = lambda c: F.floor(F.col(c) / F.lit(DBSCAN_EPS))  # noqa: E731
+    homed = pts.withColumn("cx", cell("x")).withColumn("cy", cell("y"))
+    probes = (
+        homed.select(
+            F.col("pid").alias("a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .select(
+            "a", "ax", "ay", "cx", "cy", "dx",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+        )
+        .select(
+            "a", "ax", "ay",
+            ((F.col("cx") + F.col("dx")) * 1000000 + F.col("cy") + F.col("dy"))
+            .alias("pk"),
+        )
+    )
+    homes = homed.select(
+        F.col("pid").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (F.col("cx") * 1000000 + F.col("cy")).alias("pk"),
+    )
+    dd = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    nbrs = (
+        probes.join(homes, "pk")
+        .filter((F.col("a") != F.col("b")) & (dd <= DBSCAN_EPS * DBSCAN_EPS))
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    ncount = nbrs.groupBy("a").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_eps")
+    )
+    roles = pts.join(ncount, pts["pid"] == ncount["a"], "left").select(
+        "pid", "x", "y", F.coalesce("n_eps", F.lit(1)).alias("n_eps")
+    )
+    core = roles.filter(F.col("n_eps") >= DBSCAN_MIN_PTS).select("pid")
+    core_edges = (
+        nbrs.join(core.select(F.col("pid").alias("a")), "a")
+        .join(core.select(F.col("pid").alias("b")), "b")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    core_labels = _cc_min_label(core_edges).select(
+        F.col("node").alias("pid"), F.col("label")
+    )
+    core_lbl = (
+        core.join(core_labels, "pid", "left")
+        .select("pid", F.coalesce("label", "pid").alias("cluster"))
+        .localCheckpoint()
+    )
+    border_lbl = (
+        nbrs.join(
+            core_lbl.select(
+                F.col("pid").alias("b"), F.col("cluster").alias("bc")
+            ),
+            "b",
+        )
+        .join(core_lbl.select(F.col("pid").alias("a")), "a", "left_anti")
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("bc").alias("cluster"))
+    )
+    labeled = core_lbl.select(
+        "pid", "cluster", F.lit("core").alias("role")
+    ).unionByName(
+        border_lbl.select("pid", "cluster", F.lit("border").alias("role"))
+    )
+    return (
+        roles.join(labeled, "pid", "left")
+        .select(
+            "pid",
+            "x",
+            "y",
+            "n_eps",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster", F.lit(-999999)).alias("cluster"),
+        )
+    )
+
+
+MOTIF_M = 4  # motif window length (non-overlapping pairs only)
+MOTIF_OVL_N = 30  # overlay series length
+
+
+def _motif_overlay_cents(i: int) -> int:
+    """Overlay series: distinct values except the planted motif
+    (positions 20..23 copy positions 3..6) — (i·53) mod 997 is
+    injective on 1..30, so SAD = 0 exactly at the plant."""
+    j = i - 17 if 20 <= i <= 23 else i
+    return 100 + (j * 53) % 997
+
+
+def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif discovery per user (the matrix-profile question, Yeh et
+    al. 2016, under an exact integer metric): find the pair of
+    non-overlapping length-m windows of the time-ordered value
+    series with MINIMUM sum-of-absolute-differences — the repeated
+    pattern detector behind 'does this user replay the same spend
+    shape twice?' that point-wise stats (autocorrelation at a fixed
+    lag) can't answer because the best lag differs per user.
+
+    Exactness: values quantize to integer cents (exact — fixture
+    values carry 2 decimals), SAD is an integer sum; the argmin
+    rides a struct-min (sad, i, j) so ties break on the SMALLEST
+    (i, j) — a total order (the max_subarray device).  Overlay:
+    user −1 carries an injective series with positions 20..23
+    copying 3..6, so the true motif (sad = 0 at (3, 20)) is planted
+    and uniquely identified.
+
+    Scale shape: windows are a per-user sliding collect_list (one
+    window pass), the pair enumeration a per-user self-join — O(n²)
+    rows per key, zero cross-key traffic (matrix-profile's O(n²)
+    is inherent; the production path bounds n per key or goes
+    MASS/FFT, documented).  The oracle is a genuinely different
+    formulation: a scalar (i, j, offset) grid with two positional
+    joins instead of array zip_with."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    real = e.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    ovl = spark.range(1, MOTIF_OVL_N + 1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.col("id").cast("int").alias("rn"),
+        F.element_at(
+            F.array(
+                *[
+                    F.lit(_motif_overlay_cents(i))
+                    for i in range(1, MOTIF_OVL_N + 1)
+                ]
+            ),
+            F.col("id").cast("int"),
+        ).cast("long").alias("c"),
+    )
+    base = real.unionByName(ovl)
+    wwin = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, MOTIF_M - 1)
+    )
+    wins = (
+        base.select(
+            "user_id", F.col("rn").alias("i"), F.collect_list("c").over(wwin).alias("w")
+        )
+        .filter(F.size("w") == MOTIF_M)
+        .localCheckpoint()  # window pass runs once, not once per join side
+    )
+    l, r = wins.alias("l"), wins.alias("r")
+    sad = F.aggregate(
+        F.zip_with(F.col("l.w"), F.col("r.w"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.i") >= F.col("l.i") + MOTIF_M),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.i").alias("i"),
+        F.col("r.i").alias("j"),
+        sad.alias("sad"),
+    )
+    best = pairs.groupBy("user_id").agg(
+        F.min(F.struct("sad", "i", "j")).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return best.select(
+        "user_id",
+        F.col("m.sad").alias("sad"),
+        F.col("m.i").cast("long").alias("i"),
+        F.col("m.j").cast("long").alias("j"),
+        "n_pairs",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -13437,6 +13788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "mann_whitney": q_mann_whitney,
         "avg_precision": q_avg_precision,
+        "adamic_adar": q_adamic_adar,
+        "dbscan_cluster": q_dbscan_cluster,
+        "motif_discovery": q_motif_discovery,
     }
 
 
@@ -20062,3 +20416,170 @@ def _install_s16_batch1_oracles() -> None:
 
 
 _install_s16_batch1_oracles()
+
+
+def _install_s16_batch2_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    # adamic_adar: same page synthesis + href extraction + clique
+    # injection as the triangle oracle, same quantized 1/ln(deg)
+    # weights, anti-join expressed as NOT EXISTS.
+    pages = (
+        "pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents)"
+    )
+    _ORACLE_SQL["adamic_adar"] = (
+        "WITH " + pages + ", "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "crawl AS (SELECT src, CAST(d AS BIGINT) AS dst FROM ex), "
+        "clique AS (SELECT doc_id AS src, (doc_id // 5) * 5 + j AS dst "
+        "FROM documents CROSS JOIN generate_series(0, 4) t(j)), "
+        "allv AS (SELECT * FROM crawl UNION ALL SELECT * FROM clique), "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM allv WHERE src != dst), "
+        "adj AS (SELECT u AS w, v AS n FROM und "
+        "UNION ALL SELECT v, u FROM und), "
+        "deg AS (SELECT w, COUNT(*)::BIGINT AS deg FROM adj GROUP BY 1), "
+        "wt AS (SELECT a.w, a.n, CAST(FLOOR("
+        f"{float(AA_SCALE)} / ln(CAST(deg AS DOUBLE))) AS BIGINT) "
+        "AS invln_q FROM adj a JOIN deg USING (w)), "
+        "wedges AS (SELECT l.n AS u, r.n AS v, l.invln_q "
+        "FROM wt l JOIN wt r ON l.w = r.w AND l.n < r.n), "
+        "pairs AS (SELECT u, v, COUNT(*)::BIGINT AS cn, "
+        "SUM(invln_q)::BIGINT AS aa_num FROM wedges GROUP BY 1, 2 "
+        f"HAVING COUNT(*) >= {AA_MIN_CN}) "
+        "SELECT p.u, p.v, p.cn, p.aa_num, "
+        f"CAST(p.aa_num AS DOUBLE) / {float(AA_SCALE)} AS aa "
+        "FROM pairs p WHERE NOT EXISTS "
+        "(SELECT 1 FROM und e WHERE e.u = p.u AND e.v = p.v)"
+    )
+    # dbscan_cluster: brute-force O(N^2) eps-neighbor pairs (grid
+    # pruning is the thing under test), CC by recursive-CTE label
+    # reachability with UNION dedup, min label per node.
+    blobs = " UNION ALL ".join(
+        f"SELECT -({b} * 20 + k + 1)::BIGINT AS pid, "
+        f"({bx} + (k % 5) * 25)::BIGINT AS x, "
+        f"({by} + (k // 5) * 25)::BIGINT AS y "
+        "FROM generate_series(0, 19) t(k)"
+        for b, (bx, by) in enumerate(_DBSCAN_BLOBS)
+    )
+    sats = " UNION ALL ".join(
+        f"SELECT (-1001 - {b})::BIGINT, ({bx} + 240)::BIGINT, "
+        f"({by} + 75)::BIGINT"
+        for b, (bx, by) in enumerate(_DBSCAN_BLOBS)
+    )
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    _ORACLE_SQL["dbscan_cluster"] = f"""
+        WITH RECURSIVE pts AS (
+            SELECT event_id AS pid,
+                   CAST({SPATIAL_X_SQL} AS BIGINT) AS x,
+                   CAST({SPATIAL_Y_SQL} AS BIGINT) AS y
+            FROM events
+            UNION ALL {blobs}
+            UNION ALL {sats}
+        ),
+        nbrs AS (
+            SELECT a.pid AS a, b.pid AS b
+            FROM pts a JOIN pts b
+              ON a.pid != b.pid
+             AND (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) <= {eps2}
+        ),
+        ncount AS (
+            SELECT p.pid,
+                   1 + COALESCE(
+                       (SELECT COUNT(*) FROM nbrs n WHERE n.a = p.pid),
+                       0)::BIGINT AS n_eps
+            FROM pts p
+        ),
+        core AS (SELECT pid FROM ncount WHERE n_eps >= {DBSCAN_MIN_PTS}),
+        core_edges AS (
+            SELECT n.a, n.b FROM nbrs n
+            JOIN core ca ON ca.pid = n.a
+            JOIN core cb ON cb.pid = n.b
+        ),
+        reach(node, lbl) AS (
+            SELECT pid, pid FROM core
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN core_edges e
+              ON e.a = r.node
+        ),
+        core_lbl AS (
+            SELECT node AS pid, MIN(lbl)::BIGINT AS cluster
+            FROM reach GROUP BY 1
+        ),
+        border_lbl AS (
+            SELECT n.a AS pid, MIN(c.cluster)::BIGINT AS cluster
+            FROM nbrs n JOIN core_lbl c ON c.pid = n.b
+            WHERE n.a NOT IN (SELECT pid FROM core)
+            GROUP BY 1
+        )
+        SELECT p.pid, p.x, p.y, nc.n_eps,
+               CASE WHEN cl.pid IS NOT NULL THEN 'core'
+                    WHEN bl.pid IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(cl.cluster, bl.cluster, -999999) AS cluster
+        FROM pts p
+        JOIN ncount nc ON nc.pid = p.pid
+        LEFT JOIN core_lbl cl ON cl.pid = p.pid
+        LEFT JOIN border_lbl bl ON bl.pid = p.pid
+    """
+    # motif_discovery: scalar (i, j, offset) grid with two positional
+    # joins -- a genuinely different formulation than array zip_with.
+    cents = ", ".join(
+        str(_motif_overlay_cents(i)) for i in range(1, MOTIF_OVL_N + 1)
+    )
+    _ORACLE_SQL["motif_discovery"] = f"""
+        WITH s AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+            UNION ALL
+            SELECT -1::BIGINT, gs, ([{cents}])[gs]::BIGINT
+            FROM generate_series(1, {MOTIF_OVL_N}) t(gs)
+        ),
+        maxn AS (SELECT user_id, MAX(rn) AS n FROM s GROUP BY 1),
+        wins AS (
+            SELECT s.user_id, s.rn AS i
+            FROM s JOIN maxn USING (user_id)
+            WHERE s.rn <= n - {MOTIF_M} + 1
+        ),
+        pairs AS (
+            SELECT a.user_id, a.i AS i, b.i AS j
+            FROM wins a JOIN wins b
+              ON a.user_id = b.user_id AND b.i >= a.i + {MOTIF_M}
+        ),
+        sad AS (
+            SELECT p.user_id, p.i, p.j,
+                   SUM(ABS(x.c - y.c))::BIGINT AS sad
+            FROM pairs p
+            CROSS JOIN generate_series(0, {MOTIF_M} - 1) t(o)
+            JOIN s x ON x.user_id = p.user_id AND x.rn = p.i + o
+            JOIN s y ON y.user_id = p.user_id AND y.rn = p.j + o
+            GROUP BY 1, 2, 3
+        ),
+        cnt AS (
+            SELECT user_id, COUNT(*)::BIGINT AS n_pairs
+            FROM pairs GROUP BY 1
+        ),
+        best AS (
+            SELECT user_id, sad, i, j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY sad, i, j
+                   ) AS rk
+            FROM sad
+        )
+        SELECT b.user_id, b.sad, CAST(b.i AS BIGINT) AS i,
+               CAST(b.j AS BIGINT) AS j, c.n_pairs
+        FROM best b JOIN cnt c USING (user_id)
+        WHERE rk = 1
+    """
+
+
+_install_s16_batch2_oracles()
