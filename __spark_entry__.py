@@ -13560,6 +13560,267 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _soundex_sql(c: str) -> str:
+    """American Soundex as ONE SQL scalar expression, emitted from a
+    single Python source into BOTH engines (the _cdc_hash_sql
+    shared-emitter device) — restricted to RE2/Java-identical
+    constructs (char-class regexp_replace, translate, replace,
+    substr, rpad, ||).
+
+    Exact rule set (Russell/NARA): keep the first LETTER; H and W
+    are transparent (removed BEFORE coding, so codes they separated
+    become adjacent and collapse); vowels code to 0 which SEPARATES
+    duplicate codes (collapse runs first, strip 0s after); if the
+    first letter itself carries a code, its whole leading run is
+    dropped (Pfister -> P236); H/W first letters carry no code so
+    nothing is dropped (Honeyman -> H555); pad/truncate to 3 digits.
+    Run collapsing is replace('dd','d') applied 4x per digit —
+    exact for runs up to 16, far beyond any name."""
+    # NOTE: regexp_replace is global in Spark but FIRST-MATCH in
+    # DuckDB without a 'g' flag Spark doesn't accept — so every
+    # load-bearing global substitution below uses plain replace()
+    # (global in both).  The [^A-Z] cleanup is safe as-is: after
+    # upper() an all-letter name has ZERO matches, and the roster is
+    # all-letter by construction.
+    s0 = f"regexp_replace(upper({c}), '[^A-Z]', '')"
+    first = f"substr({s0}, 1, 1)"
+    hw = f"replace(replace({s0}, 'H', ''), 'W', '')"
+    col = (
+        f"translate({hw}, 'ABCDEFGIJKLMNOPQRSTUVXYZ',"
+        " '012301202245501262301202')"
+    )
+    for d in "123456":
+        for _ in range(4):
+            col = f"replace({col}, '{d}{d}', '{d}')"
+    body = (
+        f"(CASE WHEN {first} IN ('H', 'W') THEN {col} "
+        f"ELSE substr({col}, 2) END)"
+    )
+    body = f"replace({body}, '0', '')"
+    return f"({first} || rpad(substr({body}, 1, 3), 3, '0'))"
+
+
+PB_NAMES = [
+    "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+    "Pfister", "Smith", "Smyth", "Schmidt", "Johnson",
+    "Jonson", "Thompson", "Tomson", "Mueller", "Muller",
+    "Miller", "Wright", "Write", "White", "Wite",
+]
+PB_MAX_LEV = 2
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: customers get
+    deterministic (first, last) names drawn from a roster of classic
+    Soundex collision families (Smith/Smyth/Schmidt, Robert/Rupert,
+    Ashcraft/Ashcroft, Mueller/Muller/Miller ...); candidate pairs
+    are generated ONLY within (soundex(first), soundex(last)) blocks
+    and verified by Levenshtein ≤ {2} on the full name — the
+    standard two-stage fuzzy-match shape (cheap recall-oriented
+    blocking, expensive precision-oriented verify) that a direct
+    O(N²) name-distance join cannot afford.
+
+    Exactness: the Soundex code is ONE shared-emitter SQL expression
+    (_soundex_sql — same string in Spark and DuckDB), Levenshtein is
+    the built-in integer metric in both engines, and the roster is a
+    Python list emitted into both literals.  Known-miss law: classic
+    Soundex puts Thompson (T512) and Tomson (T525) in DIFFERENT
+    blocks — the recall gap every phonetic blocker ships — pinned in
+    the tests rather than papered over.
+
+    Scale shape: blocking is a pure projection; the self-join
+    shuffles once on the block key and block sizes are name-family
+    bounded (skewed natural names would salt or cap blocks —
+    documented; the verify stays O(Σ block²) ≪ O(N²))."""
+    c = _load_wide(spark, sf_dir, "customer")
+    roster = F.array(*[F.lit(n) for n in PB_NAMES])
+    nn = len(PB_NAMES)
+    rec = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.element_at(
+            roster, ((F.col("c_custkey") * 7) % nn + 1).cast("int")
+        ).alias("fn"),
+        F.element_at(
+            roster, ((F.col("c_custkey") * 13 + 3) % nn + 1).cast("int")
+        ).alias("ln"),
+    ).select(
+        "ck",
+        "fn",
+        "ln",
+        F.expr(_soundex_sql("fn")).alias("sdx_f"),
+        F.expr(_soundex_sql("ln")).alias("sdx_l"),
+    )
+    l, r = rec.alias("l"), rec.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.sdx_f") == F.col("r.sdx_f"))
+        & (F.col("l.sdx_l") == F.col("r.sdx_l"))
+        & (F.col("l.ck") < F.col("r.ck")),
+    )
+    lev = F.levenshtein(
+        F.concat_ws(" ", F.col("l.fn"), F.col("l.ln")),
+        F.concat_ws(" ", F.col("r.fn"), F.col("r.ln")),
+    )
+    return (
+        pairs.select(
+            F.col("l.ck").alias("a"),
+            F.col("r.ck").alias("b"),
+            F.col("l.sdx_f").alias("sdx_f"),
+            F.col("l.sdx_l").alias("sdx_l"),
+            lev.cast("long").alias("lev"),
+        )
+        # genuinely fuzzy matches only: identical full names are
+        # exact duplicates (dedup_exact's job, and they'd dominate
+        # the output ~50:1)
+        .filter((F.col("lev") >= 1) & (F.col("lev") <= PB_MAX_LEV))
+    )
+
+
+RAKE_STOPWORDS = ("a", "the")
+RAKE_SCALE = 1_000_000_000  # word-score deg/freq quantization (1e-9)
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg/freq (deg = Σ length of phrases containing it, freq = its
+    candidate occurrences — both per document); a phrase scores the
+    sum of its word scores; report each document's best phrase —
+    the document-local keyword primitive that tfidf_top_terms
+    (corpus-global, single-token) does not cover.
+
+    Exactness: deg and freq are integers; the word score is
+    quantized by pure integer division ((deg·10⁹) DIV freq) so the
+    phrase sum is an order-free BIGINT; the per-doc argmax rides
+    min(struct(−score, phrase)) — a total order with ties broken on
+    the lexicographically smallest phrase.  Phrase boundaries come
+    from the gaps-and-islands trick (pos − row_number over non-stop
+    tokens), the standard SQL run-grouping device.
+
+    Scale shape: everything is partitioned by doc_id — one window
+    pass for islands, one groupBy for phrases, window sums for
+    deg/freq on the same partitioning, one final per-doc argmax;
+    zero cross-doc traffic (RAKE is per-document by definition)."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .filter(~F.col("tok").isin(*RAKE_STOPWORDS))
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = toks.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_ord)
+    )
+    w_phr = Window.partitionBy("doc_id", "island")
+    w_word = Window.partitionBy("doc_id", "tok")
+    scored = (
+        isl.withColumn("phr_len", F.count(F.lit(1)).over(w_phr).cast("long"))
+        .withColumn("freq", F.count(F.lit(1)).over(w_word).cast("long"))
+        .withColumn("deg", F.sum("phr_len").over(w_word))
+        .withColumn("ws_q", F.expr(f"(deg * {RAKE_SCALE}) DIV freq"))
+    )
+    phrases = scored.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("ws_q").alias("score_q"),
+    )
+    best = phrases.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("score_q")).alias("neg"), F.col("phrase"))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_phrases"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.phrase").alias("phrase"),
+        (-F.col("m.neg")).alias("score_q"),
+        (
+            (-F.col("m.neg")).cast("double") / F.lit(float(RAKE_SCALE))
+        ).alias("score"),
+        "n_phrases",
+    )
+
+
+def q_cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index with SURT keys (the web-archive /
+    crawl-index layout: Sort-friendly URI Reordering Transform):
+    each doc gets a deterministic messy URL (mixed schemes, www and
+    non-www and subdomain hosts, an :8080 port class, unsorted
+    query params); the SURT key reverses host labels comma-joined
+    ('org,example')  + optional port + ')' + path + sorted query, so
+    a plain SORT co-locates every capture of a registered domain
+    and its subdomains — the property that makes petabyte CDX
+    lookups a bounded range scan instead of a full-index filter.
+
+    Exactness: pure string algebra in both engines (lower, www-strip
+    by anchored regex, label reverse + comma join, param sort);
+    digest = md5(text) (both engines emit lowercase hex); idx =
+    row_number over (surt, doc_id) PINS the total order in a
+    hashable column — ASCII ')' < ',' makes 'org,example)…' sort
+    strictly before 'org,example,sub)…', so domain groups are
+    contiguous and subdomains follow their parent (pinned by law).
+
+    Scale shape: one projection + ONE global sort (the index build
+    IS a sort — rangepartitioned at scale, exactly what
+    zorder_layout does for multi-key); no Python, no extra
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, "http").otherwise("https")
+    host = (
+        F.when(did % 4 == 0, "example.org")
+        .when(did % 4 == 1, "WWW.example.org")
+        .when(did % 4 == 2, "sub.example.org")
+        .otherwise("archive.net")
+    )
+    port = F.when(did % 7 == 2, ":8080").otherwise("")
+    path = F.concat(F.lit("/p/"), did.cast("string"))
+    query = (
+        F.when(did % 5 == 0, "b=2&a=1")
+        .when(did % 5 == 1, "a=1")
+        .otherwise("")
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""),
+    )
+    host2 = F.regexp_replace(F.lower(host), "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(host2, "\\.")), ",")
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    surt = F.concat(
+        rev,
+        port,
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), qsorted)).otherwise(""),
+    )
+    rows = d.select(
+        "doc_id",
+        url.alias("url"),
+        surt.alias("surt"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    w = Window.orderBy("surt", "doc_id")
+    return rows.withColumn(
+        "idx", F.row_number().over(w).cast("long")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -13791,6 +14052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "dbscan_cluster": q_dbscan_cluster,
         "motif_discovery": q_motif_discovery,
+        "phonetic_blocking": q_phonetic_blocking,
+        "rake_keywords": q_rake_keywords,
+        "cdx_surt_index": q_cdx_surt_index,
     }
 
 
@@ -20583,3 +20847,138 @@ def _install_s16_batch2_oracles() -> None:
 
 
 _install_s16_batch2_oracles()
+
+
+def _install_s16_batch3_oracles() -> None:
+    # phonetic_blocking: the SAME _soundex_sql emitter output (one
+    # Python source, two engines), DuckDB's built-in levenshtein.
+    names = ", ".join(f"'{n}'" for n in PB_NAMES)
+    nn = len(PB_NAMES)
+    _ORACLE_SQL["phonetic_blocking"] = f"""
+        WITH rec AS (
+            SELECT c_custkey AS ck,
+                   ([{names}])[CAST((c_custkey * 7) % {nn} + 1 AS INT)]
+                       AS fn,
+                   ([{names}])[CAST((c_custkey * 13 + 3) % {nn} + 1
+                                    AS INT)] AS ln
+            FROM customer
+        ),
+        coded AS (
+            SELECT ck, fn, ln,
+                   {_soundex_sql("fn")} AS sdx_f,
+                   {_soundex_sql("ln")} AS sdx_l
+            FROM rec
+        )
+        SELECT l.ck AS a, r.ck AS b, l.sdx_f, l.sdx_l,
+               CAST(levenshtein(l.fn || ' ' || l.ln,
+                                r.fn || ' ' || r.ln) AS BIGINT) AS lev
+        FROM coded l JOIN coded r
+          ON l.sdx_f = r.sdx_f AND l.sdx_l = r.sdx_l AND l.ck < r.ck
+        WHERE levenshtein(l.fn || ' ' || l.ln,
+                          r.fn || ' ' || r.ln) BETWEEN 1 AND {PB_MAX_LEV}
+    """
+    # rake_keywords: same gaps-and-islands grouping (1-based pos only
+    # shifts the island CONSTANT, group contents identical), same
+    # integer-division word scores, argmax by (score DESC, phrase).
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    _ORACLE_SQL["rake_keywords"] = f"""
+        WITH toks0 AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        tpos AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts))) AS pos
+            FROM toks0
+        ),
+        tok AS (
+            SELECT doc_id, pos, ts[pos] AS tok FROM tpos
+            WHERE ts[pos] != '' AND ts[pos] NOT IN ({stops})
+        ),
+        isl AS (
+            SELECT doc_id, pos, tok,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM tok
+        ),
+        s1 AS (
+            SELECT doc_id, island, pos, tok,
+                   COUNT(*) OVER (
+                       PARTITION BY doc_id, island)::BIGINT AS phr_len
+            FROM isl
+        ),
+        s2 AS (
+            SELECT *,
+                   COUNT(*) OVER (
+                       PARTITION BY doc_id, tok)::BIGINT AS freq,
+                   SUM(phr_len) OVER (
+                       PARTITION BY doc_id, tok)::BIGINT AS deg
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *, (deg * {RAKE_SCALE}) // freq AS ws_q FROM s2
+        ),
+        phr AS (
+            SELECT doc_id, island,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   SUM(ws_q)::BIGINT AS score_q
+            FROM s3 GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, phrase, score_q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_q DESC, phrase ASC
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY doc_id)::BIGINT
+                       AS n_phrases
+            FROM phr
+        )
+        SELECT doc_id, phrase, score_q,
+               CAST(score_q AS DOUBLE) / {float(RAKE_SCALE)} AS score,
+               n_phrases
+        FROM best WHERE rk = 1
+    """
+    # cdx_surt_index: same URL synthesis and SURT string algebra.
+    _ORACLE_SQL["cdx_surt_index"] = """
+        WITH raw AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 2 = 0 THEN 'http'
+                        ELSE 'https' END AS scheme,
+                   CASE WHEN doc_id % 4 = 0 THEN 'example.org'
+                        WHEN doc_id % 4 = 1 THEN 'WWW.example.org'
+                        WHEN doc_id % 4 = 2 THEN 'sub.example.org'
+                        ELSE 'archive.net' END AS host,
+                   CASE WHEN doc_id % 7 = 2 THEN ':8080'
+                        ELSE '' END AS port,
+                   '/p/' || CAST(doc_id AS VARCHAR) AS path,
+                   CASE WHEN doc_id % 5 = 0 THEN 'b=2&a=1'
+                        WHEN doc_id % 5 = 1 THEN 'a=1'
+                        ELSE '' END AS query
+            FROM documents
+        ),
+        built AS (
+            SELECT doc_id,
+                   scheme || '://' || host || port || path
+                   || CASE WHEN query != '' THEN '?' || query
+                           ELSE '' END AS url,
+                   array_to_string(
+                       list_reverse(string_split(
+                           regexp_replace(lower(host), '^www\\.', ''),
+                           '.')),
+                       ',')
+                   || port || ')' || path
+                   || CASE WHEN query != ''
+                           THEN '?' || array_to_string(
+                               list_sort(string_split(query, '&')), '&')
+                           ELSE '' END AS surt,
+                   md5(text) AS digest
+            FROM raw
+        )
+        SELECT doc_id, url, surt, digest,
+               ROW_NUMBER() OVER (ORDER BY surt, doc_id)::BIGINT AS idx
+        FROM built
+    """
+
+
+_install_s16_batch3_oracles()
