@@ -13821,6 +13821,256 @@ def q_cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TS_OVL_N = 30  # Theil-Sen overlay series length
+TS_OVL_SLOPE = 5  # planted linear slope
+TS_OVL_OUTLIERS = (5, 15, 25)  # positions forced to a huge spike
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per user: the MEDIAN of all pairwise
+    slopes (v_j − v_i)/(j − i) over the time-ordered value series —
+    the estimator with a 29.3% breakdown point that q_ols_trend
+    (zero breakdown: one spike drags the fit) cannot match; the
+    standard robust-trend primitive for noisy per-segment metrics.
+
+    Exactness: each slope is ONE double division (deterministic
+    IEEE in both engines); the median is positional — row_number
+    over the total order (slope, i, j) picks the middle one or two
+    rows, and the even case averages exactly two doubles with the
+    same op order.  Overlay: user −1 is a planted line of slope 5
+    with three positions spiked to 10⁶ — the law pins slope_med
+    exactly 5.0 (the spiked pairs are a minority), the
+    outlier-immunity OLS provably lacks.
+
+    Scale shape: the pair join, the sort, and the median pick are
+    all partitioned by user_id — O(n²) per key, zero cross-key
+    traffic (same contract as mann_kendall; big-n keys would use
+    the O(n log n) randomized median-of-slopes refinement,
+    documented not needed at this per-key cardinality)."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    real = e.select(
+        "user_id", F.row_number().over(w).alias("rn"),
+        F.col("value").alias("v"),
+    )
+    ovl_v = (
+        F.when(
+            F.col("id").isin(*TS_OVL_OUTLIERS), F.lit(1000000.0)
+        )
+        .otherwise((F.col("id") * TS_OVL_SLOPE + 7).cast("double"))
+    )
+    ovl = spark.range(1, TS_OVL_N + 1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.col("id").cast("int").alias("rn"),
+        ovl_v.alias("v"),
+    )
+    base = real.unionByName(ovl)
+    l, r = base.alias("l"), base.alias("r")
+    slopes = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.rn") < F.col("r.rn")),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.rn").alias("i"),
+        F.col("r.rn").alias("j"),
+        (
+            (F.col("r.v") - F.col("l.v"))
+            / (F.col("r.rn") - F.col("l.rn")).cast("double")
+        ).alias("slope"),
+    )
+    word = Window.partitionBy("user_id").orderBy("slope", "i", "j")
+    wall = Window.partitionBy("user_id")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(word).cast("long").alias("rs"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("np"),
+    )
+    # middle one (odd) or two (even) positions — integer DIV, since
+    # plain / is double division in Spark SQL and would skip a row
+    mid = ranked.filter(
+        (F.col("rs") == F.expr("(np + 1) DIV 2"))
+        | (F.col("rs") == F.expr("(np + 2) DIV 2"))
+    )
+    return mid.groupBy("user_id").agg(
+        F.max("np").alias("n_pairs"),
+        (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias(
+            "slope_med"
+        ),
+    )
+
+
+ISO_SCALE = 1_000_000_000  # segment-average quantization (1e-9)
+
+
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration per source: fit the best monotone
+    non-decreasing curve to binary relevance labels ordered by the
+    ranking score — the calibration step between raw scores and
+    probabilities that calibration_bins (fixed-width, not monotone)
+    doesn't give; the classic pool-adjacent-violators output.
+
+    Exactness: PAV is computed by the MINIMAX IDENTITY fit_i =
+    max_{j≤i} min_{k≥i} avg(y_j..y_k) — no sequential pooling loop
+    — with every segment average quantized to an exact BIGINT
+    ((S_k − S_{j−1})·10⁹ DIV (k−j+1), prefix sums of 0/1 labels),
+    so min/max run on integers and the result is engine-exact.
+    Monotonicity survives quantization structurally (the j-set
+    grows and the k-set shrinks with i for ANY cell values —
+    pinned by law); the quantized fit is within 1e-9 of exact PAV
+    (law-checked against a Fraction-exact reference).
+
+    Scale shape: calibration runs per source group — the (j,k)
+    segment table is O(n²) per KEY (n = docs per source ≈ 25;
+    calibration tables are small by nature), built by one
+    key-partitioned self-join; the suffix-min and the final max are
+    windows/groupBys on the same partitioning; zero cross-key
+    traffic."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.size(F.filter(toks, lambda t: t == F.lit(AP_SCORE_TOK)))
+    rel = (
+        F.array_contains(toks, AP_REL_TOK)
+        | (F.col("doc_id") % AP_REL_MOD == AP_REL_RES)
+    ).cast("long")
+    worder = Window.partitionBy("source").orderBy("score", "doc_id")
+    wpre = (
+        Window.partitionBy("source")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = (
+        d.select(
+            "source",
+            "doc_id",
+            score.cast("long").alias("score"),
+            rel.alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(worder).cast("long"))
+        .withColumn("s", F.sum("y").over(wpre))
+        .withColumn("sprev", F.col("s") - F.col("y"))
+        .localCheckpoint()  # one window pass feeds both join sides
+    )
+    jj = pos.select(
+        "source", F.col("rn").alias("j"), F.col("sprev").alias("sj")
+    )
+    kk = pos.select("source", F.col("rn").alias("k"), F.col("s").alias("sk"))
+    segs = jj.join(kk, "source").filter(F.col("k") >= F.col("j")).select(
+        "source",
+        "j",
+        F.col("k").alias("i"),
+        F.expr(
+            f"((sk - sj) * {ISO_SCALE}) DIV (k - j + 1)"
+        ).alias("q"),
+    )
+    wsuf = (
+        Window.partitionBy("source", "j")
+        .orderBy(F.desc("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mji = segs.withColumn("m", F.min("q").over(wsuf))
+    fit = (
+        mji.groupBy("source", "i")
+        .agg(F.max("m").alias("fit_q"))
+        .withColumnRenamed("source", "fsource")  # defuse self-join lineage
+    )
+    return (
+        pos.join(
+            fit,
+            (F.col("source") == F.col("fsource"))
+            & (F.col("rn") == F.col("i")),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "rn",
+            "score",
+            "y",
+            "fit_q",
+            (F.col("fit_q").cast("double") / F.lit(float(ISO_SCALE))).alias(
+                "fit"
+            ),
+        )
+    )
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    crawl link graph — two exact power iterations from h⁰ = 1:
+    a¹ = indegree, h¹ = Σ_out a¹, a² = Σ_in h¹, h² = Σ_out a² —
+    the mutually-reinforcing centrality pair that PageRank's single
+    score conflates (a catalog page is a great hub and a terrible
+    authority; link_pagerank can't say which).
+
+    Exactness: normalization is deliberately deferred (rankings are
+    scale-invariant under HITS iteration), so every score is an
+    exact BIGINT path count — a² counts in-paths of shape in·out·in,
+    h² counts out·in·out — and the cross-engine gate never touches
+    a float.  Int64 headroom: bounded by (max deg)⁴ · N ≪ 2^63 at
+    fixture degrees (a production run normalizes per iteration in
+    floats; the exact-integer form is the TESTABLE core).
+
+    Scale shape: each half-iteration is one equi-join of the edge
+    list with the current score vector + one key-partitioned
+    groupBy — the link_pagerank shuffle shape; 4 half-iterations,
+    lineage cut between rounds is unnecessary at this depth."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    edges = (
+        wrapped.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+        )
+        .select("src", F.col("dd").cast("long").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # a1 = indegree (h0 = 1)
+    a1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("a1")
+    )
+    h1 = (
+        edges.join(a1, edges["dst"] == a1["node"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, edges["src"] == h1["node"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h1").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, edges["dst"] == a2["node"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a2").alias("h2"))
+    )
+    return (
+        nodes.join(a1, "node", "left")
+        .join(h1, "node", "left")
+        .join(a2, "node", "left")
+        .join(h2, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a1", F.lit(0)).alias("a1"),
+            F.coalesce("h1", F.lit(0)).alias("h1"),
+            F.coalesce("a2", F.lit(0)).alias("a2"),
+            F.coalesce("h2", F.lit(0)).alias("h2"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -14055,6 +14305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_blocking": q_phonetic_blocking,
         "rake_keywords": q_rake_keywords,
         "cdx_surt_index": q_cdx_surt_index,
+        "theil_sen": q_theil_sen,
+        "isotonic_fit": q_isotonic_fit,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -20982,3 +21235,131 @@ def _install_s16_batch3_oracles() -> None:
 
 
 _install_s16_batch3_oracles()
+
+
+def _install_s16_batch4_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    # theil_sen: same pair slopes, same positional median over the
+    # (slope, i, j) total order, same two-row even-case averaging.
+    outl = ", ".join(str(p) for p in TS_OVL_OUTLIERS)
+    _ORACLE_SQL["theil_sen"] = f"""
+        WITH base AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn,
+                   value AS v
+            FROM events
+            UNION ALL
+            SELECT -1::BIGINT, gs,
+                   CASE WHEN gs IN ({outl}) THEN 1000000.0
+                        ELSE CAST(gs * {TS_OVL_SLOPE} + 7 AS DOUBLE)
+                   END
+            FROM generate_series(1, {TS_OVL_N}) t(gs)
+        ),
+        slopes AS (
+            SELECT l.user_id, l.rn AS i, r.rn AS j,
+                   (r.v - l.v) / CAST(r.rn - l.rn AS DOUBLE) AS slope
+            FROM base l JOIN base r
+              ON l.user_id = r.user_id AND l.rn < r.rn
+        ),
+        ranked AS (
+            SELECT user_id, slope,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY slope, i, j
+                   )::BIGINT AS rs,
+                   COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS np
+            FROM slopes
+        )
+        SELECT user_id, MAX(np) AS n_pairs,
+               SUM(slope) / CAST(COUNT(*) AS DOUBLE) AS slope_med
+        FROM ranked
+        WHERE rs = (np + 1) // 2 OR rs = (np + 2) // 2
+        GROUP BY 1
+    """
+    # isotonic_fit: same minimax identity on the same quantized
+    # segment averages (integer floor-division), windows mirrored.
+    _ORACLE_SQL["isotonic_fit"] = f"""
+        WITH labeled AS (
+            SELECT source, doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t = '{AP_SCORE_TOK}'))::BIGINT
+                       AS score,
+                   CASE WHEN list_contains(string_split(text, ' '),
+                                           '{AP_REL_TOK}')
+                             OR doc_id % {AP_REL_MOD} = {AP_REL_RES}
+                        THEN 1 ELSE 0 END::BIGINT AS y
+            FROM documents
+        ),
+        pos AS (
+            SELECT source, doc_id, score, y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY score, doc_id
+                   )::BIGINT AS rn,
+                   SUM(y) OVER (
+                       PARTITION BY source ORDER BY score, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS s
+            FROM labeled
+        ),
+        pos2 AS (SELECT *, s - y AS sprev FROM pos),
+        segs AS (
+            SELECT j.source, j.rn AS j, k.rn AS i,
+                   ((k.s - j.sprev) * {ISO_SCALE}) // (k.rn - j.rn + 1)
+                       AS q
+            FROM pos2 j JOIN pos2 k
+              ON j.source = k.source AND k.rn >= j.rn
+        ),
+        mji AS (
+            SELECT source, j, i,
+                   MIN(q) OVER (
+                       PARTITION BY source, j ORDER BY i DESC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS m
+            FROM segs
+        ),
+        fit AS (
+            SELECT source, i, MAX(m)::BIGINT AS fit_q
+            FROM mji GROUP BY 1, 2
+        )
+        SELECT p.source, p.doc_id, p.rn, p.score, p.y, f.fit_q,
+               CAST(f.fit_q AS DOUBLE) / {float(ISO_SCALE)} AS fit
+        FROM pos2 p JOIN fit f
+          ON f.source = p.source AND f.i = p.rn
+    """
+    # hits_scores: same directed crawl edges, each half-iteration a
+    # join + groupBy, all-BIGINT path counts.
+    pages = (
+        "pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents)"
+    )
+    _ORACLE_SQL["hits_scores"] = (
+        "WITH " + pages + ", "
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "edges AS (SELECT DISTINCT src, CAST(d AS BIGINT) AS dst FROM ex), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "a1 AS (SELECT dst AS node, COUNT(*)::BIGINT AS a1 "
+        "FROM edges GROUP BY 1), "
+        "h1 AS (SELECT e.src AS node, SUM(a.a1)::BIGINT AS h1 "
+        "FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY 1), "
+        "a2 AS (SELECT e.dst AS node, SUM(h.h1)::BIGINT AS a2 "
+        "FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1), "
+        "h2 AS (SELECT e.src AS node, SUM(a.a2)::BIGINT AS h2 "
+        "FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY 1) "
+        "SELECT n.node, COALESCE(a1.a1, 0) AS a1, "
+        "COALESCE(h1.h1, 0) AS h1, COALESCE(a2.a2, 0) AS a2, "
+        "COALESCE(h2.h2, 0) AS h2 "
+        "FROM nodes n "
+        "LEFT JOIN a1 ON a1.node = n.node "
+        "LEFT JOIN h1 ON h1.node = n.node "
+        "LEFT JOIN a2 ON a2.node = n.node "
+        "LEFT JOIN h2 ON h2.node = n.node"
+    )
+
+
+_install_s16_batch4_oracles()
