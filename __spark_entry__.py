@@ -14071,6 +14071,240 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIJK_CAP = 200  # oracle walk-enumeration distance cap (≫ any real SP)
+DIJK_MAX_ROUNDS = 64
+
+
+def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed href-extracted crawl edges (the graph_bfs/pagerank
+    edge set), distinct + lineage-cut."""
+    from ocular_spark.functions import html as H
+
+    d = _load_wide(spark, sf_dir, "documents")
+    wrapped = d.select("doc_id", F.expr(H.wrap_links_spark()).alias("html"))
+    return (
+        wrapped.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.expr(H.doc_links_expr("html"))).alias("dd"),
+        )
+        .select("src", F.col("dd").cast("long").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def q_dijkstra_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source(-set) shortest paths over the crawl
+    link graph — graph_bfs flows HOP distance; this flows COST
+    (edge weight = 1 + (7·src + 13·dst) mod 10, the deterministic
+    weight synthesis device), the primitive behind cheapest-route /
+    weighted-influence questions an unweighted BFS cannot answer.
+
+    Spark side: Bellman-Ford-style fixed-point relaxation — each
+    round one src-equi-join (dist + w) + one min groupBy, lineage
+    localCheckpoint-truncated, converged when the (count, sum) probe
+    stops moving (distances are monotone non-increasing and bounded,
+    the _cc_min_label scalar-probe device) — no priority queue
+    needed; rounds ≤ longest shortest-path hop count.  The oracle is
+    the INDEPENDENT formulation: recursive-CTE WALK enumeration
+    deduplicated by (node, dist) with a distance cap ≫ any real
+    shortest path (every prefix of a shortest path stays under the
+    cap, so the minimum is exact), then MIN per node.
+
+    Exactness: integer weights, integer sums — no floats anywhere.
+    Scale shape: per round one key-partitioned join + combine; the
+    frontier table is node-sized, never edge-enumerated."""
+    edges = _crawl_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (1 + (F.col("src") * 7 + F.col("dst") * 13) % 10).alias("w"),
+    ).localCheckpoint()
+    d = _load_wide(spark, sf_dir, "documents")
+    dist = (
+        d.filter(F.col("doc_id") < BFS_SEEDS_BELOW)
+        .select(
+            F.col("doc_id").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    prev_probe = None
+    for _ in range(DIJK_MAX_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        probe = dist.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("dist").alias("s")
+        ).collect()[0]
+        probe = (probe["c"], probe["s"])
+        if probe == prev_probe:
+            break
+        prev_probe = probe
+    return dist
+
+
+CENSUS_SEEDS_BELOW = 5
+CENSUS_MAX_HOPS = 6
+
+
+def q_path_count_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path multiplicity census from a seed set: for every
+    reachable node, the hop distance AND σ = the exact NUMBER of
+    distinct shortest paths from the seed — the path-redundancy
+    signal (single-path bottleneck vs richly connected) that plain
+    BFS distance (graph_bfs) throws away; σ is also the forward
+    half of Brandes betweenness.
+
+    Spark side: layered BFS carrying (seed, node, σ) — per layer one
+    edge join, one sum-combine of σ over predecessors (σ additivity:
+    σ(v) = Σ_{pred u at d−1} σ(u), exact BIGINT), one anti-join
+    against settled nodes; hop-bounded.  Oracle: recursive-CTE
+    enumeration of ALL walks up to the hop cap (UNION ALL — row
+    multiplicity IS the count), then COUNT at the minimal depth per
+    (seed, node): a minimal-length walk cannot revisit a node
+    (removing the cycle would shorten it), so minimal-walk count =
+    shortest-PATH count exactly — two genuinely different
+    formulations of σ.
+
+    Scale shape: frontier tables are O(reached nodes) per seed;
+    every step is key-partitioned join/agg; the hop cap bounds
+    rounds; seed fan-out is the parallel axis at scale."""
+    edges = _crawl_edges(spark, sf_dir)
+    d = _load_wide(spark, sf_dir, "documents")
+    frontier = (
+        d.filter(F.col("doc_id") < CENSUS_SEEDS_BELOW)
+        .select(
+            F.col("doc_id").cast("long").alias("seed"),
+            F.col("doc_id").cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint()
+    )
+    settled = frontier
+    for hop in range(1, CENSUS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        frontier = nxt.join(
+            settled.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).select("seed", "node", "dist", "sigma").localCheckpoint()
+        if frontier.isEmpty():
+            break
+        settled = settled.unionByName(frontier).localCheckpoint()
+    return settled
+
+
+BT_K = 168  # backtest holdout horizon (hours)
+BT_SCALE = 1_000_000_000  # per-term sMAPE quantization (1e-9)
+
+
+def q_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each
+    hour's event count with the count 24 hours earlier, score the
+    last {168}-hour holdout with sMAPE — the baseline every
+    forecasting pipeline must beat, and the backtest-evaluation
+    primitive (dense calendar grid, lag forecast, horizon split)
+    that the anomaly/drift rows don't provide.
+
+    Exactness: the hour index is exact integer µs offsets from the
+    stream's hour-truncated min(ts) anchor (the _event_us
+    TIMESTAMP_NTZ device — epoch casts would drag in a session
+    timezone) DIV 3600·10⁶; missing hours are densified to 0 via a
+    sequence grid; each sMAPE term 2|F−A|/(F+A) is quantized to an
+    exact BIGINT by integer division (0 when F+A=0, the standard
+    convention), the sum is order-free, and smape is ONE division.
+    Overlay: a 'periodic' series repeating with period 24 exactly
+    (sMAPE = 0 pinned) and a 'drift' series adding +1 per day
+    (nonzero, hand-computable).
+
+    Scale shape: one groupBy(type, hour) over the corpus, a
+    broadcast hour grid (constant-sized) cross-joined to types,
+    per-type window lag on the (type)-partitioned grid, one final
+    groupBy — shuffles only on the type/hour keys."""
+    from pyspark.sql.window import Window
+
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    h = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 3600000000"
+    )
+    counts = raw.groupBy(
+        F.col("event_type").alias("etype"), h.alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hmax = counts.groupBy().agg(F.max("h").alias("hmax"))
+    grid = (
+        counts.select("etype")
+        .distinct()
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            "etype", F.explode(F.expr("sequence(0, hmax)")).alias("h"), "hmax"
+        )
+    )
+    dense = grid.join(counts, ["etype", "h"], "left").select(
+        "etype", "h", "hmax", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    hours = (
+        hmax.select(
+            F.explode(F.expr("sequence(0, hmax)")).alias("h"), "hmax"
+        )
+    )
+    ovl = hours.select(
+        F.lit("periodic").alias("etype"),
+        "h",
+        "hmax",
+        (10 + F.col("h") % 24).cast("long").alias("c"),
+    ).unionByName(
+        hours.select(
+            F.lit("drift").alias("etype"),
+            "h",
+            "hmax",
+            (10 + F.col("h") % 24 + F.expr("h DIV 24")).cast("long").alias(
+                "c"
+            ),
+        )
+    )
+    allseries = dense.unionByName(ovl)
+    wlag = Window.partitionBy("etype").orderBy("h")
+    lagged = allseries.withColumn("f", F.lag("c", 24).over(wlag))
+    hold = lagged.filter(
+        (F.col("h") > F.col("hmax") - BT_K) & F.col("f").isNotNull()
+    )
+    term = F.when(
+        F.col("f") + F.col("c") > 0,
+        F.expr(f"(2 * abs(f - c) * {BT_SCALE}) DIV (f + c)"),
+    ).otherwise(F.lit(0))
+    agg = hold.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(term).alias("smape_q"),
+    )
+    return agg.select(
+        "etype",
+        "n_h",
+        "smape_q",
+        (
+            F.col("smape_q").cast("double")
+            / (F.col("n_h") * F.lit(BT_SCALE)).cast("double")
+        ).alias("smape"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -14308,6 +14542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "isotonic_fit": q_isotonic_fit,
         "hits_scores": q_hits_scores,
+        "dijkstra_paths": q_dijkstra_paths,
+        "path_count_census": q_path_count_census,
+        "backtest_smape": q_backtest_smape,
     }
 
 
@@ -21363,3 +21600,113 @@ def _install_s16_batch4_oracles() -> None:
 
 
 _install_s16_batch4_oracles()
+
+
+def _install_s16_batch5_oracles() -> None:
+    from ocular_spark.functions import html as _H
+
+    pages = (
+        "pages AS (SELECT doc_id, "
+        + _H.wrap_links_duckdb("text", "doc_id")
+        + " AS html FROM documents)"
+    )
+    ex = (
+        "ex AS (SELECT doc_id AS src, unnest("
+        + _H.doc_links_expr("html")
+        + ") AS d FROM pages), "
+        "edges AS (SELECT DISTINCT src, CAST(d AS BIGINT) AS dst FROM ex)"
+    )
+    # dijkstra_paths: recursive-CTE WALK enumeration dedup'd by
+    # (node, dist) under a cap >> any real shortest path, MIN per node
+    # -- an independent formulation vs Spark's fixed-point relaxation.
+    _ORACLE_SQL["dijkstra_paths"] = (
+        "WITH RECURSIVE " + pages + ", " + ex + ", "
+        "wedges AS (SELECT src, dst, "
+        "1 + (src * 7 + dst * 13) % 10 AS w FROM edges), "
+        "walk(node, dist) AS ("
+        f"SELECT doc_id, 0::BIGINT FROM documents "
+        f"WHERE doc_id < {BFS_SEEDS_BELOW} "
+        "UNION "
+        "SELECT e.dst, r.dist + e.w FROM walk r "
+        "JOIN wedges e ON e.src = r.node "
+        f"WHERE r.dist + e.w <= {DIJK_CAP}) "
+        "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist "
+        "FROM walk GROUP BY node"
+    )
+    # path_count_census: UNION ALL walk enumeration (row multiplicity
+    # IS the count), then COUNT at minimal depth per (seed, node) --
+    # minimal-length walks are simple, so this equals sigma exactly.
+    _ORACLE_SQL["path_count_census"] = (
+        "WITH RECURSIVE " + pages + ", " + ex + ", "
+        "walks(seed, node, d) AS ("
+        f"SELECT doc_id, doc_id, 0 FROM documents "
+        f"WHERE doc_id < {CENSUS_SEEDS_BELOW} "
+        "UNION ALL "
+        "SELECT w.seed, e.dst, w.d + 1 FROM walks w "
+        f"JOIN edges e ON e.src = w.node WHERE w.d < {CENSUS_MAX_HOPS}), "
+        "mind AS (SELECT seed, node, MIN(d) AS dist "
+        "FROM walks GROUP BY 1, 2) "
+        "SELECT m.seed, m.node, CAST(m.dist AS BIGINT) AS dist, "
+        "COUNT(*)::BIGINT AS sigma "
+        "FROM mind m JOIN walks w "
+        "ON w.seed = m.seed AND w.node = m.node AND w.d = m.dist "
+        "GROUP BY 1, 2, 3"
+    )
+    # backtest_smape: same hour-anchored dense grid, lag-24 forecast,
+    # quantized terms, overlay series from the same hour grid.
+    _ORACLE_SQL["backtest_smape"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        counts AS (
+            SELECT event_type AS etype,
+                   DATE_DIFF('microseconds', a, ts) // 3600000000 AS h,
+                   COUNT(*)::BIGINT AS c
+            FROM events, anchor GROUP BY 1, 2
+        ),
+        hm AS (SELECT MAX(h) AS hmax FROM counts),
+        hours AS (
+            SELECT unnest(generate_series(0, hmax)) AS h, hmax
+            FROM hm
+        ),
+        grid AS (
+            SELECT t.etype, hh.h, hh.hmax
+            FROM (SELECT DISTINCT etype FROM counts) t
+            CROSS JOIN hours hh
+        ),
+        dense AS (
+            SELECT g.etype, g.h, g.hmax, COALESCE(c.c, 0) AS c
+            FROM grid g LEFT JOIN counts c
+              ON c.etype = g.etype AND c.h = g.h
+            UNION ALL
+            SELECT 'periodic', h, hmax, (10 + h % 24)::BIGINT
+            FROM hours
+            UNION ALL
+            SELECT 'drift', h, hmax,
+                   (10 + h % 24 + h // 24)::BIGINT
+            FROM hours
+        ),
+        lagged AS (
+            SELECT etype, h, hmax, c,
+                   LAG(c, 24) OVER (
+                       PARTITION BY etype ORDER BY h
+                   ) AS f
+            FROM dense
+        ),
+        hold AS (
+            SELECT * FROM lagged
+            WHERE h > hmax - {BT_K} AND f IS NOT NULL
+        )
+        SELECT etype, COUNT(*)::BIGINT AS n_h,
+               SUM(CASE WHEN f + c > 0
+                        THEN (2 * ABS(f - c) * {BT_SCALE}) // (f + c)
+                        ELSE 0 END)::BIGINT AS smape_q,
+               CAST(SUM(CASE WHEN f + c > 0
+                             THEN (2 * ABS(f - c) * {BT_SCALE}) // (f + c)
+                             ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) * {BT_SCALE} AS DOUBLE) AS smape
+        FROM hold GROUP BY 1
+    """
+
+
+_install_s16_batch5_oracles()
