@@ -14305,6 +14305,306 @@ def q_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONV_K = 14  # conversion = >= this many events of the type
+PZ_OVL = (75, 70, 75, 30)  # planted arm: (n1, x1, n0, x0) -> 'shift'
+
+
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type: does the treatment arm
+    (user_id mod 2) convert differently, where conversion = at
+    least {14} events of that type?  The A/B significance primitive
+    under the pooled-variance normal approximation — the categorical
+    counterpart to mann_whitney's continuous shift test.
+
+    Exactness: with x = x1+x0, n = n1+n0, the squared statistic is
+    the exact rational z² = (x1·n0 − x0·n1)²·n / (n1·n0·x·(n−x)),
+    so the two-sided α=0.05 verdict is the all-BIGINT line
+    625·(x1n0 − x0n1)²·n ≥ 2401·n1·n0·x·(n−x) — degenerate rates
+    (x = 0 or x = n) short-circuit to 'null' before any division;
+    the reported z is ONE shared sqrt.  Overlay: one planted arm
+    pair (70/75 vs 30/75) guarantees 'shift' on any corpus; the
+    real assignment is effect-free so 'null' rows dominate.
+
+    Scale shape: one per-(user, type) count, one per-type 4-sum
+    groupBy — two key-partitioned aggregations, report is
+    type-sized."""
+    e = _load_wide(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id", F.col("event_type").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "etype",
+            (F.col("user_id") % 2 == 1).cast("long").alias("t"),
+            (F.col("cnt") >= CONV_K).cast("long").alias("conv"),
+        )
+    )
+    agg = per_user.groupBy("etype").agg(
+        F.sum("t").alias("n1"),
+        F.sum(F.col("t") * F.col("conv")).alias("x1"),
+        F.sum(1 - F.col("t")).alias("n0"),
+        F.sum((1 - F.col("t")) * F.col("conv")).alias("x0"),
+    )
+    n1o, x1o, n0o, x0o = PZ_OVL
+    ovl = spark.range(1).select(
+        F.lit("planted").alias("etype"),
+        F.lit(n1o).cast("long").alias("n1"),
+        F.lit(x1o).cast("long").alias("x1"),
+        F.lit(n0o).cast("long").alias("n0"),
+        F.lit(x0o).cast("long").alias("x0"),
+    )
+    allarms = agg.unionByName(ovl)
+    n1, x1, n0, x0 = (F.col(c) for c in ("n1", "x1", "n0", "x0"))
+    x, n = x1 + x0, n1 + n0
+    dnum = x1 * n0 - x0 * n1
+    ok_var = (x > 0) & (x < n) & (n1 > 0) & (n0 > 0)
+    z = F.when(
+        ok_var,
+        dnum.cast("double")
+        / F.sqrt(
+            (n1 * n0).cast("double")
+            * (x * (n - x)).cast("double")
+            / n.cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    sig = ok_var & (
+        F.lit(TREND_Z2_DEN) * dnum * dnum * n
+        >= F.lit(TREND_Z2_NUM) * n1 * n0 * x * (n - x)
+    )
+    return allarms.select(
+        "etype",
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        z.alias("z"),
+        F.when(sig, F.lit("shift")).otherwise(F.lit("null")).alias(
+            "verdict"
+        ),
+    )
+
+
+DID_SPLIT_H = 360  # pre = first 360 grid hours, post = the rest
+DID_SCALE = 1_000_000  # cell-mean quantization (micro-cents)
+DID_PLANT_C = 10000  # planted additive effect: +100.00 in cents
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the event stream: outcome =
+    event value in integer cents, arms = user_id mod 2, periods =
+    first vs second half of the hour grid; DiD = (T_post − T_pre) −
+    (C_post − C_pre) on quantized cell means — the causal-inference
+    workhorse that a plain arm comparison (prop_ztest) cannot give
+    when arms start from different baselines.
+
+    Exactness: values quantize to integer cents; each cell mean is
+    quantized ONCE to micro-cents by integer division
+    ((S·10⁶) DIV n — bounded ~10¹⁰, no overflow at any sf), and
+    did_q is pure BIGINT arithmetic on the four quantized means.
+    The gate carries its own causal control: a second metric
+    'planted' adds exactly +{10000} cents to treated-post events
+    only, and floor((S + 10000·n)·10⁶ / n) = floor(S·10⁶/n) + 10¹⁰
+    EXACTLY, so did_q(planted) − did_q(value) == 10¹⁰ with no
+    tolerance — the effect-recovery law.
+
+    Scale shape: ONE pass (project arm/period/cents, one 4-key
+    groupBy with map-side combine), then 8 rows of arithmetic."""
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    h = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 3600000000"
+    )
+    base = raw.select(
+        (F.col("user_id") % 2 == 1).cast("long").alias("t"),
+        (h >= DID_SPLIT_H).cast("long").alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    metrics = base.select(
+        F.lit("value").alias("metric"), "t", "post", "c"
+    ).unionByName(
+        base.select(
+            F.lit("planted").alias("metric"),
+            "t",
+            "post",
+            (
+                F.col("c")
+                + F.col("t") * F.col("post") * F.lit(DID_PLANT_C)
+            ).alias("c"),
+        )
+    )
+    cells = metrics.groupBy("metric", "t", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("s"),
+    )
+    mq = F.expr(f"(s * {DID_SCALE}) DIV n")
+    wide = (
+        cells.select("metric", "t", "post", "n", mq.alias("m"))
+        .groupBy("metric")
+        .agg(
+            F.sum(F.when((F.col("t") == 1) & (F.col("post") == 1),
+                         F.col("m"))).alias("mt_post"),
+            F.sum(F.when((F.col("t") == 1) & (F.col("post") == 0),
+                         F.col("m"))).alias("mt_pre"),
+            F.sum(F.when((F.col("t") == 0) & (F.col("post") == 1),
+                         F.col("m"))).alias("mc_post"),
+            F.sum(F.when((F.col("t") == 0) & (F.col("post") == 0),
+                         F.col("m"))).alias("mc_pre"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    did_q = (F.col("mt_post") - F.col("mt_pre")) - (
+        F.col("mc_post") - F.col("mc_pre")
+    )
+    return wide.select(
+        "metric",
+        "n_events",
+        "mt_pre",
+        "mt_post",
+        "mc_pre",
+        "mc_post",
+        did_q.alias("did_q"),
+        (did_q.cast("double") / F.lit(float(DID_SCALE * 100))).alias(
+            "did_dollars"
+        ),
+    )
+
+
+CUPED_SCALE = 100_000  # theta quantization (1e-5)
+CUPED_OVL_N = 20  # planted strongly-correlated cohort size
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per user, X =
+    pre-period spend (cents), Y = post-period spend; the adjusted
+    metric Z = Y − θX with θ = cov(X,Y)/var(X) shrinks metric
+    variance by the squared correlation — the standard trick that
+    makes experiment readouts converge ~weeks earlier; X and Y are
+    genuinely correlated here through per-user event volume.
+
+    Exactness: cents sums are exact; cov_num = N·Σxy − Σx·Σy and
+    var_num = N·Σx² − (Σx)² are exact BIGINTs; θ is quantized ONCE
+    (θ_q = cov_num·10⁶ DIV var_num) and each user's adjusted value
+    re-quantizes to cents (z_q = (y·10⁶ − θ_q·x) DIV 10⁶) so all
+    downstream sums stay far from 2⁶³.  The variance-reduction
+    report (pooled N·Σz² − (Σz)² vs the same for raw Y) is exact
+    integer; vr is ONE division.  Law: θ_q is discretely optimal —
+    replaying with θ_q ± 1 can only raise the adjusted variance.
+
+    Scale shape: one per-user two-period aggregation (single
+    groupBy), one 5-sum scalar agg broadcast back (O(1) rows), one
+    projection, one final per-arm agg — no shuffle wider than the
+    user key."""
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    h = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 3600000000"
+    )
+    per_user = raw.select(
+        "user_id",
+        (h >= DID_SPLIT_H).cast("long").alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).groupBy("user_id").agg(
+        F.sum(F.when(F.col("post") == 0, F.col("c")).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("post") == 1, F.col("c")).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    # planted cohort (the overlay device): 20 users whose pre/post
+    # spends are strongly linearly tied — real per-event values are
+    # i.i.d. uniform, so without it the pooled correlation is ~0 and
+    # the operator's variance reduction would be invisible (~0.5%)
+    ovl = spark.range(1, CUPED_OVL_N + 1).select(
+        (-F.col("id")).cast("long").alias("user_id"),
+        (F.col("id") * 50000).cast("long").alias("x"),
+        (F.col("id") * 40000 + (F.col("id") % 7) * 137).cast("long").alias(
+            "y"
+        ),
+    )
+    per_user = per_user.unionByName(ovl)
+    # theta moments run on DOLLAR-truncated sums: cov/var is
+    # invariant under common scaling, and cent-level moments times
+    # the 1e5 quantum would overflow int64 (the truncation is part
+    # of the spec, identical in both engines; production keeps
+    # theta's moments in double — theta needs ~6 digits)
+    dollars = per_user.select(
+        F.expr("x DIV 100").alias("xd"), F.expr("y DIV 100").alias("yd")
+    )
+    tot = dollars.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    )
+    theta = tot.select(
+        "nu",
+        (F.col("nu") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_num"
+        ),
+        (F.col("nu") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "var_num"
+        ),
+    ).select(
+        "nu",
+        "cov_num",
+        "var_num",
+        F.expr(f"(cov_num * {CUPED_SCALE}) DIV var_num").alias("theta_q"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "user_id",
+        "x",
+        "y",
+        "theta_q",
+        F.expr(f"(y * {CUPED_SCALE} - theta_q * x) DIV {CUPED_SCALE}").alias(
+            "z"
+        ),
+    )
+    pooled = adj.groupBy("theta_q").agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    arms = adj.select(
+        (F.col("user_id") % 2 == 1).cast("long").alias("t"), "y", "z"
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").alias("sum_y"),
+        F.sum("z").alias("sum_z"),
+    )
+    var_raw = F.col("nu") * F.col("syy") - F.col("sy") * F.col("sy")
+    var_adj = F.col("nu") * F.col("szz") - F.col("sz") * F.col("sz")
+    return arms.crossJoin(
+        F.broadcast(
+            pooled.select(
+                "theta_q",
+                var_raw.alias("var_raw_num"),
+                var_adj.alias("var_adj_num"),
+                (
+                    var_adj.cast("double") / var_raw.cast("double")
+                ).alias("vr"),
+            )
+        )
+    ).select(
+        "t",
+        "n_users",
+        "sum_y",
+        "sum_z",
+        "theta_q",
+        "var_raw_num",
+        "var_adj_num",
+        "vr",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -14545,6 +14845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dijkstra_paths": q_dijkstra_paths,
         "path_count_census": q_path_count_census,
         "backtest_smape": q_backtest_smape,
+        "prop_ztest": q_prop_ztest,
+        "diff_in_diff": q_diff_in_diff,
+        "cuped_adjust": q_cuped_adjust,
     }
 
 
@@ -21710,3 +22013,165 @@ def _install_s16_batch5_oracles() -> None:
 
 
 _install_s16_batch5_oracles()
+
+
+def _install_s16_batch6_oracles() -> None:
+    # NOTE (negative-numerator audit): DuckDB's integer `//` and
+    # Spark's DIV both truncate toward zero (-7//2 == -3 in BOTH),
+    # so the quantizations below are engine-exact even where the
+    # numerator can go negative (cuped z, theta).
+    n1o, x1o, n0o, x0o = PZ_OVL
+    # prop_ztest: same conversion threshold, same all-BIGINT verdict
+    # line, same planted arm pair.
+    _ORACLE_SQL["prop_ztest"] = f"""
+        WITH per_user AS (
+            SELECT event_type AS etype,
+                   (user_id % 2 = 1)::BIGINT AS t,
+                   (COUNT(*) >= {CONV_K})::BIGINT AS conv
+            FROM events GROUP BY event_type, user_id
+        ),
+        agg AS (
+            SELECT etype,
+                   SUM(t)::BIGINT AS n1,
+                   SUM(t * conv)::BIGINT AS x1,
+                   SUM(1 - t)::BIGINT AS n0,
+                   SUM((1 - t) * conv)::BIGINT AS x0
+            FROM per_user GROUP BY 1
+            UNION ALL
+            SELECT 'planted', {n1o}::BIGINT, {x1o}::BIGINT,
+                   {n0o}::BIGINT, {x0o}::BIGINT
+        )
+        SELECT etype, n1, x1, n0, x0,
+               CASE WHEN x1 + x0 > 0 AND x1 + x0 < n1 + n0
+                         AND n1 > 0 AND n0 > 0
+                    THEN CAST(x1 * n0 - x0 * n1 AS DOUBLE)
+                         / SQRT(CAST(n1 * n0 AS DOUBLE)
+                                * CAST((x1 + x0)
+                                       * (n1 + n0 - x1 - x0) AS DOUBLE)
+                                / CAST(n1 + n0 AS DOUBLE))
+                    ELSE 0.0 END AS z,
+               CASE WHEN x1 + x0 > 0 AND x1 + x0 < n1 + n0
+                         AND n1 > 0 AND n0 > 0
+                         AND {TREND_Z2_DEN} * (x1 * n0 - x0 * n1)
+                             * (x1 * n0 - x0 * n1) * (n1 + n0)
+                             >= {TREND_Z2_NUM} * n1 * n0 * (x1 + x0)
+                                * (n1 + n0 - x1 - x0)
+                    THEN 'shift' ELSE 'null' END AS verdict
+        FROM agg
+    """
+    # diff_in_diff: same anchored hour split, same micro-cent mean
+    # quantization, same planted-metric construction.
+    _ORACLE_SQL["diff_in_diff"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        base AS (
+            SELECT (user_id % 2 = 1)::BIGINT AS t,
+                   (DATE_DIFF('microseconds', a, ts) // 3600000000
+                    >= {DID_SPLIT_H})::BIGINT AS post,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events, anchor
+        ),
+        metrics AS (
+            SELECT 'value' AS metric, t, post, c FROM base
+            UNION ALL
+            SELECT 'planted', t, post,
+                   c + t * post * {DID_PLANT_C} FROM base
+        ),
+        cells AS (
+            SELECT metric, t, post, COUNT(*)::BIGINT AS n,
+                   SUM(c)::BIGINT AS s
+            FROM metrics GROUP BY 1, 2, 3
+        ),
+        wide AS (
+            SELECT metric,
+                   SUM(CASE WHEN t = 1 AND post = 1
+                            THEN (s * {DID_SCALE}) // n END)::BIGINT
+                       AS mt_post,
+                   SUM(CASE WHEN t = 1 AND post = 0
+                            THEN (s * {DID_SCALE}) // n END)::BIGINT
+                       AS mt_pre,
+                   SUM(CASE WHEN t = 0 AND post = 1
+                            THEN (s * {DID_SCALE}) // n END)::BIGINT
+                       AS mc_post,
+                   SUM(CASE WHEN t = 0 AND post = 0
+                            THEN (s * {DID_SCALE}) // n END)::BIGINT
+                       AS mc_pre,
+                   SUM(n)::BIGINT AS n_events
+            FROM cells GROUP BY 1
+        )
+        SELECT metric, n_events, mt_pre, mt_post, mc_pre, mc_post,
+               CAST((mt_post - mt_pre) - (mc_post - mc_pre)
+                    AS BIGINT) AS did_q,
+               CAST((mt_post - mt_pre) - (mc_post - mc_pre) AS DOUBLE)
+                   / {float(DID_SCALE * 100)} AS did_dollars
+        FROM wide
+    """
+    # cuped_adjust: same integer moments, same one-shot theta and
+    # per-user z quantization, same pooled variance report.
+    _ORACLE_SQL["cuped_adjust"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   SUM(CASE WHEN DATE_DIFF('microseconds', a, ts)
+                                 // 3600000000 < {DID_SPLIT_H}
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS x,
+                   SUM(CASE WHEN DATE_DIFF('microseconds', a, ts)
+                                 // 3600000000 >= {DID_SPLIT_H}
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS y
+            FROM events, anchor GROUP BY 1
+        ),
+        per_user2 AS (
+            SELECT * FROM per_user
+            UNION ALL
+            SELECT -gs, (gs * 50000)::BIGINT,
+                   (gs * 40000 + (gs % 7) * 137)::BIGINT
+            FROM generate_series(1, {CUPED_OVL_N}) t(gs)
+        ),
+        tot AS (
+            SELECT COUNT(*)::BIGINT AS nu,
+                   SUM(x // 100)::BIGINT AS sx,
+                   SUM(y // 100)::BIGINT AS sy,
+                   SUM((x // 100) * (y // 100))::BIGINT AS sxy,
+                   SUM((x // 100) * (x // 100))::BIGINT AS sxx
+            FROM per_user2
+        ),
+        theta AS (
+            SELECT ((nu * sxy - sx * sy) * {CUPED_SCALE})
+                       // (nu * sxx - sx * sx) AS theta_q
+            FROM tot
+        ),
+        adj AS (
+            SELECT p.user_id, p.x, p.y, th.theta_q,
+                   (p.y * {CUPED_SCALE} - th.theta_q * p.x)
+                       // {CUPED_SCALE} AS z
+            FROM per_user2 p, theta th
+        ),
+        pooled AS (
+            SELECT theta_q, COUNT(*)::BIGINT AS nu,
+                   SUM(y)::BIGINT AS sy, SUM(y * y)::BIGINT AS syy,
+                   SUM(z)::BIGINT AS sz, SUM(z * z)::BIGINT AS szz
+            FROM adj GROUP BY 1
+        ),
+        arms AS (
+            SELECT (user_id % 2 = 1)::BIGINT AS t,
+                   COUNT(*)::BIGINT AS n_users,
+                   SUM(y)::BIGINT AS sum_y, SUM(z)::BIGINT AS sum_z
+            FROM adj GROUP BY 1
+        )
+        SELECT a.t, a.n_users, a.sum_y, a.sum_z, p.theta_q,
+               CAST(p.nu * p.syy - p.sy * p.sy AS BIGINT)
+                   AS var_raw_num,
+               CAST(p.nu * p.szz - p.sz * p.sz AS BIGINT)
+                   AS var_adj_num,
+               CAST(p.nu * p.szz - p.sz * p.sz AS DOUBLE)
+                   / CAST(p.nu * p.syy - p.sy * p.sy AS DOUBLE) AS vr
+        FROM arms a CROSS JOIN pooled p
+    """
+
+
+_install_s16_batch6_oracles()
