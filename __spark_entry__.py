@@ -14605,6 +14605,269 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PEAK_MIN_PROM = 3  # report peaks with prominence >= this
+_PEAK_MOUNTAIN = (0, 5, 0, 9, 1, 6, 0, 2, 0, 7, 3, 8, 0)  # planted
+
+
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic peak detection with PROMINENCE over the hourly
+    event-count series per type (the scipy.signal.find_peaks
+    contract): a peak is a strict local maximum; its prominence is
+    its height above the higher of the two valley minima between it
+    and the nearest HIGHER point on each side (series edge if none)
+    — the measure that separates real activity spikes from ripples
+    riding a trend, which a plain threshold (hysteresis_alerts) or
+    z-score (seasonal_anomaly) conflates.
+
+    Exactness: counts are integers; bounds and valley minima are
+    conditional integer aggregates over (peak, point) pairs, so
+    prominence never touches a float.  A strict-both-sides peak has
+    a point strictly between it and either bound (the adjacent
+    neighbor is lower than the peak, hence below any higher-bound),
+    so the valley minima are never over an empty set.  Overlay: a
+    planted 13-hour 'mountain' series with hand-computable
+    prominences (9 is the global max: its bases reach the edges).
+
+    Scale shape: candidate peaks are prefiltered by one window pass
+    (lag/lead), so the two pair joins are O(peaks·n) per type key —
+    not O(n²) — and everything shuffles on the type key only; at
+    unbounded n the production path is the monotone-stack scan
+    inside one mapInPandas partition, documented."""
+    from pyspark.sql.window import Window
+
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    h = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 3600000000"
+    )
+    counts = raw.groupBy(
+        F.col("event_type").alias("etype"), h.alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hmax = counts.groupBy().agg(F.max("h").alias("hmax"))
+    grid = (
+        counts.select("etype")
+        .distinct()
+        .crossJoin(F.broadcast(hmax))
+        .select("etype", F.explode(F.expr("sequence(0, hmax)")).alias("h"))
+    )
+    dense = grid.join(counts, ["etype", "h"], "left").select(
+        "etype", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    mountain = F.array(*[F.lit(v) for v in _PEAK_MOUNTAIN])
+    ovl = spark.range(len(_PEAK_MOUNTAIN)).select(
+        F.lit("mountain").alias("etype"),
+        F.col("id").cast("long").alias("h"),
+        F.element_at(mountain, (F.col("id") + 1).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    series = dense.unionByName(ovl).localCheckpoint()
+    wlag = Window.partitionBy("etype").orderBy("h")
+    peaks = (
+        series.withColumn("cl", F.lag("c").over(wlag))
+        .withColumn("cr", F.lead("c").over(wlag))
+        .filter(
+            F.col("cl").isNotNull()
+            & F.col("cr").isNotNull()
+            & (F.col("c") > F.col("cl"))
+            & (F.col("c") > F.col("cr"))
+        )
+        .select("etype", F.col("h").alias("ph"), F.col("c").alias("pc"))
+        .localCheckpoint()
+    )
+    pts = series.select("etype", F.col("h").alias("j"), F.col("c").alias("cj"))
+    bounds = (
+        peaks.join(pts, "etype")
+        .groupBy("etype", "ph", "pc")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("j") < F.col("ph")) & (F.col("cj") > F.col("pc")),
+                    F.col("j"),
+                )
+            ).alias("jl"),
+            F.min(
+                F.when(
+                    (F.col("j") > F.col("ph")) & (F.col("cj") > F.col("pc")),
+                    F.col("j"),
+                )
+            ).alias("jr"),
+        )
+        .select(
+            "etype",
+            "ph",
+            "pc",
+            F.coalesce("jl", F.lit(-1)).alias("jl"),
+            F.coalesce("jr", F.lit(1 << 40)).alias("jr"),
+        )
+    )
+    valleys = (
+        bounds.join(pts, "etype")
+        .groupBy("etype", "ph", "pc", "jl", "jr")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("j") > F.col("jl")) & (F.col("j") < F.col("ph")),
+                    F.col("cj"),
+                )
+            ).alias("minl"),
+            F.min(
+                F.when(
+                    (F.col("j") > F.col("ph")) & (F.col("j") < F.col("jr")),
+                    F.col("cj"),
+                )
+            ).alias("minr"),
+        )
+    )
+    return (
+        valleys.select(
+            "etype",
+            F.col("ph").alias("h"),
+            F.col("pc").alias("c"),
+            (F.col("pc") - F.greatest("minl", "minr")).alias("prom"),
+        )
+        .filter(F.col("prom") >= PEAK_MIN_PROM)
+    )
+
+
+KS_CRIT2_NUM = 18496  # 1.36^2 * 1e4 (alpha = 0.05 asymptotic)
+KS_CRIT2_DEN = 10000
+KS_OVL_N = 50
+
+
+def q_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov uniformity test per user: are
+    the user's event times uniform over the global observation
+    window (the Poisson-process sanity check behind bot/burst
+    triage)?  D = sup|ECDF(t) − t/T| evaluated at both sides of
+    every step.
+
+    Exactness: times are integer MINUTE offsets from the anchored
+    window start (µs device DIV 6·10⁷); with n events sorted, the
+    scaled statistic D·n·T = max_i max(i·T − n·t_i, n·t_i −
+    (i−1)·T) is an exact BIGINT (window row_number + order-free
+    max); the α=0.05 verdict D ≥ 1.36/√n cross-multiplies to the
+    all-BIGINT line 10⁴·D_int² ≥ 18496·n·T²; the reported d is ONE
+    division.  Overlay: user −1 bunches 50 events into the first 50
+    minutes ('reject' guaranteed), user −2 spreads 48 events on an
+    exact even lattice ('uniform' guaranteed).
+
+    Scale shape: one window pass partitioned by user + one groupBy
+    — the mann_whitney shuffle contract; T arrives via a broadcast
+    1-row cross join."""
+    from pyspark.sql.window import Window
+
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    m = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 60000000"
+    )
+    real = raw.select("user_id", m.alias("t"))
+    tmax = real.groupBy().agg((F.max("t") + 1).alias("tt"))
+    ovl1 = spark.range(1, KS_OVL_N + 1).select(
+        F.lit(-1).cast("long").alias("user_id"), F.col("id").alias("t")
+    )
+    lattice = F.expr(f"(id * 2 - 1) * (tt DIV {2 * 48})")
+    ovl2 = (
+        spark.range(1, 49)
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.lit(-2).cast("long").alias("user_id"), lattice.alias("t")
+        )
+    )
+    base = real.unionByName(ovl1).unionByName(ovl2)
+    w = Window.partitionBy("user_id").orderBy("t", "user_id")
+    ranked = (
+        base.crossJoin(F.broadcast(tmax))
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+    )
+    dplus = F.col("i") * F.col("tt") - F.col("n") * F.col("t")
+    dminus = F.col("n") * F.col("t") - (F.col("i") - 1) * F.col("tt")
+    agg = ranked.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max("tt").alias("t_span"),
+        F.max(F.greatest(dplus, dminus)).alias("d_int"),
+    )
+    sig = (
+        F.lit(KS_CRIT2_DEN) * F.col("d_int") * F.col("d_int")
+        >= F.lit(KS_CRIT2_NUM)
+        * F.col("n")
+        * F.col("t_span")
+        * F.col("t_span")
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "t_span",
+        "d_int",
+        (
+            F.col("d_int").cast("double")
+            / (F.col("n") * F.col("t_span")).cast("double")
+        ).alias("d"),
+        F.when(sig, F.lit("reject")).otherwise(F.lit("uniform")).alias(
+            "verdict"
+        ),
+    )
+
+
+APPORTION_K = 97  # sample slots to allocate across sources
+
+
+def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed sample
+    budget across sources: each source gets floor(K·n_s/N) slots,
+    and the K − Σfloor leftover slots go to the largest remainders
+    — the exact proportional-allocation primitive behind stratified
+    sampling quotas, shard budgeting, and survey design, with the
+    QUOTA GUARANTEE (every allocation within one of its exact
+    proportional share) that naive rounding violates.
+
+    Exactness: floor quota = (K·n_s) DIV N and remainder = (K·n_s)
+    mod N are pure integer arithmetic; the leftover count is K −
+    Σfloor; winners are the top-remainder sources (ties broken by
+    source name ascending — a total order); no floats anywhere.
+
+    Scale shape: one groupBy(source), one O(sources) window rank —
+    the report is strata-sized; the corpus is touched once."""
+    from pyspark.sql.window import Window
+
+    d = _load_wide(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.groupBy().agg(F.sum("n_docs").alias("nn"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({APPORTION_K} * n_docs) DIV nn").alias("floor_q"),
+        F.expr(f"({APPORTION_K} * n_docs) % nn").alias("rem_num"),
+    )
+    wext = Window.orderBy(F.desc("rem_num"), F.asc("source"))
+    wall = Window.partitionBy()
+    ranked = q.withColumn("rk", F.row_number().over(wext)).withColumn(
+        "extra", F.lit(APPORTION_K) - F.sum("floor_q").over(wall)
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "floor_q",
+        "rem_num",
+        (
+            F.col("floor_q")
+            + (F.col("rk") <= F.col("extra")).cast("long")
+        ).alias("seats"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -14848,6 +15111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_ztest": q_prop_ztest,
         "diff_in_diff": q_diff_in_diff,
         "cuped_adjust": q_cuped_adjust,
+        "peak_detection": q_peak_detection,
+        "ks_uniformity": q_ks_uniformity,
+        "seat_apportionment": q_seat_apportionment,
     }
 
 
@@ -22175,3 +22441,144 @@ def _install_s16_batch6_oracles() -> None:
 
 
 _install_s16_batch6_oracles()
+
+
+def _install_s16_batch7_oracles() -> None:
+    # peak_detection: same dense grid + planted mountain, same
+    # conditional-aggregate bounds/valleys over (peak, point) pairs.
+    mountain = ", ".join(str(v) for v in _PEAK_MOUNTAIN)
+    _ORACLE_SQL["peak_detection"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        counts AS (
+            SELECT event_type AS etype,
+                   DATE_DIFF('microseconds', a, ts) // 3600000000 AS h,
+                   COUNT(*)::BIGINT AS c
+            FROM events, anchor GROUP BY 1, 2
+        ),
+        hm AS (SELECT MAX(h) AS hmax FROM counts),
+        grid AS (
+            SELECT t.etype, hh.h
+            FROM (SELECT DISTINCT etype FROM counts) t
+            CROSS JOIN (SELECT unnest(generate_series(0, hmax)) AS h
+                        FROM hm) hh
+        ),
+        series AS (
+            SELECT g.etype, g.h, COALESCE(c.c, 0) AS c
+            FROM grid g LEFT JOIN counts c
+              ON c.etype = g.etype AND c.h = g.h
+            UNION ALL
+            SELECT 'mountain', gs - 1, ([{mountain}])[gs]::BIGINT
+            FROM generate_series(1, {len(_PEAK_MOUNTAIN)}) t(gs)
+        ),
+        peaks AS (
+            SELECT etype, h AS ph, c AS pc
+            FROM (SELECT etype, h, c,
+                         LAG(c) OVER (PARTITION BY etype ORDER BY h)
+                             AS cl,
+                         LEAD(c) OVER (PARTITION BY etype ORDER BY h)
+                             AS cr
+                  FROM series)
+            WHERE cl IS NOT NULL AND cr IS NOT NULL
+              AND c > cl AND c > cr
+        ),
+        bounds AS (
+            SELECT p.etype, p.ph, p.pc,
+                   COALESCE(MAX(CASE WHEN s.h < p.ph AND s.c > p.pc
+                                     THEN s.h END), -1) AS jl,
+                   COALESCE(MIN(CASE WHEN s.h > p.ph AND s.c > p.pc
+                                     THEN s.h END), 1099511627776)
+                       AS jr
+            FROM peaks p JOIN series s ON s.etype = p.etype
+            GROUP BY 1, 2, 3
+        ),
+        valleys AS (
+            SELECT b.etype, b.ph, b.pc,
+                   MIN(CASE WHEN s.h > b.jl AND s.h < b.ph
+                            THEN s.c END) AS minl,
+                   MIN(CASE WHEN s.h > b.ph AND s.h < b.jr
+                            THEN s.c END) AS minr
+            FROM bounds b JOIN series s ON s.etype = b.etype
+            GROUP BY 1, 2, 3
+        )
+        SELECT etype, ph AS h, pc AS c,
+               CAST(pc - GREATEST(minl, minr) AS BIGINT) AS prom
+        FROM valleys
+        WHERE pc - GREATEST(minl, minr) >= {PEAK_MIN_PROM}
+    """
+    # ks_uniformity: same minute offsets, same scaled statistic,
+    # same all-BIGINT critical line and overlays.
+    _ORACLE_SQL["ks_uniformity"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        real AS (
+            SELECT user_id,
+                   DATE_DIFF('microseconds', a, ts) // 60000000 AS t
+            FROM events, anchor
+        ),
+        tm AS (SELECT MAX(t) + 1 AS tt FROM real),
+        base AS (
+            SELECT user_id, t FROM real
+            UNION ALL
+            SELECT -1::BIGINT, gs
+            FROM generate_series(1, {KS_OVL_N}) t(gs)
+            UNION ALL
+            SELECT -2::BIGINT, (gs * 2 - 1) * (tt // {2 * 48})
+            FROM generate_series(1, 48) t(gs), tm
+        ),
+        ranked AS (
+            SELECT user_id, t, tt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY t
+                   )::BIGINT AS i,
+                   COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS n
+            FROM base, tm
+        ),
+        agg AS (
+            SELECT user_id, MAX(n) AS n, MAX(tt) AS t_span,
+                   MAX(GREATEST(i * tt - n * t,
+                                n * t - (i - 1) * tt))::BIGINT AS d_int
+            FROM ranked GROUP BY 1
+        )
+        SELECT user_id, n, t_span, d_int,
+               CAST(d_int AS DOUBLE)
+                   / CAST(n * t_span AS DOUBLE) AS d,
+               CASE WHEN {KS_CRIT2_DEN} * d_int * d_int
+                         >= {KS_CRIT2_NUM} * n * t_span * t_span
+                    THEN 'reject' ELSE 'uniform' END AS verdict
+        FROM agg
+    """
+    # seat_apportionment: same floor quotas, remainders, and
+    # largest-remainder top-up with (rem DESC, source ASC) ties.
+    _ORACLE_SQL["seat_apportionment"] = f"""
+        WITH counts AS (
+            SELECT source, COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_docs)::BIGINT AS nn FROM counts),
+        q AS (
+            SELECT source, n_docs,
+                   ({APPORTION_K} * n_docs) // nn AS floor_q,
+                   ({APPORTION_K} * n_docs) % nn AS rem_num
+            FROM counts, tot
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       ORDER BY rem_num DESC, source ASC
+                   ) AS rk,
+                   {APPORTION_K} - SUM(floor_q) OVER () AS extra
+            FROM q
+        )
+        SELECT source, n_docs,
+               CAST(floor_q AS BIGINT) AS floor_q,
+               CAST(rem_num AS BIGINT) AS rem_num,
+               CAST(floor_q + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                    AS BIGINT) AS seats
+        FROM ranked
+    """
+
+
+_install_s16_batch7_oracles()
