@@ -14868,6 +14868,207 @@ def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH banding against
+    EXACT all-pairs Jaccard ground truth — the tuning meta-eval that
+    answers 'how many bands do I need at my threshold?' before a
+    100 TB dedup run; per band-budget nb = 1..4 it reports how many
+    true ≥0.5-Jaccard pairs the first nb bands recover.
+
+    Exactness: doc hash-sets, permutations, and band signatures are
+    VERBATIM the q_ngram_jaccard constructions (same constants — the
+    audit audits the production path, not a replica); ground truth
+    uses the exact integer line 3·|A∩B| ≥ |A|+|B| (j ≥ 0.5 cross-
+    multiplied — note the production row's display rounding can
+    admit j = 0.49996; the audit uses the exact line and says so);
+    tp/cand counts are integers, recall/precision one division each.
+
+    Scale shape: the CANDIDATE leg is the production LSH shape (band
+    equi-join); the TRUTH leg is O(N²) BY DESIGN — an audit runs on
+    a sample at scale (documented), exactly like the IVF recall
+    curve; here N = corpus and the quadratic side stays oracle-
+    sized.  Law: recall and candidate count are monotone
+    non-decreasing in nb."""
+    d = _load_wide(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform({WORD_TRIGRAMS},"
+                f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                f" % {MINHASH_P}))"
+            ).alias("hs"),
+        )
+        .withColumn("n_shingles", F.size("hs").cast("long"))
+        .localCheckpoint()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs"))).cast(
+        "long"
+    )
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("i"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb_"),
+        )
+        .filter((F.col("i") >= 1) & (3 * F.col("i") >= F.col("na") + F.col("nb_")))
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+
+    def minh(perm: int):
+        aa, cc = MINHASH_A[perm], MINHASH_C[perm]
+        return F.array_min(
+            F.transform(
+                "hs", lambda h: (h * F.lit(aa) + F.lit(cc)) % F.lit(MINHASH_P)
+            )
+        )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bb).alias("band"),
+                minh(2 * bb).alias("m0"),
+                minh(2 * bb + 1).alias("m1"),
+            )
+            for bb in range(4)
+        ]
+    )
+    sigx = base.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", "s.band", "s.m0", "s.m1"
+    )
+    cand = (
+        sigx.alias("x")
+        .join(sigx.alias("y"), ["band", "m0", "m1"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+        .agg(F.min("band").alias("min_band"))
+        .localCheckpoint()
+    )
+    nbs = spark.range(1, 5).select(F.col("id").cast("long").alias("nb"))
+    cand_nb = nbs.join(
+        cand, cand["min_band"] < nbs["nb"]
+    ).select("nb", "id_a", "id_b")
+    tp_nb = cand_nb.join(truth, ["id_a", "id_b"]).groupBy("nb").agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    n_cand = cand_nb.groupBy("nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    n_truth = truth.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    return (
+        nbs.join(n_cand, "nb", "left")
+        .join(tp_nb, "nb", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "nb",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            "n_truth",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (
+                F.coalesce("tp", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+            (
+                F.coalesce("tp", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_cand", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("precision"),
+        )
+    )
+
+
+TRIM_PCT_DEN = 10  # trim n DIV 10 rows from EACH tail
+TRIM_OVL_BASE = 200
+TRIM_OVL_SPIKES = 5
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event value per type — the robust
+    location estimate between the mean (zero breakdown) and the
+    median (throws away efficiency): drop the n DIV 10 smallest and
+    largest observations, average the rest.  The per-group
+    order-statistics primitive behind outlier-hardened KPIs.
+
+    Exactness: values quantize to integer cents; trimming is pure
+    rank arithmetic (row_number per type; rank ties among equal
+    values permute freely but the KEPT MULTISET is invariant, so
+    the sum is deterministic); sum/count are exact BIGINTs and each
+    mean is ONE division.  Overlay: 'spike_a' and 'spike_b' carry
+    the SAME 200-point base plus 5 zero and 5 huge outliers
+    differing ONLY in magnitude (10⁸ vs 10⁹ cents) — their trimmed
+    means are EXACTLY equal (the outliers all fall in the trimmed
+    tails) while their plain means differ by ~10×: the breakdown
+    contrast as a zero-tolerance law.
+
+    Scale shape: one window pass + one groupBy, both partitioned by
+    the type key — the mann_whitney shuffle contract."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    real = e.select(
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    rng = spark.range(TRIM_OVL_BASE + 2 * TRIM_OVL_SPIKES)
+    base_c = (
+        F.when(F.col("id") < TRIM_OVL_BASE, 1000 + (F.col("id") + 1) * 7)
+        .when(F.col("id") < TRIM_OVL_BASE + TRIM_OVL_SPIKES, F.lit(0))
+        .otherwise(F.lit(None))
+    )
+    ovl = rng.select(
+        F.explode(F.array(F.lit("spike_a"), F.lit("spike_b"))).alias(
+            "etype"
+        ),
+        F.col("id"),
+    ).select(
+        "etype",
+        F.coalesce(
+            base_c,
+            F.when(F.col("etype") == "spike_a", F.lit(100_000_000))
+            .otherwise(F.lit(1_000_000_000)),
+        ).cast("long").alias("c"),
+    )
+    allv = real.unionByName(ovl)
+    wr = Window.partitionBy("etype").orderBy("c")
+    wall = Window.partitionBy("etype")
+    ranked = allv.withColumn("rk", F.row_number().over(wr).cast("long")
+    ).withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+    k = F.expr(f"n DIV {TRIM_PCT_DEN}")
+    kept = (F.col("rk") > k) & (F.col("rk") <= F.col("n") - k)
+    agg = ranked.groupBy("etype").agg(
+        F.max("n").alias("n"),
+        F.max(k).alias("k_trim"),
+        F.sum("c").alias("sum_all"),
+        F.sum(F.when(kept, F.col("c")).otherwise(0)).alias("sum_kept"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+    return agg.select(
+        "etype",
+        "n",
+        "k_trim",
+        "sum_all",
+        "sum_kept",
+        "n_kept",
+        (F.col("sum_all").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        (
+            F.col("sum_kept").cast("double") / F.col("n_kept").cast("double")
+        ).alias("trimmed_mean_cents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -15114,6 +15315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_detection": q_peak_detection,
         "ks_uniformity": q_ks_uniformity,
         "seat_apportionment": q_seat_apportionment,
+        "lsh_recall_audit": q_lsh_recall_audit,
+        "trimmed_mean": q_trimmed_mean,
     }
 
 
@@ -22582,3 +22785,134 @@ def _install_s16_batch7_oracles() -> None:
 
 
 _install_s16_batch7_oracles()
+
+
+def _install_s16_batch8_oracles() -> None:
+    # lsh_recall_audit: the ngram_jaccard oracle's base/signature
+    # fragments (same constants, generated from the SAME Python
+    # lists), truth by the exact integer line, nb expansion mirrored.
+    def case_of(vals):
+        return (
+            "CASE band "
+            + " ".join(f"WHEN {b} THEN {v}" for b, v in enumerate(vals[:3]))
+            + f" ELSE {vals[3]} END"
+        )
+
+    a0 = case_of([MINHASH_A[2 * b] for b in range(4)])
+    c0 = case_of([MINHASH_C[2 * b] for b in range(4)])
+    a1 = case_of([MINHASH_A[2 * b + 1] for b in range(4)])
+    c1 = case_of([MINHASH_C[2 * b + 1] for b in range(4)])
+    _ORACLE_SQL["lsh_recall_audit"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       LIST_TRANSFORM(
+                           GENERATE_SERIES(1, GREATEST(
+                               LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+                           i -> ARRAY_TO_STRING(
+                               STRING_SPLIT(text, ' ')[i:i+2], ' ')),
+                       s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15))::UBIGINT
+                                 AS BIGINT) % {MINHASH_P})) AS hs
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, hs, CAST(LEN(hs) AS BIGINT) AS n_shingles
+            FROM base
+        ),
+        truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+            WHERE LEN(LIST_INTERSECT(a.hs, b.hs)) >= 1
+              AND 3 * LEN(LIST_INTERSECT(a.hs, b.hs))
+                  >= a.n_shingles + b.n_shingles
+        ),
+        sigx AS (
+            SELECT doc_id, band,
+                   LIST_MIN(LIST_TRANSFORM(hs, h ->
+                       (h * {a0} + {c0}) % {MINHASH_P})) AS m0,
+                   LIST_MIN(LIST_TRANSFORM(hs, h ->
+                       (h * {a1} + {c1}) % {MINHASH_P})) AS m1
+            FROM sized
+            CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band)
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   MIN(a.band)::BIGINT AS min_band
+            FROM sigx a
+            JOIN sigx b ON a.band = b.band AND a.m0 = b.m0
+                       AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        nbs AS (SELECT UNNEST(GENERATE_SERIES(1, 4))::BIGINT AS nb),
+        cand_nb AS (
+            SELECT n.nb, c.id_a, c.id_b
+            FROM nbs n JOIN cand c ON c.min_band < n.nb
+        ),
+        n_truth AS (SELECT COUNT(*)::BIGINT AS n_truth FROM truth),
+        stats AS (
+            SELECT cn.nb, COUNT(*)::BIGINT AS n_cand,
+                   SUM(CASE WHEN t.id_a IS NOT NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS tp
+            FROM cand_nb cn
+            LEFT JOIN truth t
+              ON t.id_a = cn.id_a AND t.id_b = cn.id_b
+            GROUP BY 1
+        )
+        SELECT n.nb, COALESCE(s.n_cand, 0) AS n_cand, nt.n_truth,
+               COALESCE(s.tp, 0) AS tp,
+               CAST(COALESCE(s.tp, 0) AS DOUBLE)
+                   / CAST(nt.n_truth AS DOUBLE) AS recall,
+               CAST(COALESCE(s.tp, 0) AS DOUBLE)
+                   / CAST(GREATEST(COALESCE(s.n_cand, 0), 1) AS DOUBLE)
+                   AS precision
+        FROM nbs n
+        LEFT JOIN stats s ON s.nb = n.nb
+        CROSS JOIN n_truth nt
+    """
+    # trimmed_mean: same cents, same rank trimming, same overlay.
+    nb_, ns = TRIM_OVL_BASE, TRIM_OVL_SPIKES
+    _ORACLE_SQL["trimmed_mean"] = f"""
+        WITH allv AS (
+            SELECT event_type AS etype,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+            UNION ALL
+            SELECT t.etype,
+                   CASE WHEN gs <= {nb_} THEN 1000 + gs * 7
+                        WHEN gs <= {nb_ + ns} THEN 0
+                        WHEN t.etype = 'spike_a' THEN 100000000
+                        ELSE 1000000000 END::BIGINT
+            FROM generate_series(1, {nb_ + 2 * ns}) g(gs)
+            CROSS JOIN (SELECT UNNEST(['spike_a', 'spike_b']) AS etype) t
+        ),
+        ranked AS (
+            SELECT etype, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY etype ORDER BY c
+                   )::BIGINT AS rk,
+                   COUNT(*) OVER (PARTITION BY etype)::BIGINT AS n
+            FROM allv
+        )
+        SELECT etype, MAX(n) AS n,
+               MAX(n // {TRIM_PCT_DEN})::BIGINT AS k_trim,
+               SUM(c)::BIGINT AS sum_all,
+               SUM(CASE WHEN rk > n // {TRIM_PCT_DEN}
+                         AND rk <= n - n // {TRIM_PCT_DEN}
+                        THEN c ELSE 0 END)::BIGINT AS sum_kept,
+               SUM(CASE WHEN rk > n // {TRIM_PCT_DEN}
+                         AND rk <= n - n // {TRIM_PCT_DEN}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               CAST(SUM(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+                   AS mean_cents,
+               CAST(SUM(CASE WHEN rk > n // {TRIM_PCT_DEN}
+                              AND rk <= n - n // {TRIM_PCT_DEN}
+                             THEN c ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN rk > n // {TRIM_PCT_DEN}
+                                    AND rk <= n - n // {TRIM_PCT_DEN}
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS trimmed_mean_cents
+        FROM ranked GROUP BY 1
+    """
+
+
+_install_s16_batch8_oracles()
