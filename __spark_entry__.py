@@ -15069,6 +15069,233 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate the overlap of active user-days
+    between every pair of event types by HLL inclusion-exclusion —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from
+    REGISTER-LEVEL max-merge of the two per-type sketches (the
+    mergeability property that makes sketches composable without
+    re-reading data: the union sketch of the streams IS the
+    elementwise max of their registers).  The audience-overlap /
+    segment-intersection primitive a single-set sketch
+    (q_hll_distinct) cannot answer.
+
+    Exactness: the register pipeline is q_hll_distinct's verbatim
+    (md5 idx + first-set-bit rho via length(bin(x & -x)), register
+    max, exact BIGINT 2^(53−r) fold with empty registers at 2^53);
+    registers are DENSIFIED to all 64 indices (r = 0 ≡ empty) so
+    the pair merge is a plain equi-join + greatest; the only floats
+    are the three estimate divisions (4-dp rounded, identical CASE
+    in both engines).  n_exact (the verification column) would be
+    dropped at scale — it is what the sketch exists to avoid.
+
+    Scale shape: one corpus pass builds 64 registers per type; the
+    pair algebra runs on (types² × 64) rows — sketch-sized, never
+    corpus-sized; the exact leg is one distinct + one item
+    self-join (audit-only at scale)."""
+    e = _load_wide(spark, sf_dir, "events")
+    items = e.select(
+        F.col("event_type").alias("etype"),
+        F.concat_ws(
+            "@",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("item"),
+    )
+    hashed = items.select(
+        "etype",
+        F.expr(
+            "cast(conv(substring(md5(item), 1, 4), 16, 10) as bigint) % 64"
+        ).alias("idx"),
+        F.expr(
+            "cast(conv(substring(md5(item), 5, 13), 16, 10) as bigint)"
+        ).alias("x"),
+    ).select(
+        "etype",
+        "idx",
+        F.expr(
+            "CASE WHEN x = 0 THEN 53 ELSE length(bin(x & -x)) END"
+        ).alias("rho"),
+    )
+    regs = hashed.groupBy("etype", "idx").agg(F.max("rho").alias("r"))
+    types = items.select("etype").distinct()
+    dense = (
+        types.select(
+            "etype", F.explode(F.expr("sequence(0, 63)")).alias("idx")
+        )
+        .join(regs, ["etype", "idx"], "left")
+        .select("etype", "idx", F.coalesce("r", F.lit(0)).alias("r"))
+        .localCheckpoint()
+    )
+
+    def fold(df, key_cols):
+        return df.groupBy(*key_cols).agg(
+            F.expr(
+                "cast(sum(cast(shiftleft(1L, 53 - r) as bigint)) as bigint)"
+            ).alias("s_scaled"),
+            F.sum((F.col("r") == 0).cast("long")).alias("v_zero"),
+        )
+
+    est_raw = f"({HLL_ALPHA_M2_SCALED} / cast(s_scaled as double))"
+    est = (
+        f"round(CASE WHEN {est_raw} <= 160.0 AND v_zero > 0"
+        f" THEN 64.0 * ln(64.0 / v_zero) ELSE {est_raw} END, 4)"
+    )
+    per_type = fold(dense, ["etype"]).select(
+        "etype", F.expr(est).alias("est_t")
+    )
+    ta = types.select(F.col("etype").alias("type_a"))
+    tb = types.select(F.col("etype").alias("type_b"))
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b"))
+    merged = (
+        pairs.join(
+            dense.select(
+                F.col("etype").alias("type_a"),
+                "idx",
+                F.col("r").alias("ra"),
+            ),
+            "type_a",
+        )
+        .join(
+            dense.select(
+                F.col("etype").alias("type_b"),
+                F.col("idx").alias("idx_b"),
+                F.col("r").alias("rb"),
+            ),
+            "type_b",
+        )
+        .filter(F.col("idx") == F.col("idx_b"))
+        .select(
+            "type_a", "type_b", F.greatest("ra", "rb").alias("r")
+        )
+    )
+    est_union = fold(merged, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.expr(est).alias("est_union")
+    )
+    di = items.distinct()
+    exact = (
+        di.alias("x")
+        .join(di.alias("y"), F.col("x.item") == F.col("y.item"))
+        .filter(F.col("x.etype") < F.col("y.etype"))
+        .groupBy(
+            F.col("x.etype").alias("type_a"),
+            F.col("y.etype").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        est_union.join(
+            per_type.select(
+                F.col("etype").alias("type_a"), F.col("est_t").alias("est_a")
+            ),
+            "type_a",
+        )
+        .join(
+            per_type.select(
+                F.col("etype").alias("type_b"), F.col("est_t").alias("est_b")
+            ),
+            "type_b",
+        )
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        )
+    )
+
+
+def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive scoring (Mihalcea & Tarau 2004) with
+    exact integer power iterations: per document, sentences (the
+    q_sentence_split segmentation — same injected terminators) form
+    a graph weighted by shared-distinct-token counts; two
+    UNNORMALIZED power iterations score centrality — s¹ = weighted
+    degree, s² = Σ w(u,v)·s¹(u) — and the top sentence is the
+    extractive summary pick.  Normalization is deferred exactly as
+    in hits_scores (rankings are scale-invariant), so every score
+    is an exact BIGINT and the cross-engine gate never floats.
+
+    Scale shape: everything is per-document — sentence pairs are a
+    doc-partitioned self-join over ~5 sentences/doc (O(s²) per key,
+    zero cross-key traffic); two join+groupBy half-iterations on
+    the same partitioning; the argmax rides min(struct(−s², idx)).
+    Output: every sentence with (s1, s2, is_top) — the full scored
+    table, not just the pick, so downstream compression ratios are
+    choosable."""
+    from pyspark.sql.window import Window
+
+    sents = q_sentence_split(spark, sf_dir).select(
+        "doc_id", "sent_idx", F.col("sentence")
+    )
+    toks = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.array_distinct(
+            F.filter(
+                F.split(F.regexp_replace("sentence", "[.!]", ""), " "),
+                lambda t: t != "",
+            )
+        ).alias("tk"),
+    ).localCheckpoint()
+    a, b = toks.alias("a"), toks.alias("b")
+    w_uv = F.size(F.array_intersect(F.col("a.tk"), F.col("b.tk"))).cast(
+        "long"
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_idx") != F.col("b.sent_idx")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sent_idx").alias("u"),
+            F.col("b.sent_idx").alias("v"),
+            w_uv.alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint()
+    )
+    s1 = edges.groupBy("doc_id", F.col("v").alias("sent_idx")).agg(
+        F.sum("w").alias("s1")
+    )
+    s2 = (
+        edges.join(
+            s1.select(
+                "doc_id", F.col("sent_idx").alias("u"), F.col("s1").alias("su")
+            ),
+            ["doc_id", "u"],
+        )
+        .groupBy("doc_id", F.col("v").alias("sent_idx"))
+        .agg(F.sum(F.col("w") * F.col("su")).alias("s2"))
+    )
+    scored = (
+        sents.join(s1, ["doc_id", "sent_idx"], "left")
+        .join(s2, ["doc_id", "sent_idx"], "left")
+        .select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.coalesce("s1", F.lit(0)).alias("s1"),
+            F.coalesce("s2", F.lit(0)).alias("s2"),
+        )
+    )
+    wtop = Window.partitionBy("doc_id")
+    mstruct = F.struct(
+        (-F.col("s2")).alias("neg"), F.col("sent_idx").alias("si")
+    )
+    return scored.withColumn(
+        "is_top", (mstruct == F.min(mstruct).over(wtop)).cast("long")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -15317,6 +15544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seat_apportionment": q_seat_apportionment,
         "lsh_recall_audit": q_lsh_recall_audit,
         "trimmed_mean": q_trimmed_mean,
+        "hll_intersect": q_hll_intersect,
+        "textrank_sentences": q_textrank_sentences,
     }
 
 
@@ -22916,3 +23145,144 @@ def _install_s16_batch8_oracles() -> None:
 
 
 _install_s16_batch8_oracles()
+
+
+def _install_s16_batch9_oracles() -> None:
+    est_raw = f"({HLL_ALPHA_M2_SCALED} / cast(s_scaled as double))"
+    est = (
+        f"round(CASE WHEN {est_raw} <= 160.0 AND v_zero > 0"
+        f" THEN 64.0 * ln(64.0 / v_zero) ELSE {est_raw} END, 4)"
+    )
+    # hll_intersect: the hll_distinct register pipeline verbatim on
+    # (user@day) items, registers densified to 64 indices, pair
+    # union = elementwise max, same estimate CASE, exact audit leg.
+    _ORACLE_SQL["hll_intersect"] = f"""
+        WITH items AS (
+            SELECT event_type AS etype,
+                   CAST(user_id AS VARCHAR) || '@'
+                       || strftime(ts, '%Y-%m-%d') AS item
+            FROM events
+        ),
+        hashed AS (
+            SELECT etype,
+                   CAST(('0x' || substring(md5(item), 1, 4))::UBIGINT
+                        AS BIGINT) % 64 AS idx,
+                   CAST(('0x' || substring(md5(item), 5, 13))::UBIGINT
+                        AS BIGINT) AS x
+            FROM items
+        ),
+        rhos AS (
+            SELECT etype, idx,
+                   CASE WHEN x = 0 THEN 53
+                        ELSE length(bin(x & -x)) END AS rho
+            FROM hashed
+        ),
+        regs AS (
+            SELECT etype, idx, MAX(rho) AS r FROM rhos GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT etype FROM items),
+        dense AS (
+            SELECT t.etype, g.idx, COALESCE(r.r, 0) AS r
+            FROM types t
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS idx) g
+            LEFT JOIN regs r ON r.etype = t.etype AND r.idx = g.idx
+        ),
+        per_type AS (
+            SELECT etype,
+                   CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+                       AS s_scaled,
+                   SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS v_zero
+            FROM dense GROUP BY 1
+        ),
+        est_t AS (SELECT etype, {est} AS est_t FROM per_type),
+        pairs AS (
+            SELECT a.etype AS type_a, b.etype AS type_b
+            FROM types a JOIN types b ON a.etype < b.etype
+        ),
+        merged AS (
+            SELECT p.type_a, p.type_b, da.idx,
+                   GREATEST(da.r, db.r) AS r
+            FROM pairs p
+            JOIN dense da ON da.etype = p.type_a
+            JOIN dense db ON db.etype = p.type_b AND db.idx = da.idx
+        ),
+        ufold AS (
+            SELECT type_a, type_b,
+                   CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+                       AS s_scaled,
+                   SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS v_zero
+            FROM merged GROUP BY 1, 2
+        ),
+        est_u AS (
+            SELECT type_a, type_b, {est} AS est_union FROM ufold
+        ),
+        di AS (SELECT DISTINCT etype, item FROM items),
+        exact AS (
+            SELECT x.etype AS type_a, y.etype AS type_b,
+                   COUNT(*)::BIGINT AS n_exact
+            FROM di x JOIN di y
+              ON x.item = y.item AND x.etype < y.etype
+            GROUP BY 1, 2
+        )
+        SELECT u.type_a, u.type_b, ea.est_t AS est_a, eb.est_t AS est_b,
+               u.est_union,
+               round(ea.est_t + eb.est_t - u.est_union, 4)
+                   AS est_intersect,
+               COALESCE(x.n_exact, 0) AS n_exact
+        FROM est_u u
+        JOIN est_t ea ON ea.etype = u.type_a
+        JOIN est_t eb ON eb.etype = u.type_b
+        LEFT JOIN exact x
+          ON x.type_a = u.type_a AND x.type_b = u.type_b
+    """
+    # textrank_sentences: the sentence_split oracle embedded verbatim
+    # (rrf_fuse drift-proofing), same integer two-iteration scores.
+    _ORACLE_SQL["textrank_sentences"] = f"""
+        WITH sents AS ({_ORACLE_SQL["sentence_split"]}),
+        toks AS (
+            SELECT doc_id, sent_idx,
+                   LIST_DISTINCT(LIST_FILTER(
+                       STRING_SPLIT(regexp_replace(sentence, '[.!]',
+                                                   '', 'g'), ' '),
+                       t -> t <> '')) AS tk
+            FROM sents
+        ),
+        edges AS (
+            SELECT a.doc_id, a.sent_idx AS u, b.sent_idx AS v,
+                   CAST(LEN(LIST_INTERSECT(a.tk, b.tk)) AS BIGINT) AS w
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.sent_idx != b.sent_idx
+            WHERE LEN(LIST_INTERSECT(a.tk, b.tk)) > 0
+        ),
+        s1 AS (
+            SELECT doc_id, v AS sent_idx, SUM(w)::BIGINT AS s1
+            FROM edges GROUP BY 1, 2
+        ),
+        s2 AS (
+            SELECT e.doc_id, e.v AS sent_idx,
+                   SUM(e.w * s.s1)::BIGINT AS s2
+            FROM edges e
+            JOIN s1 s ON s.doc_id = e.doc_id AND s.sent_idx = e.u
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT st.doc_id, st.sent_idx, st.sentence,
+                   COALESCE(s1.s1, 0) AS s1, COALESCE(s2.s2, 0) AS s2
+            FROM sents st
+            LEFT JOIN s1 ON s1.doc_id = st.doc_id
+                        AND s1.sent_idx = st.sent_idx
+            LEFT JOIN s2 ON s2.doc_id = st.doc_id
+                        AND s2.sent_idx = st.sent_idx
+        )
+        SELECT doc_id, sent_idx, sentence, s1, s2,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY s2 DESC, sent_idx ASC) = 1
+                    THEN 1 ELSE 0 END::BIGINT AS is_top
+        FROM scored
+    """
+
+
+_install_s16_batch9_oracles()
