@@ -15296,6 +15296,162 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the
+    classic customer-base stratification: per user, days since last
+    event, event count, and total spend in cents, each scored into
+    quintiles (5 = best) and mapped to a named segment.  The
+    ntile-over-total-order device is the point: quintile membership
+    is deterministic because every ORDER BY carries user_id as the
+    final tiebreak, and NTILE's fill rule (first n mod 5 buckets
+    get the extra row) is identical in Spark and DuckDB.
+
+    Exactness: recency is integer days on the anchored grid (µs
+    device DIV 86400·10⁶); frequency and cents sums are exact; the
+    scores are pure rank arithmetic; the segment is one CASE chain
+    evaluated in fixed order.  Laws: per-dimension quintile sizes
+    balanced within one, replayed bucket-for-bucket.
+
+    Scale shape: one per-user aggregation + three ntile windows over
+    the user table (users ≪ events) + a projection; the corpus is
+    touched once."""
+    from pyspark.sql.window import Window
+
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    day = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 86400000000"
+    )
+    per_user = raw.select(
+        "user_id",
+        day.alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).groupBy("user_id").agg(
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("c").alias("monetary_c"),
+    )
+    maxd = per_user.groupBy().agg(F.max("last_day").alias("md"))
+    base = per_user.crossJoin(F.broadcast(maxd)).select(
+        "user_id",
+        (F.col("md") - F.col("last_day")).alias("recency_d"),
+        "freq",
+        "monetary_c",
+    )
+    r_sc = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_d"), F.asc("user_id"))
+    )
+    f_sc = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("user_id")))
+    m_sc = F.ntile(5).over(
+        Window.orderBy(F.asc("monetary_c"), F.asc("user_id"))
+    )
+    scored = base.select(
+        "user_id",
+        "recency_d",
+        "freq",
+        "monetary_c",
+        r_sc.cast("long").alias("r"),
+        f_sc.cast("long").alias("f"),
+        m_sc.cast("long").alias("m"),
+    )
+    seg = (
+        F.when(
+            (F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4),
+            "champion",
+        )
+        .when(F.col("f") >= 4, "loyal")
+        .when(F.col("m") >= 4, "big_spender")
+        .when((F.col("r") <= 2) & (F.col("f") >= 3), "at_risk")
+        .when(F.col("r") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_BITS = 15  # per-lane quantization -> 30-bit cell, 6 chars
+
+
+def _geohash_z_sql(shl, div) -> str:
+    """30-bit geohash cell key: quantize each lane to 15 bits
+    ((v << 15) div extent) and Morton-interleave with longitude (x)
+    on the high alternating bits (the standard geohash layout) —
+    shared-emitter modulo the engines' shift/div spellings.  Emit
+    this ONCE into a column: inlining it per base32 char blows the
+    generated-code size past Spark's codegen limit (observed
+    InternalCompilerException fallback) for zero gain."""
+    gx = div(shl("x", GEOHASH_BITS), SPATIAL_PX)
+    gy = div(shl("y", GEOHASH_BITS), SPATIAL_PY)
+    return _morton_expr(gy, gx, shl)  # odd bits = x (lon-first MSB)
+
+
+def _geohash_chars_sql(zcol: str, shr) -> str:
+    """6 base32 chars from a 30-bit z COLUMN — tiny per-char exprs,
+    codegen-friendly."""
+    chars = [
+        f"substr('{GEOHASH_ALPHA}',"
+        f" (({shr(zcol, 25 - 5 * k)}) & 31) + 1, 1)"
+        for k in range(6)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding of the 2-D event point cloud — the base32
+    PREFIX-keyed cell scheme (Niemeyer 2008) whose defining property
+    zorder_layout's integer keys don't give you: truncating the
+    STRING is coarsening the cell, so same-prefix grouping, prefix
+    range scans, and proximity joins all ride plain string ops.
+    Emits each point's 6-char geohash and its 4-char coarse cell,
+    plus the coarse-cell occupancy (the shard-key histogram a geo
+    partitioner needs).
+
+    Exactness: lanes quantize by pure integer shift-division; the
+    interleave is the _morton_expr magic-mask device; base32 chars
+    are substr lookups — no floats anywhere.  Locality law (pinned
+    in pytest): equal 4-char prefixes bound |Δx| by the 10-bit lane
+    cell width (~98 units), and truncation coarsens monotonically
+    (gh4 is a prefix of gh6 by construction).
+
+    Scale shape: pure projection over the scan + ONE groupBy on the
+    coarse cell for occupancy — the partitioner histogram; no other
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    e = _load_wide(spark, sf_dir, "events")
+    shl = lambda ex, n: f"shiftleft({ex}, {n})"  # noqa: E731
+    shr = lambda ex, n: f"shiftright({ex}, {n})"  # noqa: E731
+    div = lambda ex, n: f"(({ex}) DIV {n})"  # noqa: E731
+    # the base32 chars ride ONE transform() lambda so `z` appears
+    # exactly once even after Catalyst's projection collapse
+    # re-inlines it (a 6-way inline of the Morton algebra was
+    # observed to blow whole-stage codegen into interpreted fallback)
+    gh6 = (
+        f"array_join(transform(sequence(0, 5), k -> substr("
+        f"'{GEOHASH_ALPHA}', (shiftright(z, 25 - 5 * k) & 31) + 1, 1"
+        f")), '')"
+    )
+    pts = (
+        e.select(
+            F.col("event_id").alias("pid"),
+            F.expr(SPATIAL_X_SQL).cast("long").alias("x"),
+            F.expr(SPATIAL_Y_SQL).cast("long").alias("y"),
+        )
+        .withColumn("z", F.expr(_geohash_z_sql(shl, div)))
+        .select("pid", "x", "y", F.expr(gh6).alias("gh6"))
+    )
+    cells = pts.withColumn("gh4", F.expr("substr(gh6, 1, 4)"))
+    occ = cells.groupBy("gh4").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
+    return cells.join(occ, "gh4").select(
+        "pid", "x", "y", "gh6", "gh4", "cell_n"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -15546,6 +15702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "hll_intersect": q_hll_intersect,
         "textrank_sentences": q_textrank_sentences,
+        "rfm_segments": q_rfm_segments,
+        "geohash_encode": q_geohash_encode,
     }
 
 
@@ -23286,3 +23444,79 @@ def _install_s16_batch9_oracles() -> None:
 
 
 _install_s16_batch9_oracles()
+
+
+def _install_s16_batch10_oracles() -> None:
+    # rfm_segments: same anchored day grid, same ntile-over-total-
+    # order quintiles (NTILE fill rule is identical), same CASE chain.
+    _ORACLE_SQL["rfm_segments"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MAX(DATE_DIFF('microseconds', a, ts)
+                       // 86400000000) AS last_day,
+                   COUNT(*)::BIGINT AS freq,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
+                       AS monetary_c
+            FROM events, anchor GROUP BY 1
+        ),
+        md AS (SELECT MAX(last_day) AS md FROM per_user),
+        base AS (
+            SELECT user_id, CAST(md - last_day AS BIGINT) AS recency_d,
+                   freq, monetary_c
+            FROM per_user, md
+        ),
+        scored AS (
+            SELECT user_id, recency_d, freq, monetary_c,
+                   NTILE(5) OVER (
+                       ORDER BY recency_d DESC, user_id ASC
+                   )::BIGINT AS r,
+                   NTILE(5) OVER (
+                       ORDER BY freq ASC, user_id ASC
+                   )::BIGINT AS f,
+                   NTILE(5) OVER (
+                       ORDER BY monetary_c ASC, user_id ASC
+                   )::BIGINT AS m
+            FROM base
+        )
+        SELECT *,
+               CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                    WHEN f >= 4 THEN 'loyal'
+                    WHEN m >= 4 THEN 'big_spender'
+                    WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+                    WHEN r <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    """
+    # geohash_encode: the SAME emitter with DuckDB shift/div
+    # spellings; occupancy join mirrored.
+    shl = lambda ex, n: f"(({ex}) << {n})"  # noqa: E731
+    shr = lambda ex, n: f"(({ex}) >> {n})"  # noqa: E731
+    div = lambda ex, n: f"(({ex}) // {n})"  # noqa: E731
+    zsql = _geohash_z_sql(shl, div)
+    ghsql = _geohash_chars_sql("z", shr)
+    _ORACLE_SQL["geohash_encode"] = f"""
+        WITH pts AS (
+            SELECT event_id AS pid,
+                   CAST({SPATIAL_X_SQL} AS BIGINT) AS x,
+                   CAST({SPATIAL_Y_SQL} AS BIGINT) AS y
+            FROM events
+        ),
+        zs AS (SELECT pid, x, y, {zsql} AS z FROM pts),
+        cells AS (
+            SELECT pid, x, y, {ghsql} AS gh6,
+                   substr({ghsql}, 1, 4) AS gh4
+            FROM zs
+        ),
+        occ AS (
+            SELECT gh4, COUNT(*)::BIGINT AS cell_n
+            FROM cells GROUP BY 1
+        )
+        SELECT c.pid, c.x, c.y, c.gh6, c.gh4, o.cell_n
+        FROM cells c JOIN occ o USING (gh4)
+    """
+
+
+_install_s16_batch10_oracles()
