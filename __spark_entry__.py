@@ -15452,6 +15452,134 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stock_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-negative running balance per user (wallet/stock semantics:
+    credits add, debits subtract, the balance CLAMPS at zero — a
+    failed debit burns only the available funds).  The recurrence
+    s_t = max(0, s_{t−1} + d_t) is nonlinear and not directly
+    window-expressible; the engine uses its Skorokhod-reflection
+    CLOSED FORM s_t = P_t − least(0, min_{j≤t} P_j) (P = prefix
+    sum), which IS two plain windows — the fifo_match trick of
+    linearizing a sequential recurrence.  The naive guess
+    max(0, P_t) is WRONG (it forgets money burned at earlier
+    clamps); the law test exhibits rows where they differ.
+
+    Exactness: daily deltas are exact cents (purchases credit 4×,
+    everything else debits — weights chosen so the walk straddles
+    zero and the clamp genuinely binds); prefix sums, running mins,
+    and balances are all BIGINT.  The oracle is the genuinely
+    different formulation: a recursive-CTE day-by-day walk applying
+    the literal max(0, ·) recurrence.
+
+    Scale shape: one (user, day) aggregation + two windows on the
+    same user partitioning; zero cross-key traffic."""
+    from pyspark.sql.window import Window
+
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    day = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 86400000000"
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    delta = F.when(F.col("event_type") == "purchase", 4 * c).otherwise(-c)
+    daily = raw.select(
+        "user_id", day.alias("d"), delta.alias("dc")
+    ).groupBy("user_id", "d").agg(F.sum("dc").alias("delta_c"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.withColumn("prefix_c", F.sum("delta_c").over(wp))
+    run = pre.withColumn("runmin", F.min("prefix_c").over(wp))
+    return run.select(
+        "user_id",
+        "d",
+        "delta_c",
+        "prefix_c",
+        (
+            F.col("prefix_c") - F.least(F.lit(0), F.col("runmin"))
+        ).alias("balance_c"),
+    )
+
+
+CONC_DUR_BASE = 60  # activity window seconds = 60 + event_id % 600
+CONC_DUR_MOD = 600
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a
+    half-open activity window [t, t + 60 + id mod 600); report the
+    MAXIMUM number of simultaneously open windows and the earliest
+    microsecond it is reached — the capacity-planning number
+    (max simultaneous sessions/connections) that interval_coverage
+    (union LENGTH) deliberately does not give.
+
+    Spark side: the classic sweep — boundary rows (+1 at start, −1
+    at end), running sum ordered by (time, delta, event_id) so ends
+    close BEFORE starts open at the same instant (half-open
+    semantics) and the order is total; peak + argmax ride ONE
+    struct-min of (−run, t).  Oracle: the genuinely different
+    formulation — for every window START, count the windows
+    containing it (the max of a right-continuous step function is
+    attained at a start), then take the max with the same tiebreak.
+
+    Exactness: times are exact integer µs offsets (anchor device);
+    counts are integers; no floats at all.
+    Scale shape: one window pass partitioned by type; boundary rows
+    are 2× events; the oracle's O(n²) per-start counting stays
+    audit-side."""
+    from pyspark.sql.window import Window
+
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+    )
+    dur_us = (
+        (F.lit(CONC_DUR_BASE) + F.col("event_id") % CONC_DUR_MOD)
+        * 1_000_000
+    )
+    base = raw.select(
+        F.col("event_type").alias("etype"),
+        "event_id",
+        us.alias("s"),
+        (us + dur_us).alias("e"),
+    )
+    starts = base.select(
+        "etype", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = base.select(
+        "etype", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id"
+    )
+    bounds = starts.unionByName(ends)
+    wrun = (
+        Window.partitionBy("etype")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.withColumn(
+        "run", F.sum("delta").over(wrun).cast("long")
+    )
+    best = swept.groupBy("etype").agg(
+        F.min(F.struct((-F.col("run")).alias("neg"), F.col("t"))).alias(
+            "m"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_bounds"),
+    )
+    return best.select(
+        "etype",
+        (-F.col("m.neg")).alias("peak"),
+        F.col("m.t").alias("peak_at_us"),
+        "n_bounds",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -15704,6 +15832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_sentences": q_textrank_sentences,
         "rfm_segments": q_rfm_segments,
         "geohash_encode": q_geohash_encode,
+        "stock_clamp": q_stock_clamp,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -23520,3 +23650,86 @@ def _install_s16_batch10_oracles() -> None:
 
 
 _install_s16_batch10_oracles()
+
+
+def _install_s16_batch11_oracles() -> None:
+    # stock_clamp: the literal max(0, .) recurrence as a recursive
+    # day-by-day walk — the genuinely different formulation vs the
+    # closed-form reflection windows.
+    _ORACLE_SQL["stock_clamp"] = """
+        WITH RECURSIVE anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        daily AS (
+            SELECT user_id,
+                   DATE_DIFF('microseconds', a, ts) // 86400000000 AS d,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN 4 * CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE -CAST(ROUND(value * 100) AS BIGINT)
+                       END)::BIGINT AS delta_c
+            FROM events, anchor GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT user_id, d, delta_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS rn
+            FROM daily
+        ),
+        walk(user_id, rn, d, delta_c, prefix_c, balance_c) AS (
+            SELECT user_id, rn, d, delta_c, delta_c,
+                   GREATEST(0, delta_c)
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn, s.d, s.delta_c,
+                   w.prefix_c + s.delta_c,
+                   GREATEST(0, w.balance_c + s.delta_c)
+            FROM walk w JOIN seq s
+              ON s.user_id = w.user_id AND s.rn = w.rn + 1
+        )
+        SELECT user_id, d, delta_c,
+               CAST(prefix_c AS BIGINT) AS prefix_c,
+               CAST(balance_c AS BIGINT) AS balance_c
+        FROM walk
+    """
+    # peak_concurrency: per-START containment counting (the max of
+    # a right-continuous step function is attained at a start) vs
+    # the Spark sweep; same half-open semantics and tiebreak.
+    _ORACLE_SQL["peak_concurrency"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        base AS (
+            SELECT event_type AS etype, event_id,
+                   DATE_DIFF('microseconds', a, ts) AS s,
+                   DATE_DIFF('microseconds', a, ts)
+                       + ({CONC_DUR_BASE} + event_id % {CONC_DUR_MOD})
+                         * 1000000 AS e
+            FROM events, anchor
+        ),
+        pts AS (SELECT DISTINCT etype, s AS t FROM base),
+        cnt AS (
+            SELECT p.etype, p.t, COUNT(*)::BIGINT AS conc
+            FROM pts p JOIN base o
+              ON o.etype = p.etype AND o.s <= p.t AND p.t < o.e
+            GROUP BY 1, 2
+        ),
+        nb AS (
+            SELECT event_type AS etype,
+                   (2 * COUNT(*))::BIGINT AS n_bounds
+            FROM events GROUP BY 1
+        ),
+        best AS (
+            SELECT etype, conc, t,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY etype ORDER BY conc DESC, t ASC
+                   ) AS rk
+            FROM cnt
+        )
+        SELECT b.etype, b.conc AS peak, b.t AS peak_at_us, nb.n_bounds
+        FROM best b JOIN nb USING (etype)
+        WHERE b.rk = 1
+    """
+
+
+_install_s16_batch11_oracles()
