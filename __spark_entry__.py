@@ -15580,6 +15580,197 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANSAC_TOL = 3  # vertical-distance inlier tolerance
+RANSAC_PLANT_N = 40  # planted collinear points (y = 2x + 500)
+RANSAC_ANCHOR_MOD = 500  # hash points with pid % this == 7 are anchors
+
+
+def q_robust_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC line fit over the 2-D point cloud: a
+    bounded anchor set proposes candidate lines (every anchor
+    pair), each line counts its inliers over ALL points, and the
+    max-inlier hypothesis wins — the robust model-fit primitive
+    (here: the page-skew/baseline-detection shape from the OCR
+    world) that least squares cannot survive when 99% of points are
+    background clutter.  Randomness is replaced by a deterministic
+    anchor rule (hash pids ≡ 7 mod 500, plus every other planted
+    point) — same estimator guarantees, replayable cross-engine.
+
+    Exactness: the inlier test is the cross-multiplied integer line
+    |(y−y1)·dx − (x−x1)·dy| ≤ TOL·|dx| (vertical distance, dx ≠ 0
+    hypotheses only) — no division, no floats; the winner rides one
+    struct-min of (−n_inliers, pid_a, pid_b).  Overlay: 40 planted
+    points exactly on y = 2x + 500 — the winning line recovers
+    slope 2 as the exact rational dy/dx and captures all 40
+    (background contributes ~0.7 expected chance inliers per line,
+    so the plant dominates by construction).
+
+    Scale shape: hypotheses × points is an intentional bounded
+    blow-up (|anchors|² ≈ 800 lines × N points, one broadcast
+    nested-loop join + one groupBy); at production the anchor
+    budget is the knob, exactly like RANSAC's iteration count."""
+    e = _load_wide(spark, sf_dir, "events")
+    cloud = e.select(
+        F.col("event_id").alias("pid"),
+        F.expr(SPATIAL_X_SQL).cast("long").alias("x"),
+        F.expr(SPATIAL_Y_SQL).cast("long").alias("y"),
+    )
+    plant = spark.range(1, RANSAC_PLANT_N + 1).select(
+        (-F.col("id")).cast("long").alias("pid"),
+        (F.col("id") * 1000).cast("long").alias("x"),
+        (F.col("id") * 2000 + 500).cast("long").alias("y"),
+    )
+    pts = cloud.unionByName(plant).localCheckpoint()
+    anchors = pts.filter(
+        ((F.col("pid") >= 0) & (F.col("pid") % RANSAC_ANCHOR_MOD == 7))
+        | ((F.col("pid") < 0) & (F.col("pid") % 2 == 0))
+    )
+    a, b = anchors.alias("a"), anchors.alias("b")
+    hyp = (
+        a.join(b, F.col("a.pid") < F.col("b.pid"))
+        .select(
+            F.col("a.pid").alias("pa"),
+            F.col("b.pid").alias("pb"),
+            F.col("a.x").alias("x1"),
+            F.col("a.y").alias("y1"),
+            (F.col("b.x") - F.col("a.x")).alias("dx"),
+            (F.col("b.y") - F.col("a.y")).alias("dy"),
+        )
+        .filter(F.col("dx") != 0)
+        .localCheckpoint()
+    )
+    resid = F.abs(
+        (F.col("y") - F.col("y1")) * F.col("dx")
+        - (F.col("x") - F.col("x1")) * F.col("dy")
+    )
+    scored = (
+        hyp.crossJoin(pts)
+        .filter(resid <= RANSAC_TOL * F.abs(F.col("dx")))
+        .groupBy("pa", "pb", "x1", "y1", "dx", "dy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inliers"))
+    )
+    best = scored.groupBy().agg(
+        F.min(
+            F.struct(
+                (-F.col("n_inliers")).alias("neg"),
+                F.col("pa").alias("pa"),
+                F.col("pb").alias("pb"),
+                F.col("x1").alias("x1"),
+                F.col("y1").alias("y1"),
+                F.col("dx").alias("dx"),
+                F.col("dy").alias("dy"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("m.pa").alias("pid_a"),
+        F.col("m.pb").alias("pid_b"),
+        (-F.col("m.neg")).alias("n_inliers"),
+        F.col("m.dy").alias("slope_num"),
+        F.col("m.dx").alias("slope_den"),
+        (
+            F.col("m.dy").cast("double") / F.col("m.dx").cast("double")
+        ).alias("slope"),
+        (
+            F.col("m.y1")
+            - F.expr("CAST(m.x1 * m.dy AS DOUBLE) / CAST(m.dx AS DOUBLE)")
+        ).alias("intercept"),
+    )
+
+
+VC_MOD = 8  # clock component range (md5-derived)
+
+
+def q_vector_clock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-clock causality audit over document versions — the
+    eventually-consistent-store primitive: each doc carries three
+    replica versions whose 3-component clocks derive from md5 of
+    the content (organically mixing happened-before and concurrent
+    pairs) plus one reconciled version planted as the element-wise
+    max + 1 (dominating by construction); every version pair is
+    classified a_before_b / b_before_a / concurrent, and the
+    conflict-resolution MERGE (element-wise max — the CRDT join) is
+    emitted per pair.
+
+    Exactness: clocks are integers from md5 nibbles; dominance is
+    forall(zip_with(≤)) ∧ (a ≠ b) — pure array algebra, no floats;
+    the merged clock is serialized 'x|y|z' for the driver hash.
+    Laws (pytest): antisymmetry (never both before-relations),
+    merge commutativity/idempotence, the planted version dominates
+    all three replicas on every doc, and both organic classes
+    occur.
+
+    Scale shape: versions are a 4× projection of the corpus; pair
+    classification is a per-doc self-join (6 pairs/doc, zero
+    cross-doc traffic)."""
+    d = _load_wide(spark, sf_dir, "documents")
+    comp = (
+        lambda v, j: F.expr(
+            f"cast(conv(substring(md5(concat(text, 'v{v}')),"
+            f" {1 + 4 * j}, 4), 16, 10) as bigint) % {VC_MOD}"
+        )
+    )  # noqa: E731
+    vers = None
+    for v in range(3):
+        one = d.select(
+            "doc_id",
+            F.lit(f"r{v}").alias("ver"),
+            F.array(comp(v, 0), comp(v, 1), comp(v, 2)).alias("clock"),
+        )
+        vers = one if vers is None else vers.unionByName(one)
+    merged = (
+        vers.groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.max(F.element_at("clock", j + 1)).alias(f"m{j}")
+                    for j in range(3)
+                ]
+            ).alias("mx")
+        )
+        .select(
+            "doc_id",
+            F.lit("merged").alias("ver"),
+            F.transform("mx", lambda x: x + 1).alias("clock"),
+        )
+    )
+    allv = vers.unionByName(merged).localCheckpoint()
+    a, b = allv.alias("a"), allv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.ver") < F.col("b.ver")),
+    )
+    le = lambda x, y: F.forall(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p <= q), lambda t: t
+    )
+    a_le_b = le(F.col("a.clock"), F.col("b.clock"))
+    b_le_a = le(F.col("b.clock"), F.col("a.clock"))
+    eq = a_le_b & b_le_a
+    rel = (
+        F.when(eq, "equal")
+        .when(a_le_b, "a_before_b")
+        .when(b_le_a, "b_before_a")
+        .otherwise("concurrent")
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.ver").alias("ver_a"),
+        F.col("b.ver").alias("ver_b"),
+        F.array_join(F.col("a.clock"), "|").alias("clock_a"),
+        F.array_join(F.col("b.clock"), "|").alias("clock_b"),
+        rel.alias("relation"),
+        F.array_join(
+            F.zip_with(
+                F.col("a.clock"),
+                F.col("b.clock"),
+                lambda x, y: F.greatest(x, y),
+            ),
+            "|",
+        ).alias("merged"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -15834,6 +16025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": q_geohash_encode,
         "stock_clamp": q_stock_clamp,
         "peak_concurrency": q_peak_concurrency,
+        "robust_line_fit": q_robust_line_fit,
+        "vector_clock_audit": q_vector_clock_audit,
     }
 
 
@@ -23733,3 +23926,103 @@ def _install_s16_batch11_oracles() -> None:
 
 
 _install_s16_batch11_oracles()
+
+
+def _install_s16_batch12_oracles() -> None:
+    # robust_line_fit: same anchors, same integer inlier line, same
+    # (-n, pa, pb) argmax.
+    _ORACLE_SQL["robust_line_fit"] = f"""
+        WITH cloud AS (
+            SELECT event_id AS pid,
+                   CAST({SPATIAL_X_SQL} AS BIGINT) AS x,
+                   CAST({SPATIAL_Y_SQL} AS BIGINT) AS y
+            FROM events
+            UNION ALL
+            SELECT -gs, (gs * 1000)::BIGINT, (gs * 2000 + 500)::BIGINT
+            FROM generate_series(1, {RANSAC_PLANT_N}) t(gs)
+        ),
+        anchors AS (
+            SELECT * FROM cloud
+            WHERE (pid >= 0 AND pid % {RANSAC_ANCHOR_MOD} = 7)
+               OR (pid < 0 AND pid % 2 = 0)
+        ),
+        hyp AS (
+            SELECT a.pid AS pa, b.pid AS pb, a.x AS x1, a.y AS y1,
+                   b.x - a.x AS dx, b.y - a.y AS dy
+            FROM anchors a JOIN anchors b ON a.pid < b.pid
+            WHERE b.x - a.x != 0
+        ),
+        scored AS (
+            SELECT h.pa, h.pb, h.x1, h.y1, h.dx, h.dy,
+                   COUNT(*)::BIGINT AS n_inliers
+            FROM hyp h JOIN cloud p
+              ON ABS((p.y - h.y1) * h.dx - (p.x - h.x1) * h.dy)
+                 <= {RANSAC_TOL} * ABS(h.dx)
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY n_inliers DESC, pa ASC, pb ASC
+            ) AS rk
+            FROM scored
+        )
+        SELECT pa AS pid_a, pb AS pid_b, n_inliers,
+               CAST(dy AS BIGINT) AS slope_num,
+               CAST(dx AS BIGINT) AS slope_den,
+               CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+               y1 - CAST(x1 * dy AS DOUBLE) / CAST(dx AS DOUBLE)
+                   AS intercept
+        FROM best WHERE rk = 1
+    """
+    # vector_clock_audit: same md5-nibble clocks, same planted
+    # merge+1 version, same array dominance algebra.
+    comps = lambda v: ", ".join(  # noqa: E731
+        f"CAST(('0x' || substring(md5(text || 'v{v}'), {1 + 4 * j}, 4))"
+        f"::UBIGINT AS BIGINT) % {VC_MOD}"
+        for j in range(3)
+    )
+    _ORACLE_SQL["vector_clock_audit"] = f"""
+        WITH vers AS (
+            SELECT doc_id, 'r0' AS ver, [{comps(0)}] AS clock
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'r1', [{comps(1)}] FROM documents
+            UNION ALL
+            SELECT doc_id, 'r2', [{comps(2)}] FROM documents
+        ),
+        mx AS (
+            SELECT doc_id, 'merged' AS ver,
+                   [MAX(clock[1]) + 1, MAX(clock[2]) + 1,
+                    MAX(clock[3]) + 1] AS clock
+            FROM vers GROUP BY doc_id
+        ),
+        allv AS (SELECT * FROM vers UNION ALL SELECT * FROM mx),
+        pairs AS (
+            SELECT a.doc_id, a.ver AS ver_a, b.ver AS ver_b,
+                   a.clock AS ca, b.clock AS cb
+            FROM allv a JOIN allv b
+              ON a.doc_id = b.doc_id AND a.ver < b.ver
+        ),
+        cls AS (
+            SELECT doc_id, ver_a, ver_b, ca, cb,
+                   (ca[1] <= cb[1] AND ca[2] <= cb[2]
+                    AND ca[3] <= cb[3]) AS aleb,
+                   (cb[1] <= ca[1] AND cb[2] <= ca[2]
+                    AND cb[3] <= ca[3]) AS blea
+            FROM pairs
+        )
+        SELECT doc_id, ver_a, ver_b,
+               array_to_string(ca, '|') AS clock_a,
+               array_to_string(cb, '|') AS clock_b,
+               CASE WHEN aleb AND blea THEN 'equal'
+                    WHEN aleb THEN 'a_before_b'
+                    WHEN blea THEN 'b_before_a'
+                    ELSE 'concurrent' END AS relation,
+               array_to_string(
+                   [GREATEST(ca[1], cb[1]), GREATEST(ca[2], cb[2]),
+                    GREATEST(ca[3], cb[3])], '|') AS merged
+        FROM cls
+    """
+
+
+_install_s16_batch12_oracles()
