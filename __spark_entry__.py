@@ -15771,6 +15771,206 @@ def q_vector_clock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SC_TREATED = "purchase"
+SC_DONORS = ("click", "view")
+SC_LIFT = 5  # planted per-hour post-period lift
+
+
+def q_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic control (Abadie et al.): fit the treated series'
+    pre-period as a linear combination of two donor series, then
+    read the post-period treatment effect as actual − counterfactual
+    — the causal estimator for ONE treated unit where diff-in-diff's
+    parallel-trends assumption is replaced by a fitted donor weight
+    vector.  Runs on the anchored hourly count grid: treated =
+    'purchase', donors = 'click' and 'view'.
+
+    Exactness: the 2-donor least squares solves the NORMAL EQUATIONS
+    in exact integers via Cramer's rule — det = Σx1²·Σx2² − (Σx1x2)²
+    and weight NUMERATORS over that determinant — and the total
+    post effect stays rational: effect_num = det·Σy − w1n·Σx1 −
+    w2n·Σx2 over effect_den = det; ONE division at the end.  The
+    gate carries its own recovery control (the diff_in_diff
+    device): a 'planted' treated series built as EXACTLY 2·x1+3·x2
+    plus a {5}/hour post lift — Cramer recovers (2,3) exactly (the
+    residual is 0, so any det ≠ 0 does), and effect_num ==
+    lift·n_post·det with ZERO tolerance.
+
+    Scale shape: one grid pass, one 7-sum pre-period scalar agg,
+    one post-period projection+agg — the donor pool size is the
+    only knob, and the normal equations stay donor²-sized."""
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    h = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 3600000000"
+    )
+    counts = raw.groupBy(
+        F.col("event_type").alias("etype"), h.alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hmax = counts.groupBy().agg(F.max("h").alias("hmax"))
+    hours = hmax.select(
+        F.explode(F.expr("sequence(0, hmax)")).alias("h")
+    )
+
+    def series(name):
+        return hours.join(
+            counts.filter(F.col("etype") == name).select("h", "c"),
+            "h",
+            "left",
+        ).select("h", F.coalesce("c", F.lit(0)).alias(name))
+
+    grid = (
+        series(SC_TREATED)
+        .join(series(SC_DONORS[0]), "h")
+        .join(series(SC_DONORS[1]), "h")
+        .select(
+            "h",
+            F.col(SC_DONORS[0]).alias("x1"),
+            F.col(SC_DONORS[1]).alias("x2"),
+            F.col(SC_TREATED).alias("y_real"),
+            (
+                2 * F.col(SC_DONORS[0])
+                + 3 * F.col(SC_DONORS[1])
+                + F.when(
+                    F.col("h") >= DID_SPLIT_H, F.lit(SC_LIFT)
+                ).otherwise(0)
+            ).alias("y_planted"),
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for metric, ycol in (("real", "y_real"), ("planted", "y_planted")):
+        pre = grid.filter(F.col("h") < DID_SPLIT_H).agg(
+            F.sum(F.col("x1") * F.col("x1")).alias("a"),
+            F.sum(F.col("x1") * F.col("x2")).alias("b"),
+            F.sum(F.col("x2") * F.col("x2")).alias("cc"),
+            F.sum(F.col("x1") * F.col(ycol)).alias("p"),
+            F.sum(F.col("x2") * F.col(ycol)).alias("q"),
+        )
+        post = grid.filter(F.col("h") >= DID_SPLIT_H).agg(
+            F.count(F.lit(1)).cast("long").alias("n_post"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum(ycol).alias("sy"),
+        )
+        det = F.col("a") * F.col("cc") - F.col("b") * F.col("b")
+        w1n = F.col("cc") * F.col("p") - F.col("b") * F.col("q")
+        w2n = F.col("a") * F.col("q") - F.col("b") * F.col("p")
+        row = pre.crossJoin(post).select(
+            F.lit(metric).alias("metric"),
+            w1n.alias("w1_num"),
+            w2n.alias("w2_num"),
+            det.alias("det"),
+            (
+                det * F.col("sy")
+                - w1n * F.col("sx1")
+                - w2n * F.col("sx2")
+            ).alias("effect_num"),
+            "n_post",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "metric",
+        "w1_num",
+        "w2_num",
+        "det",
+        "effect_num",
+        "n_post",
+        (F.col("w1_num").cast("double") / F.col("det").cast("double")).alias(
+            "w1"
+        ),
+        (F.col("w2_num").cast("double") / F.col("det").cast("double")).alias(
+            "w2"
+        ),
+        (
+            F.col("effect_num").cast("double")
+            / (F.col("det") * F.col("n_post")).cast("double")
+        ).alias("effect_per_hour"),
+    )
+
+
+MRD_SCALE = 10_000  # rate quantization (1e-4 cents)
+
+
+def q_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix/rate decomposition of a KPI movement (the 'why did the
+    average move' BI primitive): the average event value shifted
+    between the two period halves; per segment (event type) the
+    shift splits into a MIX effect (the segment's traffic share
+    changed, valued at its old rate) and a RATE effect (the
+    segment's own average changed, weighted by its new share) —
+    the exact identity Σ_s (mix_s + rate_s) = ΔKPI.
+
+    Exactness: rates quantize ONCE to 10⁻⁴-cent units by integer
+    division ((S·10⁴) DIV n — the engine identity is then on
+    quantized parts, with the exact-rational identity law checked
+    via Fractions in pytest and the quantization slack bounded by
+    the segment count); all shares stay as exact integer
+    cross-products ((n2_s·n1 − n1_s·n2) over n1·n2).  Int64
+    headroom: share cross-products ~10⁷ times 10⁷-scale quantized
+    rates stay well under 2⁶³.
+
+    Scale shape: ONE pass — a (segment, period) groupBy with
+    map-side combine — then segment-count rows of arithmetic."""
+    raw = _load_wide(spark, sf_dir, "events")
+    anchor = raw.agg(F.min("ts")).collect()[0][0]
+    anchor_hour = anchor.replace(minute=0, second=0, microsecond=0)
+    a_lit = anchor_hour.strftime("%Y-%m-%d %H:%M:%S.%f")
+    h = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{a_lit}', ts)"
+        " DIV 3600000000"
+    )
+    base = raw.select(
+        F.col("event_type").alias("etype"),
+        (h >= DID_SPLIT_H).cast("long").alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cells = base.groupBy("etype").agg(
+        F.sum(1 - F.col("post")).alias("n1_s"),
+        F.sum(F.when(F.col("post") == 0, F.col("c")).otherwise(0)).alias(
+            "s1_c"
+        ),
+        F.sum("post").alias("n2_s"),
+        F.sum(F.when(F.col("post") == 1, F.col("c")).otherwise(0)).alias(
+            "s2_c"
+        ),
+    )
+    tot = cells.groupBy().agg(
+        F.sum("n1_s").alias("n1"), F.sum("n2_s").alias("n2")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    rate1_q = F.expr(f"(s1_c * {MRD_SCALE}) DIV n1_s")
+    rate2_q = F.expr(f"(s2_c * {MRD_SCALE}) DIV n2_s")
+    share_x = F.col("n2_s") * F.col("n1") - F.col("n1_s") * F.col("n2")
+    mix_q = F.expr(
+        f"((n2_s * n1 - n1_s * n2) * ((s1_c * {MRD_SCALE}) DIV n1_s))"
+        " DIV (n1 * n2)"
+    )
+    rate_q = F.expr(
+        f"(n2_s * (((s2_c * {MRD_SCALE}) DIV n2_s)"
+        f" - ((s1_c * {MRD_SCALE}) DIV n1_s))) DIV n2"
+    )
+    return j.select(
+        "etype",
+        "n1_s",
+        "s1_c",
+        "n2_s",
+        "s2_c",
+        rate1_q.alias("rate1_q"),
+        rate2_q.alias("rate2_q"),
+        share_x.alias("share_xnum"),
+        mix_q.alias("mix_q"),
+        rate_q.alias("rate_q"),
+    ).withColumn(
+        "contribution_dollars",
+        (F.col("mix_q") + F.col("rate_q")).cast("double")
+        / F.lit(float(MRD_SCALE * 100)),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_transcribe_spans(spark, "/root/testdata/sf0.001")
@@ -16027,6 +16227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "robust_line_fit": q_robust_line_fit,
         "vector_clock_audit": q_vector_clock_audit,
+        "synthetic_control": q_synthetic_control,
+        "mix_rate_decomposition": q_mix_rate_decomposition,
     }
 
 
@@ -24026,3 +24228,122 @@ def _install_s16_batch12_oracles() -> None:
 
 
 _install_s16_batch12_oracles()
+
+
+def _install_s16_batch13_oracles() -> None:
+    d0, d1 = SC_DONORS
+    # synthetic_control: same dense grid, same Cramer integers, same
+    # planted 2x+3y+lift series.
+    _ORACLE_SQL["synthetic_control"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        counts AS (
+            SELECT event_type AS etype,
+                   DATE_DIFF('microseconds', a, ts) // 3600000000 AS h,
+                   COUNT(*)::BIGINT AS c
+            FROM events, anchor GROUP BY 1, 2
+        ),
+        hm AS (SELECT MAX(h) AS hmax FROM counts),
+        hours AS (
+            SELECT unnest(generate_series(0, hmax)) AS h FROM hm
+        ),
+        grid AS (
+            SELECT hh.h,
+                   COALESCE(cx1.c, 0) AS x1,
+                   COALESCE(cx2.c, 0) AS x2,
+                   COALESCE(cy.c, 0) AS y_real,
+                   2 * COALESCE(cx1.c, 0) + 3 * COALESCE(cx2.c, 0)
+                   + CASE WHEN hh.h >= {DID_SPLIT_H}
+                          THEN {SC_LIFT} ELSE 0 END AS y_planted
+            FROM hours hh
+            LEFT JOIN counts cx1
+              ON cx1.etype = '{d0}' AND cx1.h = hh.h
+            LEFT JOIN counts cx2
+              ON cx2.etype = '{d1}' AND cx2.h = hh.h
+            LEFT JOIN counts cy
+              ON cy.etype = '{SC_TREATED}' AND cy.h = hh.h
+        ),
+        metrics AS (
+            SELECT 'real' AS metric, h, x1, x2, y_real AS y FROM grid
+            UNION ALL
+            SELECT 'planted', h, x1, x2, y_planted FROM grid
+        ),
+        pre AS (
+            SELECT metric, SUM(x1 * x1)::BIGINT AS a,
+                   SUM(x1 * x2)::BIGINT AS b,
+                   SUM(x2 * x2)::BIGINT AS cc,
+                   SUM(x1 * y)::BIGINT AS p, SUM(x2 * y)::BIGINT AS q
+            FROM metrics WHERE h < {DID_SPLIT_H} GROUP BY 1
+        ),
+        post AS (
+            SELECT metric, COUNT(*)::BIGINT AS n_post,
+                   SUM(x1)::BIGINT AS sx1, SUM(x2)::BIGINT AS sx2,
+                   SUM(y)::BIGINT AS sy
+            FROM metrics WHERE h >= {DID_SPLIT_H} GROUP BY 1
+        )
+        SELECT pre.metric,
+               CAST(cc * p - b * q AS BIGINT) AS w1_num,
+               CAST(a * q - b * p AS BIGINT) AS w2_num,
+               CAST(a * cc - b * b AS BIGINT) AS det,
+               CAST((a * cc - b * b) * sy - (cc * p - b * q) * sx1
+                    - (a * q - b * p) * sx2 AS BIGINT) AS effect_num,
+               post.n_post,
+               CAST(cc * p - b * q AS DOUBLE)
+                   / CAST(a * cc - b * b AS DOUBLE) AS w1,
+               CAST(a * q - b * p AS DOUBLE)
+                   / CAST(a * cc - b * b AS DOUBLE) AS w2,
+               CAST((a * cc - b * b) * sy - (cc * p - b * q) * sx1
+                    - (a * q - b * p) * sx2 AS DOUBLE)
+                   / CAST((a * cc - b * b) * post.n_post AS DOUBLE)
+                   AS effect_per_hour
+        FROM pre JOIN post USING (metric)
+    """
+    # mix_rate_decomposition: same quantized rates and share
+    # cross-products, same truncating division everywhere.
+    _ORACLE_SQL["mix_rate_decomposition"] = f"""
+        WITH anchor AS (
+            SELECT date_trunc('hour', MIN(ts)) AS a FROM events
+        ),
+        base AS (
+            SELECT event_type AS etype,
+                   (DATE_DIFF('microseconds', a, ts) // 3600000000
+                    >= {DID_SPLIT_H})::BIGINT AS post,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events, anchor
+        ),
+        cells AS (
+            SELECT etype,
+                   SUM(1 - post)::BIGINT AS n1_s,
+                   SUM(CASE WHEN post = 0 THEN c ELSE 0 END)::BIGINT
+                       AS s1_c,
+                   SUM(post)::BIGINT AS n2_s,
+                   SUM(CASE WHEN post = 1 THEN c ELSE 0 END)::BIGINT
+                       AS s2_c
+            FROM base GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(n1_s)::BIGINT AS n1, SUM(n2_s)::BIGINT AS n2
+            FROM cells
+        )
+        SELECT etype, n1_s, s1_c, n2_s, s2_c,
+               CAST((s1_c * {MRD_SCALE}) // n1_s AS BIGINT) AS rate1_q,
+               CAST((s2_c * {MRD_SCALE}) // n2_s AS BIGINT) AS rate2_q,
+               CAST(n2_s * n1 - n1_s * n2 AS BIGINT) AS share_xnum,
+               CAST(((n2_s * n1 - n1_s * n2)
+                     * ((s1_c * {MRD_SCALE}) // n1_s)) // (n1 * n2)
+                    AS BIGINT) AS mix_q,
+               CAST((n2_s * (((s2_c * {MRD_SCALE}) // n2_s)
+                             - ((s1_c * {MRD_SCALE}) // n1_s))) // n2
+                    AS BIGINT) AS rate_q,
+               CAST(((n2_s * n1 - n1_s * n2)
+                     * ((s1_c * {MRD_SCALE}) // n1_s)) // (n1 * n2)
+                    + (n2_s * (((s2_c * {MRD_SCALE}) // n2_s)
+                               - ((s1_c * {MRD_SCALE}) // n1_s))) // n2
+                    AS DOUBLE) / {float(MRD_SCALE * 100)}
+                   AS contribution_dollars
+        FROM cells, tot
+    """
+
+
+_install_s16_batch13_oracles()
