@@ -16,8 +16,20 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BENCH_OUT = os.path.join(REPO, "BENCH", "bench_sf0.1_r5_s9_109q.json")
-SCALE_OUT = os.path.join(REPO, "BENCH", "results.json")
+# r6 consolidation (VERDICT r5 #7): ONE parameterized watcher replaces
+# the per-session copies (record_watch_s8 / record_watch_r5) — output
+# paths and the scaling script are env-configurable with the previous
+# defaults.
+BENCH_OUT = os.environ.get(
+    "RECWATCH_BENCH_OUT",
+    os.path.join(REPO, "BENCH", "bench_sf0.1_r5_s9_109q.json"),
+)
+SCALE_OUT = os.environ.get(
+    "RECWATCH_SCALE_OUT", os.path.join(REPO, "BENCH", "results.json")
+)
+SCALE_SCRIPT = os.environ.get(
+    "RECWATCH_SCALE_SCRIPT", os.path.join(REPO, "BENCH", "scaling.py")
+)
 MAX_ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 THRESH = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
 SLEEP = 240
@@ -79,9 +91,7 @@ def main() -> None:
                 if os.path.exists(SCALE_OUT):
                     with open(SCALE_OUT) as f:
                         prev = json.load(f)
-                rec = _run_json(
-                    [sys.executable, os.path.join(REPO, "BENCH", "scaling.py"), "4", "3"]
-                )
+                rec = _run_json([sys.executable, SCALE_SCRIPT, "4", "3"])
                 if rec:
                     print(f"[recwatch {i}] scaling eff={rec['scaling_efficiency']} "
                           f"hw={rec['hardware_control']['hardware_efficiency']}", flush=True)
