@@ -134,26 +134,15 @@ def decontaminate_stage(d: DataFrame, benchmark_texts: list) -> DataFrame:
         )
 
     bset = bench.select(F.explode(shingles("text")).alias("h")).distinct()
-    # r6: for bounded benchmark sets (the spark-submit surface takes a
-    # handful of sentences) the hashed shingle set rides as a LITERAL
-    # array and the stage becomes a pure projection filter — the
-    # explode + broadcast-join + anti-join shape evaluated the whole
-    # upstream chain twice (hits side and anti side).  A large
-    # benchmark corpus (shingle set past the literal-array gate)
-    # keeps the broadcast-join shape — same verdict either way: a doc
-    # is dropped iff it shares >= 1 shingle with the benchmark set.
-    DECON_LITERAL_MAX = 4096
-    if len(benchmark_texts) <= 64:
-        hs = sorted(int(r["h"]) for r in bset.collect())
-        if not hs:
-            return d
-        if len(hs) <= DECON_LITERAL_MAX:
-            barr = F.array(*[F.lit(h) for h in hs])
-            return d.filter(
-                F.size(F.array_intersect(shingles("text"), barr)) == 0
-            )
+    # r6 measurement note (guide §1): a literal-array
+    # array_intersect(shingles, bset) == empty FILTER variant was
+    # prototyped to remove this stage's self-join fork and REVERTED —
+    # noop isolation showed it 4x SLOWER (10.0 s vs 2.5 s at sf0.1):
+    # the higher-order shingle fold evaluates far worse inside a
+    # filter predicate than on the explode path.  The explode +
+    # broadcast semi-join + anti-join shape stays.
     hits = (
-        d.select("doc_id", F.explode(shingles("text")).alias("h"))
+        d.select("doc_id", F.explode_outer(shingles("text")).alias("h"))
         .join(F.broadcast(bset), "h")
         .select("doc_id")
         .distinct()
